@@ -1,0 +1,217 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operators (SURVEY.md §2.A) — the foundation every
+  * reference query stands on (scans, filtered aggregation, joins, window
+  * functions, semi/anti membership, rollup, pivot).
+  *
+  * Design notes (scale): all plans are declarative DataFrame trees so
+  * Catalyst pushes filters/projections into the parquet scan; small
+  * dimensions are explicitly `broadcast()`; outputs round floats and sort
+  * deterministically so the DuckDB oracle hash-matches.
+  */
+object Relational {
+
+  /** q01: scan → filter → groupBy multi-aggregate (TPC-H Q1 shape).
+    * Reference analog: the per-group mean/var transforms in
+    * Code for Sichuan/Data_processing/data_process.py:75-88. */
+  def q01Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q02: tight filter + projection — verifies predicate/column pushdown
+    * reaches the parquet scan (TPC-H Q6 shape). */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** q03: 3-way shuffle join + aggregation (customer ⋈ orders ⋈ lineitem),
+    * analog of pd.merge(user, voc) in data_process.py:70-71. */
+  def q03JoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"), col("o_year"))
+
+  /** q04: star join over small dims — supplier/nation/region broadcast;
+    * only the fact table shuffles (it doesn't even shuffle: broadcast hash
+    * join keeps lineitem partitions in place until the final agg). */
+  def q04BroadcastJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice")), 4).as("total_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** q05: window function — top-3 orders per customer by price.
+    * rank() with an o_orderkey tiebreak keeps output deterministic. */
+  def q05WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 4).as("price"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** q06: left semi + left anti membership — customers with / without
+    * orders in 1995 (the `id not in` filters of the reference). */
+  def q06SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val orders95 = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-01-01").cast("timestamp"))
+    val semi = cust.join(orders95, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("semi").as("kind"), col("c_custkey"))
+    val anti = cust.join(orders95, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("anti").as("kind"), col("c_custkey"))
+    semi.unionAll(anti).orderBy(col("kind"), col("c_custkey"))
+  }
+
+  /** q07: exact distinct counts per group (nunique analogs,
+    * reference utils.py:264-266 n_unique_persons). */
+  def q07DistinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** q08: hierarchical rollup — region → nation subtotal → grand total,
+    * the multi-scale (1..4 week) re-aggregation pattern of the reference
+    * collapsed into one pass (data_process.py:73). */
+  def q08Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("c_acctbal")), 4).as("total_bal"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("total_bal"), col("n"))
+      .orderBy(col("region"), col("nation"))
+
+  /** q09: pivot — hour-of-day event counts per event type (the 24-bin
+    * time_dis histogram, data_process.py:152-154, as a wide table). */
+  def q09Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val hours = (0 until 24).map(h => f"h$h%02d")
+    val pivoted = Tables.events(spark, dir)
+      .withColumn("h", hour(col("ts")))
+      .groupBy(col("event_type"))
+      .pivot("h", 0 until 24)
+      .count()
+    val renamed = (0 until 24).foldLeft(pivoted) { (df, h) =>
+      df.withColumnRenamed(h.toString, f"h$h%02d")
+    }
+    renamed
+      .select(col("event_type") +: hours.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracles for §2.A (identical aliases + ORDER BY on both sides). */
+  val oracles: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+        | round(avg(l_quantity),6) AS avg_qty,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, year(o_orderdate) AS o_year,
+        | round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue, count(*) AS n
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT r_name, n_name, round(sum(l_extendedprice),4) AS total_price, count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS price, rnk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q06_semi_anti" ->
+      """SELECT 'semi' AS kind, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |UNION ALL
+        |SELECT 'anti' AS kind, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY kind, c_custkey""".stripMargin,
+    "q07_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q08_rollup" ->
+      """SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
+        | round(sum(c_acctbal),4) AS total_bal, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q09_pivot" -> {
+      val cols = (0 until 24).map(h =>
+        f"coalesce(sum(CASE WHEN hour(ts) = $h THEN 1 END), 0) AS h$h%02d").mkString(",\n ")
+      s"SELECT event_type,\n $cols\nFROM events GROUP BY 1 ORDER BY 1"
+    }
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (q01Agg _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_agg" -> (q03JoinAgg _),
+    "q04_broadcast_join" -> (q04BroadcastJoin _),
+    "q05_window_rank" -> (q05WindowRank _),
+    "q06_semi_anti" -> (q06SemiAnti _),
+    "q07_distinct_count" -> (q07DistinctCount _),
+    "q08_rollup" -> (q08Rollup _),
+    "q09_pivot" -> (q09Pivot _)
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("q01 aggregates lineitem by flag/status") {
+    val rows = Relational.q01Agg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val schema = rows.head.schema.fieldNames.toSeq
+    assert(schema == Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+      "sum_disc_price", "avg_qty", "avg_disc", "count_order"))
+    // counts sum to the filtered row count
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 0 && total <= Tables.lineitem(spark, sf).count())
+  }
+
+  test("q02 returns a single filtered aggregate row") {
+    val rows = Relational.q02FilterProject(spark, sf).collect()
+    assert(rows.length == 1)
+  }
+
+  test("q03 join agg has revenue per segment-year") {
+    val rows = Relational.q03JoinAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("q04 broadcast star join plan uses broadcast joins") {
+    val df = Relational.q04BroadcastJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q05 rank keeps at most 3 per customer, ties included") {
+    val rows = Relational.q05WindowRank(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("rnk") >= 1 && r.getAs[Long]("rnk") <= 3))
+  }
+
+  test("q06 semi+anti partition the customer set") {
+    val rows = Relational.q06SemiAnti(spark, sf).collect()
+    val byKind = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val nCust = Tables.customer(spark, sf).count()
+    assert(byKind.values.sum == nCust)
+    // each custkey appears exactly once
+    assert(rows.map(_.getLong(1)).distinct.length == nCust)
+  }
+
+  test("q07 distinct counts bounded by table cardinalities") {
+    val rows = Relational.q07DistinctCount(spark, sf).collect()
+    val nParts = Tables.part(spark, sf).count()
+    assert(rows.forall(_.getAs[Long]("n_parts") <= nParts))
+  }
+
+  test("q08 rollup grand total equals customer count") {
+    val rows = Relational.q08Rollup(spark, sf).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Tables.customer(spark, sf).count())
+  }
+
+  test("q09 pivot hour histogram sums to event count") {
+    val rows = Relational.q09Pivot(spark, sf).collect()
+    val total = rows.flatMap(r => (1 until r.length).map(r.getLong)).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("q02 filter is pushed down to the parquet scan") {
+    val df = Relational.q02FilterProject(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters"), formatted)
+  }
+}
