@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic aggregate math for the DuckDB oracle gate.
+  *
+  * Floating-point SUM/AVG/VAR depend on accumulation order, which differs
+  * between Spark partitions and DuckDB — rounding can't hide a value that
+  * straddles a rounding boundary. Instead: the raw columns are exact
+  * 2-decimal values, so cast to DECIMAL first (exact, order-independent
+  * sum) and derive avg/var with plain IEEE double expressions evaluated
+  * identically by both engines. The DuckDB oracle SQL spells the same
+  * casts, so results are bit-identical before any rounding.
+  */
+object Exact {
+  private val dec = DecimalType(18, 2)
+
+  /** Order-independent sum of a column holding exact 2-dp decimals. */
+  def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** sum/count instead of avg() — avg accumulators are engine-specific. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Population variance via exact decimal sums: (Σx² − (Σx)²/n)/n,
+    * clamped at 0 against cancellation producing −0.0. */
+  def dvarPop(c: Column): Column = {
+    val xd = c.cast(dec)
+    val s1 = sum(xd).cast("double")
+    val s2 = sum(xd * xd).cast("double")
+    val n = count(c)
+    greatest((s2 - s1 * s1 / n) / n, lit(0.0))
+  }
+
+  /** Exact sum of a 2-dp × 2-dp product (e.g. price × (1−discount)):
+    * both factors cast to decimal first so the multiply is exact too. */
+  def dsumProduct(a: Column, b: Column): Column =
+    sum(a.cast(dec) * b.cast(dec)).cast("double")
+
+  // The DuckDB spellings of the same expressions.
+  object sql {
+    def dsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+    def davg(x: String): String = s"${dsum(x)}/count($x)"
+    def dvarPop(x: String): String =
+      s"greatest((CAST(sum(CAST($x AS DECIMAL(18,2))*CAST($x AS DECIMAL(18,2))) AS DOUBLE)" +
+        s" - ${dsum(x)}*${dsum(x)}/count($x))/count($x), 0.0)"
+    def dsumProduct(a: String, b: String): String =
+      s"CAST(sum(CAST($a AS DECIMAL(18,2))*CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
+  }
+}

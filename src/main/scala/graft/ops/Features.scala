@@ -1,0 +1,296 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** CDR-style fraud feature engineering (SURVEY.md §2.B), re-expressing the
+  * Sichuan pipeline (reference: Code for Sichuan/Data_processing/
+  * data_process.py + src/utils.py) over the `events` table:
+  * `user_id` ≈ phone_no_m, `ts` ≈ start_datetime, `event_type` ≈
+  * calltype/opposite bucket, `value` ≈ call_dur.
+  *
+  * Scale design: every feature is a single groupBy/window keyed on
+  * user_id (one shuffle, map-side partial aggregation); nothing iterates
+  * per user on the driver, unlike the reference's Python row loops.
+  */
+object Features {
+
+  private val epoch = "2024-01-01"
+
+  /** q10: per-user mean/variance of `value` at multiple time scales
+    * (1/2/4-week buckets) — data_process.py:75-79, computed in ONE pass
+    * over the fact table by exploding the scale dimension instead of the
+    * reference's 4 re-scans. */
+  def q10WindowedStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("scale", explode(array(lit(1), lit(2), lit(4))))
+      .withColumn("day_idx", datediff(col("ts").cast("date"), lit(epoch).cast("date")))
+      .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
+      .groupBy(col("user_id"), col("scale"), col("bucket"))
+      .agg(
+        round(Exact.davg(col("value")), 6).as("mean_val"),
+        round(Exact.dvarPop(col("value")), 6).as("var_val"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("scale"), col("bucket"))
+
+  /** q11: energy dispersion — each counterpart-bucket's share of a user's
+    * activity, then mean/variance of the shares (utils.py:213-240). */
+  def q11EnergyDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    // Shares p_i = c_i/T with T = Σc: mean(p) = 1/n and
+    // var(p) = Σc²/(T²·n) − 1/n², all from exact integer sums so the
+    // oracle is bit-identical (see Exact).
+    per
+      .groupBy(col("user_id"))
+      .agg(
+        round(lit(1.0) / count(lit(1)), 6).as("mean_share"),
+        round(greatest(
+          sum(col("c") * col("c")).cast("double") /
+            (sum(col("c")).cast("double") * sum(col("c")).cast("double")) /
+            count(lit(1)) -
+            lit(1.0) / (count(lit(1)) * count(lit(1))),
+          lit(0.0)), 6).as("var_share"),
+        count(lit(1)).as("n_types"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q12: normalized hour-of-day activity distribution per user, long
+    * form (utils.py:94-106 time2 / data_process.py:152-154). */
+  def q12HourHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), hour(col("ts")).cast("long").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("share",
+        round(col("c") / sum(col("c")).over(Window.partitionBy(col("user_id"))), 6))
+      .select(col("user_id"), col("h"), col("c"), col("share"))
+      .orderBy(col("user_id"), col("h"))
+
+  /** q13: mean intra-day gap between consecutive events per user, via a
+    * lag window (utils.py:23-56 time_gap). Gaps in whole epoch seconds so
+    * DuckDB's ns precision and Spark's µs agree. */
+  def q13TimeGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("ts").cast("date"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("gap")) * lit(1.0) / count(col("gap")), 4).as("mean_gap"),
+        count(col("gap")).as("n_gaps"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q14: contact repeat rate — Jaccard similarity of a user's
+    * counterpart set between consecutive weeks (utils.py:119-128
+    * connector_duplicate2). Set intersection as a self-join on
+    * (user, type, week-7), never a driver-side set. */
+  def q14RepeatRate(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"),
+        col("event_type"))
+      .distinct()
+    val cnt = uw.groupBy(col("user_id"), col("wk")).agg(count(lit(1)).as("n"))
+    val inter = uw.as("a")
+      .join(uw.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") === col("b.event_type") &&
+        col("b.wk") === date_sub(col("a.wk"), 7))
+      .groupBy(col("a.user_id").as("user_id"), col("a.wk").as("wk"))
+      .agg(count(lit(1)).as("i"))
+    cnt.as("c")
+      .join(cnt.as("p"),
+        col("p.user_id") === col("c.user_id") &&
+        col("p.wk") === date_sub(col("c.wk"), 7), "left")
+      .join(inter.as("x"),
+        col("x.user_id") === col("c.user_id") && col("x.wk") === col("c.wk"), "left")
+      .select(
+        col("c.user_id").as("user_id"), col("c.wk").as("wk"),
+        round(
+          coalesce(col("x.i"), lit(0L)) /
+          (col("c.n") + coalesce(col("p.n"), lit(0L)) - coalesce(col("x.i"), lit(0L))),
+          6).as("jaccard"))
+      .orderBy(col("user_id"), col("wk"))
+  }
+
+  /** q15: recall/conversion rate — fraction of a user's 'view' events
+    * followed by a later 'purchase' (utils.py:174-190 recall_rate).
+    * One window max per user instead of the reference's O(n²) scan. */
+  def q15RecallRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .withColumn("mp", max(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("mp") > col("ts"), 1).otherwise(0)) / count(lit(1)), 6)
+          .as("recall_rate"),
+        count(lit(1)).as("n_out"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q16: area-change analog — distinct `props.k` values seen per user
+    * per week (utils.py:156-162 area_change2), exercising JSON
+    * extraction inside the scan. */
+  def q16AreaChange(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"),
+        get_json_object(col("props"), "$.k").as("area"))
+      .groupBy(col("user_id"), col("wk"))
+      .agg(countDistinct(col("area")).as("n_areas"))
+      .orderBy(col("user_id"), col("wk"))
+
+  /** q17: global z-score normalization (utils.py:273-279 normalize).
+    * Stats come from a 1-row aggregate broadcast back over the table —
+    * no single-partition global window at scale. */
+  def q17ZScore(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val stats = cust.agg(
+      Exact.davg(col("c_acctbal")).as("mu"),
+      sqrt(Exact.dvarPop(col("c_acctbal"))).as("sigma"))
+    cust.crossJoin(broadcast(stats))
+      .select(
+        col("c_custkey"),
+        round((col("c_acctbal") - col("mu")) / col("sigma"), 6).as("z"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q18: stratified train/test split (data_process.py:62) — sampleBy on
+    * a derived label with a fixed seed. Sampling RNG is engine-specific,
+    * so this is a rows-only check; the spec asserts the strata
+    * proportions instead. */
+  def q18StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.customer(spark, dir)
+      .withColumn("label", (col("c_acctbal") < 0).cast("int"))
+    labeled.stat.sampleBy("label", Map(0 -> 0.8, 1 -> 0.8), seed = 42L)
+      .select(col("c_custkey"), col("label"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q19: the assembled per-user feature matrix — the reference's
+    * slice_feature vector (data_process.py:159-168) as one joined wide
+    * row per user, reusing the individual feature operators. */
+  def q19FeatureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(Exact.davg(col("value")), 6).as("mean_val"),
+        round(Exact.dvarPop(col("value")), 6).as("var_val"),
+        countDistinct(col("event_type")).as("n_types"))
+    val gaps = q13TimeGaps(spark, dir)
+      .select(col("user_id"), col("mean_gap"))
+    val recall = q15RecallRate(spark, dir)
+      .select(col("user_id"), col("recall_rate"))
+    base
+      .join(gaps, Seq("user_id"), "left")
+      .join(recall, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("n_events"), col("mean_val"), col("var_val"),
+        col("n_types"),
+        coalesce(col("mean_gap"), lit(0.0)).as("mean_gap"),
+        coalesce(col("recall_rate"), lit(0.0)).as("recall_rate"))
+      .orderBy(col("user_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q10_windowed_stats" ->
+      s"""SELECT user_id, scale, bucket,
+         | round(${Exact.sql.davg("value")},6) AS mean_val,
+         | round(${Exact.sql.dvarPop("value")},6) AS var_val,
+         | count(*) AS n
+         |FROM (SELECT e.*, s.scale,
+         |   (date_diff('day', DATE '$epoch', ts::DATE))::BIGINT // (7*s.scale)::BIGINT AS bucket
+         |  FROM events e CROSS JOIN (VALUES (1),(2),(4)) s(scale)) t
+         |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q11_energy_dispersion" ->
+      """WITH per AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1,2)
+        |SELECT user_id, round(1.0/count(*),6) AS mean_share,
+        | round(greatest(
+        |   CAST(sum(c*c) AS DOUBLE)/(CAST(sum(c) AS DOUBLE)*CAST(sum(c) AS DOUBLE))/count(*)
+        |   - 1.0/(count(*)*count(*)), 0.0),6) AS var_share,
+        | count(*) AS n_types
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_hour_histogram" ->
+      """WITH per AS (SELECT user_id, hour(ts) AS h, count(*) AS c FROM events GROUP BY 1,2)
+        |SELECT user_id, h, c,
+        | round(c*1.0/sum(c) OVER (PARTITION BY user_id),6) AS share
+        |FROM per ORDER BY 1,2""".stripMargin,
+    "q13_time_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |  floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |   OVER (PARTITION BY user_id, ts::DATE ORDER BY ts, event_id) AS gap
+        | FROM events)
+        |SELECT user_id, round(sum(gap)*1.0/count(gap),4) AS mean_gap, count(gap) AS n_gaps
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_repeat_rate" ->
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk, event_type FROM events),
+        | cnt AS (SELECT user_id, wk, count(*) AS n FROM uw GROUP BY 1,2),
+        | inter AS (SELECT a.user_id, a.wk, count(*) AS i FROM uw a
+        |   JOIN uw b ON a.user_id=b.user_id AND a.event_type=b.event_type AND b.wk = a.wk - 7
+        |   GROUP BY 1,2)
+        |SELECT c.user_id, c.wk,
+        | round(coalesce(x.i,0)*1.0/(c.n + coalesce(p.n,0) - coalesce(x.i,0)),6) AS jaccard
+        |FROM cnt c
+        | LEFT JOIN cnt p ON p.user_id=c.user_id AND p.wk = c.wk - 7
+        | LEFT JOIN inter x ON x.user_id=c.user_id AND x.wk=c.wk
+        |ORDER BY 1,2""".stripMargin,
+    "q15_recall_rate" ->
+      """WITH t AS (SELECT user_id, ts, event_type,
+        |  max(CASE WHEN event_type='purchase' THEN ts END) OVER (PARTITION BY user_id) AS mp
+        | FROM events)
+        |SELECT user_id,
+        | round(sum(CASE WHEN mp > ts THEN 1 ELSE 0 END)*1.0/count(*),6) AS recall_rate,
+        | count(*) AS n_out
+        |FROM t WHERE event_type='view' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_area_change" ->
+      """SELECT user_id, date_trunc('week', ts)::DATE AS wk,
+        | count(DISTINCT json_extract_string(props,'$.k')) AS n_areas
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q17_zscore" ->
+      s"""SELECT c_custkey,
+        | round((c_acctbal - mu)/sigma,6) AS z
+        |FROM customer CROSS JOIN (SELECT ${Exact.sql.davg("c_acctbal")} AS mu,
+        |  sqrt(${Exact.sql.dvarPop("c_acctbal")}) AS sigma FROM customer) s
+        |ORDER BY 1""".stripMargin,
+    "q19_feature_matrix" ->
+      s"""WITH base AS (SELECT user_id, count(*) AS n_events,
+        |  round(${Exact.sql.davg("value")},6) AS mean_val,
+        |  round(${Exact.sql.dvarPop("value")},6) AS var_val,
+        |  count(DISTINCT event_type) AS n_types
+        | FROM events GROUP BY 1),
+        | g AS (SELECT user_id,
+        |  floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |   OVER (PARTITION BY user_id, ts::DATE ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        | gaps AS (SELECT user_id, round(sum(gap)*1.0/count(gap),4) AS mean_gap FROM g GROUP BY 1),
+        | r AS (SELECT user_id, ts, event_type,
+        |  max(CASE WHEN event_type='purchase' THEN ts END) OVER (PARTITION BY user_id) AS mp
+        |  FROM events),
+        | recall AS (SELECT user_id,
+        |  round(sum(CASE WHEN mp > ts THEN 1 ELSE 0 END)*1.0/count(*),6) AS recall_rate
+        |  FROM r WHERE event_type='view' GROUP BY 1)
+        |SELECT b.user_id, b.n_events, b.mean_val, b.var_val, b.n_types,
+        | coalesce(gaps.mean_gap, 0.0) AS mean_gap,
+        | coalesce(recall.recall_rate, 0.0) AS recall_rate
+        |FROM base b LEFT JOIN gaps USING(user_id) LEFT JOIN recall USING(user_id)
+        |ORDER BY 1""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_windowed_stats" -> (q10WindowedStats _),
+    "q11_energy_dispersion" -> (q11EnergyDispersion _),
+    "q12_hour_histogram" -> (q12HourHistogram _),
+    "q13_time_gaps" -> (q13TimeGaps _),
+    "q14_repeat_rate" -> (q14RepeatRate _),
+    "q15_recall_rate" -> (q15RecallRate _),
+    "q16_area_change" -> (q16AreaChange _),
+    "q17_zscore" -> (q17ZScore _),
+    "q18_stratified_split" -> (q18StratifiedSplit _),
+    "q19_feature_matrix" -> (q19FeatureMatrix _)
+  )
+}

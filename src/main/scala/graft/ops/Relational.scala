@@ -24,11 +24,11 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(Exact.dsum(col("l_quantity")), 4).as("sum_qty"),
+        round(Exact.dsum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(Exact.dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        round(Exact.davg(col("l_quantity")), 6).as("avg_qty"),
+        round(Exact.davg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -42,7 +42,7 @@ object Relational {
         col("l_discount").between(0.02, 0.06) &&
         col("l_quantity") < 24)
       .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        round(Exact.dsumProduct(col("l_extendedprice"), col("l_discount")), 4).as("revenue"),
         count(lit(1)).as("n"))
 
   /** q03: 3-way shuffle join + aggregation (customer ⋈ orders ⋈ lineitem),
@@ -54,7 +54,7 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
       .groupBy(col("c_mktsegment"), year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        round(Exact.dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount")), 4).as("revenue"),
         count(lit(1)).as("n"))
       .orderBy(col("c_mktsegment"), col("o_year"))
 
@@ -68,7 +68,7 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice")), 4).as("total_price"),
+        round(Exact.dsum(col("l_extendedprice")), 4).as("total_price"),
         count(lit(1)).as("n"))
       .orderBy(col("r_name"), col("n_name"))
 
@@ -117,7 +117,7 @@ object Relational {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(round(sum(col("c_acctbal")), 4).as("total_bal"), count(lit(1)).as("n"))
+      .agg(round(Exact.dsum(col("c_acctbal")), 4).as("total_bal"), count(lit(1)).as("n"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -144,29 +144,29 @@ object Relational {
   /** DuckDB oracles for §2.A (identical aliases + ORDER BY on both sides). */
   val oracles: Map[String, String] = Map(
     "q01_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),4) AS sum_qty,
-        | round(sum(l_extendedprice),4) AS sum_base_price,
-        | round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
-        | round(avg(l_quantity),6) AS avg_qty,
-        | round(avg(l_discount),6) AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+        | round(${Exact.sql.dsum("l_quantity")},4) AS sum_qty,
+        | round(${Exact.sql.dsum("l_extendedprice")},4) AS sum_base_price,
+        | round(${Exact.sql.dsumProduct("l_extendedprice", "(1.0-l_discount)")},4) AS sum_disc_price,
+        | round(${Exact.sql.davg("l_quantity")},6) AS avg_qty,
+        | round(${Exact.sql.davg("l_discount")},6) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
-      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue, count(*) AS n
+      s"""SELECT round(${Exact.sql.dsumProduct("l_extendedprice", "l_discount")},4) AS revenue, count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
     "q03_join_agg" ->
-      """SELECT c_mktsegment, year(o_orderdate) AS o_year,
-        | round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue, count(*) AS n
+      s"""SELECT c_mktsegment, year(o_orderdate) AS o_year,
+        | round(${Exact.sql.dsumProduct("l_extendedprice", "(1.0-l_discount)")},4) AS revenue, count(*) AS n
         |FROM customer JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q04_broadcast_join" ->
-      """SELECT r_name, n_name, round(sum(l_extendedprice),4) AS total_price, count(*) AS n
+      s"""SELECT r_name, n_name, round(${Exact.sql.dsum("l_extendedprice")},4) AS total_price, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation ON s_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
@@ -191,8 +191,8 @@ object Relational {
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q08_rollup" ->
-      """SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
-        | round(sum(c_acctbal),4) AS total_bal, count(*) AS n
+      s"""SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
+        | round(${Exact.sql.dsum("c_acctbal")},4) AS total_bal, count(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
