@@ -1,0 +1,242 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Graph operators (SURVEY.md §2.C) over the purchase graph
+  * `orders ⋈ lineitem → (o_custkey → l_suppkey)`, the stand-in for the
+  * reference's call graph (Code for Sichuan/Data_processing/
+  * data_process.py:20-48 buildLSN, :131-148 degree/clustering loops).
+  *
+  * The reference iterates networkx per node on the driver; here every
+  * graph feature is relational algebra over an edge DataFrame — degrees
+  * are one shuffle, common-neighbors one self-join on the shared
+  * endpoint, triangles a two-hop join with canonical vertex ordering.
+  *
+  * Scale notes (100 TB): the self-join ops (q21/q23) are quadratic in
+  * per-vertex degree, exactly like the reference's O(n²) Python loops —
+  * they run on a thresholded subgraph here, and at cluster scale you
+  * additionally degree-cap hub vertices (drop adjacency lists above a
+  * cap before pairing), the standard bound used by LSH/triangle
+  * literature; linear ops (q20/q22/q24/q25) are single shuffles keyed
+  * on the vertex id with map-side partial aggregation.
+  */
+object Graph {
+
+  /** Distinct directed edges (src=customer, dst=supplier). */
+  private def edges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+
+  private val edgesSql =
+    """SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+
+  /** Thresholded subgraph for the quadratic ops — the operator is
+    * parameterized by its input graph; the heavy-line filter bounds the
+    * candidate-pair blowup the same way the reference bounds buildLSN
+    * with its common-neighbor threshold k. */
+  private def hotEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_quantity") >= 45)
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+
+  private val hotEdgesSql =
+    """SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      | WHERE l_quantity >= 45""".stripMargin
+
+  /** q20: in/out/total degree per vertex (data_process.py:131-138).
+    * One union + one groupBy: each edge contributes an out-row for src
+    * and an in-row for dst; distinct-counting the counterpart per
+    * direction gives both degrees in a single shuffle. */
+  def q20Degrees(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    e.select(col("src").as("node"), lit(1).as("dir"), col("dst").as("other"))
+      .unionAll(e.select(col("dst"), lit(0), col("src")))
+      .groupBy(col("node"))
+      .agg(
+        countDistinct(when(col("dir") === 1, col("other"))).as("out_deg"),
+        countDistinct(when(col("dir") === 0, col("other"))).as("in_deg"))
+      .withColumn("deg", col("out_deg") + col("in_deg"))
+      .orderBy(col("node"))
+  }
+
+  /** q21: link-similarity network — vertex pairs with ≥ k common
+    * out-neighbors (buildLSN, data_process.py:20-48). Self-join on the
+    * shared neighbor, canonical u<v ordering, count ≥ k. */
+  def q21CommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val e = hotEdges(spark, dir)
+    e.as("a").join(e.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("u"), col("b.src").as("v"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 3)
+      .orderBy(col("u"), col("v"))
+  }
+
+  /** q22: average degree of a vertex's neighbors over the symmetrized
+    * graph. The reference's loop (data_process.py:140-144) accidentally
+    * averages the node's own degree; we implement the intended
+    * neighbor-degree mean. Integer sum / count keeps the oracle exact. */
+  def q22NeighborAvgDegree(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val und = e.unionAll(e.select(col("dst"), col("src"))).distinct()
+    val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    und.join(deg, col("dst") === col("n"))
+      .groupBy(col("src").as("node"))
+      .agg(round(sum(col("d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
+        count(lit(1)).as("n_nbrs"))
+      .orderBy(col("node"))
+  }
+
+  /** q23: per-vertex triangle count → local clustering coefficient
+    * (nx.clustering, data_process.py:147). Canonical a<b<c two-hop join
+    * counts each triangle once; 2T/(d(d-1)) with integer-exact T, d. */
+  def q23Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = hotEdges(spark, dir)
+    val und = e.unionAll(e.select(col("dst"), col("src")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val canon = und.filter(col("src") < col("dst"))
+    val tris = canon.as("e1")
+      .join(canon.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(canon.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val perNode = tris.select(col("a").as("node"))
+      .unionAll(tris.select(col("b")))
+      .unionAll(tris.select(col("c")))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        round(when(col("deg") >= 2,
+            coalesce(col("t"), lit(0L)) * lit(2.0) / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering"))
+      .orderBy(col("node"))
+  }
+
+  /** q24: degree^0.75, class-balanced sampling probability
+    * (new_utlis_1.py:52-65 node_probability). deg^0.75 is spelled
+    * sqrt(d·sqrt(d)) — IEEE sqrt is correctly rounded in every engine,
+    * unlike pow(x,0.75), so the per-row score is bit-identical to the
+    * oracle; scores quantize to DECIMAL(28,10) before the global sum so
+    * the normalizer is order-independent. The global sum is a 1-row agg
+    * broadcast back, not a single-partition window. */
+  def q24DegreeSamplingProb(spark: SparkSession, dir: String): DataFrame = {
+    val deg = edges(spark, dir).groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val lab = Tables.customer(spark, dir)
+      .join(deg, col("c_custkey") === col("src"), "left")
+      .select(col("c_custkey"),
+        (col("c_acctbal") < 0).cast("int").as("label"),
+        greatest(coalesce(col("d"), lit(0L)), lit(1L)).as("deg"))
+    val rate = lab.agg((sum(col("label")) * lit(1.0) / count(lit(1))).as("fr"))
+    val scored = lab.crossJoin(broadcast(rate))
+      .withColumn("sc",
+        (sqrt(col("deg") * sqrt(col("deg"))) /
+          when(col("label") === 1, col("fr")).otherwise(lit(1.0) - col("fr")))
+          .cast("decimal(28,10)"))
+    val total = scored.agg(sum(col("sc")).as("tot"))
+    scored.crossJoin(broadcast(total))
+      .select(col("c_custkey"), col("label"), col("deg"),
+        round(col("sc").cast("double") / col("tot").cast("double"), 8).as("prob"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q25: row-normalized weighted adjacency (new_utlis_1.py:17-24
+    * normalize_row): each out-edge weight divided by the row sum.
+    * Integer weight sums via a src-partitioned window keep it exact. */
+  def q25RowNormalizeAdj(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("norm_w",
+        round(col("w") * lit(1.0) / sum(col("w")).over(Window.partitionBy(col("src"))), 6))
+      .orderBy(col("src"), col("dst"))
+
+  val oracles: Map[String, String] = Map(
+    "q20_degrees" ->
+      s"""WITH e AS ($edgesSql),
+        | d AS (SELECT src AS node, 1 AS dir, dst AS other FROM e
+        |       UNION ALL SELECT dst, 0, src FROM e)
+        |SELECT node,
+        | count(DISTINCT CASE WHEN dir=1 THEN other END) AS out_deg,
+        | count(DISTINCT CASE WHEN dir=0 THEN other END) AS in_deg,
+        | count(DISTINCT CASE WHEN dir=1 THEN other END)
+        |  + count(DISTINCT CASE WHEN dir=0 THEN other END) AS deg
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_common_neighbors" ->
+      s"""WITH e AS ($hotEdgesSql)
+        |SELECT a.src AS u, b.src AS v, count(*) AS common
+        |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
+    "q22_neighbor_avg_degree" ->
+      s"""WITH e AS ($edgesSql),
+        | und AS (SELECT DISTINCT src, dst FROM
+        |   (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+        | deg AS (SELECT src AS n, count(*) AS d FROM und GROUP BY 1)
+        |SELECT und.src AS node, round(sum(d)*1.0/count(*), 6) AS nbr_avg_deg,
+        | count(*) AS n_nbrs
+        |FROM und JOIN deg ON und.dst = deg.n
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_triangles" ->
+      s"""WITH e AS ($hotEdgesSql),
+        | und AS (SELECT DISTINCT src, dst FROM
+        |   (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        |   WHERE src <> dst),
+        | canon AS (SELECT src, dst FROM und WHERE src < dst),
+        | tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |   FROM canon e1 JOIN canon e2 ON e2.src = e1.dst
+        |   JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        | pern AS (SELECT node, count(*) AS t FROM
+        |   (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+        | deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1)
+        |SELECT deg.node, deg, coalesce(t, 0) AS triangles,
+        | round(CASE WHEN deg >= 2
+        |   THEN coalesce(t, 0) * 2.0 / (deg * (deg - 1)) ELSE 0.0 END, 6)
+        |  AS clustering
+        |FROM deg LEFT JOIN pern ON deg.node = pern.node
+        |ORDER BY 1""".stripMargin,
+    "q24_degree_sampling_prob" ->
+      s"""WITH e AS ($edgesSql),
+        | dg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        | lab AS (SELECT c_custkey,
+        |   CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS label,
+        |   greatest(coalesce(d, 0), 1) AS deg
+        |  FROM customer LEFT JOIN dg ON c_custkey = src),
+        | r AS (SELECT sum(label)*1.0/count(*) AS fr FROM lab),
+        | s AS (SELECT c_custkey, label, deg,
+        |   CAST(sqrt(deg * sqrt(deg)) /
+        |     (CASE WHEN label = 1 THEN fr ELSE 1.0 - fr END)
+        |    AS DECIMAL(28,10)) AS sc
+        |  FROM lab CROSS JOIN r)
+        |SELECT c_custkey, label, deg,
+        | round(CAST(sc AS DOUBLE) /
+        |   CAST((SELECT sum(sc) FROM s) AS DOUBLE), 8) AS prob
+        |FROM s ORDER BY 1""".stripMargin,
+    "q25_row_normalize_adj" ->
+      """SELECT o_custkey AS src, l_suppkey AS dst, count(*) AS w,
+        | round(count(*)*1.0 / sum(count(*)) OVER (PARTITION BY o_custkey), 6)
+        |  AS norm_w
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_degrees" -> (q20Degrees _),
+    "q21_common_neighbors" -> (q21CommonNeighbors _),
+    "q22_neighbor_avg_degree" -> (q22NeighborAvgDegree _),
+    "q23_triangles" -> (q23Triangles _),
+    "q24_degree_sampling_prob" -> (q24DegreeSamplingProb _),
+    "q25_row_normalize_adj" -> (q25RowNormalizeAdj _)
+  )
+}

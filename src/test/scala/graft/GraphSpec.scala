@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the graph operators (SURVEY.md §2.C). */
+class GraphSpec extends SparkSpec {
+
+  test("q20 degrees: sum(out_deg) == sum(in_deg) == |distinct edges|") {
+    val d = ops.Graph.q20Degrees(spark, sf)
+      .agg(sum("out_deg").as("o"), sum("in_deg").as("i")).head()
+    val e = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+    assert(d.getLong(0) == e && d.getLong(1) == e)
+  }
+
+  test("q21 common neighbors: canonical order, threshold respected") {
+    val rows = ops.Graph.q21CommonNeighbors(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getLong(2) >= 3))
+  }
+
+  test("q23 clustering coefficient within [0,1]") {
+    val rows = ops.Graph.q23Triangles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val c = r.getDouble(3); c >= 0.0 && c <= 1.0
+    })
+  }
+
+  test("q24 sampling probabilities sum to 1 and cover all customers") {
+    val df = ops.Graph.q24DegreeSamplingProb(spark, sf)
+    val n = Tables.customer(spark, sf).count()
+    assert(df.count() == n)
+    val tot = df.agg(sum("prob")).head().getDouble(0)
+    assert(math.abs(tot - 1.0) < 1e-4, s"prob sum $tot")
+  }
+
+  test("q25 row-normalized weights sum to 1 per src") {
+    val bad = ops.Graph.q25RowNormalizeAdj(spark, sf)
+      .groupBy("src").agg(sum("norm_w").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-3).count()
+    assert(bad == 0)
+  }
+}
