@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Classification-metric operators (SURVEY.md §2.D), the distributed
+  * analog of the reference's sklearn metric suite (Code for Amazon and
+  * Yelp/new_utlis_1.py:35-50 test_model: accuracy / macro precision /
+  * recall / F1, roc_auc_score, average_precision_score).
+  *
+  * "Model output" stand-in: `embeddings.label` is the ground truth
+  * (positive class = label 0, ~10% prevalence) and the first embedding
+  * component is the score — deterministic, so the DuckDB oracle is exact.
+  *
+  * Scale notes: confusion counts are one partial-aggregated scan; AUC
+  * is the Mann–Whitney rank statistic (one global sort — at cluster
+  * scale a range-partitioned sort, not a single-partition window; here
+  * the window has no PARTITION BY which Spark executes as one task, fine
+  * for a metric over scores, and the input to it is just (score,label));
+  * AP terms quantize to DECIMAL before the final sum so the result is
+  * accumulation-order independent.
+  */
+object Metrics {
+
+  /** (vec_id, label∈{0,1}, score) from the embeddings table. */
+  private def scored(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      (col("label") === 0).cast("int").as("y"),
+      element_at(col("embedding"), 1).cast("double").as("score"))
+
+  private val scoredSql =
+    """SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+      |  CAST(embedding[1] AS DOUBLE) AS score FROM embeddings""".stripMargin
+
+  /** q26: confusion matrix → accuracy, per-class and macro
+    * precision/recall/F1 (new_utlis_1.py:38-42, average="macro").
+    * Threshold 0: pred = score > 0. All outputs are ratios of exact
+    * integer counts, so the oracle matches bit-for-bit. */
+  def q26ConfusionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val p = scored(spark, dir)
+      .withColumn("pred", (col("score") > 0).cast("int"))
+    val c = p.agg(
+      sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("y") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("y") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("y") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"))
+    c.select(col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")) * lit(1.0) /
+          (col("tp") + col("fp") + col("tn") + col("fn")), 6).as("accuracy"),
+        round(col("tp") * lit(1.0) / (col("tp") + col("fp")), 6).as("precision_pos"),
+        round(col("tp") * lit(1.0) / (col("tp") + col("fn")), 6).as("recall_pos"),
+        round(col("tn") * lit(1.0) / (col("tn") + col("fn")), 6).as("precision_neg"),
+        round(col("tn") * lit(1.0) / (col("tn") + col("fp")), 6).as("recall_neg"))
+      .withColumn("macro_precision",
+        round((col("tp") * lit(1.0) / (col("tp") + col("fp"))
+          + col("tn") * lit(1.0) / (col("tn") + col("fn"))) / 2, 6))
+      .withColumn("macro_recall",
+        round((col("tp") * lit(1.0) / (col("tp") + col("fn"))
+          + col("tn") * lit(1.0) / (col("tn") + col("fp"))) / 2, 6))
+      .withColumn("f1_pos",
+        round(col("tp") * lit(2.0) /
+          (col("tp") * 2 + col("fp") + col("fn")), 6))
+  }
+
+  /** q27: ROC AUC as the Mann–Whitney U rank statistic —
+    * AUC = (Σ midrank(positives) − n₊(n₊+1)/2) / (n₊·n₋).
+    * Midranks (rank + (ties−1)/2) are half-integers, so every partial
+    * sum is exact in a double regardless of order. */
+  def q27RocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val r = scored(spark, dir)
+      .withColumn("rk",
+        rank().over(Window.orderBy(col("score"))).cast("double") +
+          (count(lit(1)).over(Window.partitionBy(col("score"))) - 1) / lit(2.0))
+    r.agg(
+        sum(when(col("y") === 1, col("rk"))).as("rsum"),
+        sum(col("y")).cast("double").as("np"),
+        sum(lit(1) - col("y")).cast("double").as("nn"))
+      .select(round(
+          (col("rsum") - col("np") * (col("np") + 1) / 2) / (col("np") * col("nn")),
+          6).as("auc"),
+        col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"))
+  }
+
+  /** q28: average precision (sklearn AP = Σ (R_k − R_{k−1})·P_k over the
+    * score-desc ranking, vec_id tiebreak). Per-rank terms quantize to
+    * DECIMAL(28,12) so the global sum is order-independent. */
+  def q28AvgPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("vec_id"))
+    val t = scored(spark, dir)
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum_pos", sum(col("y")).over(w))
+      .withColumn("term",
+        (col("y") * col("cum_pos") * lit(1.0) / col("k")).cast("decimal(28,12)"))
+    t.agg(sum(col("term")).cast("double").as("s"), sum(col("y")).as("np"))
+      .select(round(col("s") / col("np"), 6).as("avg_precision"),
+        col("np").as("n_pos"))
+  }
+
+  /** q29: the training-side analog (new_train_*.py) — MLlib
+    * LogisticRegression over the embedding vectors. Distributed
+    * DataFrame-native train/score; solver RNG is engine-internal, so
+    * this is a rows-only driver check (MetricsSpec asserts accuracy). */
+  def q29MllibPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      (col("label") === 0).cast("double").as("label"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+      .fit(data)
+    model.transform(data)
+      .select(col("vec_id"), col("label").cast("int").as("y"),
+        col("prediction").cast("int").as("pred"))
+      .orderBy(col("vec_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q26_confusion_metrics" ->
+      s"""WITH sc AS ($scoredSql),
+        | p AS (SELECT y, CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred FROM sc),
+        | c AS (SELECT
+        |   sum(CASE WHEN y=1 AND pred=1 THEN 1 ELSE 0 END) AS tp,
+        |   sum(CASE WHEN y=0 AND pred=1 THEN 1 ELSE 0 END) AS fp,
+        |   sum(CASE WHEN y=0 AND pred=0 THEN 1 ELSE 0 END) AS tn,
+        |   sum(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END) AS fn
+        |  FROM p)
+        |SELECT tp, fp, tn, fn,
+        | round((tp+tn)*1.0/(tp+fp+tn+fn), 6) AS accuracy,
+        | round(tp*1.0/(tp+fp), 6) AS precision_pos,
+        | round(tp*1.0/(tp+fn), 6) AS recall_pos,
+        | round(tn*1.0/(tn+fn), 6) AS precision_neg,
+        | round(tn*1.0/(tn+fp), 6) AS recall_neg,
+        | round((tp*1.0/(tp+fp) + tn*1.0/(tn+fn))/2, 6) AS macro_precision,
+        | round((tp*1.0/(tp+fn) + tn*1.0/(tn+fp))/2, 6) AS macro_recall,
+        | round(tp*2.0/(tp*2+fp+fn), 6) AS f1_pos
+        |FROM c""".stripMargin,
+    "q27_roc_auc" ->
+      s"""WITH sc AS ($scoredSql),
+        | r AS (SELECT y,
+        |   rank() OVER (ORDER BY score) * 1.0 +
+        |    (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS rk
+        |  FROM sc)
+        |SELECT round((sum(CASE WHEN y=1 THEN rk END)
+        |   - sum(y)*1.0*(sum(y)+1)/2) / (sum(y)*1.0*sum(1-y)), 6) AS auc,
+        | sum(y) AS n_pos, sum(1-y) AS n_neg
+        |FROM r""".stripMargin,
+    "q28_avg_precision" ->
+      s"""WITH sc AS ($scoredSql),
+        | t AS (SELECT y,
+        |   row_number() OVER (ORDER BY score DESC, vec_id) AS k,
+        |   sum(y) OVER (ORDER BY score DESC, vec_id) AS cum_pos
+        |  FROM sc)
+        |SELECT round(CAST(sum(CAST(y*cum_pos*1.0/k AS DECIMAL(28,12))) AS DOUBLE)
+        |   / sum(y), 6) AS avg_precision,
+        | sum(y) AS n_pos
+        |FROM t""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_confusion_metrics" -> (q26ConfusionMetrics _),
+    "q27_roc_auc" -> (q27RocAuc _),
+    "q28_avg_precision" -> (q28AvgPrecision _),
+    "q29_mllib_pipeline" -> (q29MllibPipeline _)
+  )
+}
