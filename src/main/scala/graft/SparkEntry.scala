@@ -15,11 +15,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Features.queries ++ ops.Graph.queries ++
-      ops.Metrics.queries
+      ops.Metrics.queries ++ ops.Text.queries ++ ops.Dedup.queries ++
+      ops.Ann.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Features.oracles ++ ops.Graph.oracles ++
-      ops.Metrics.oracles
+      ops.Metrics.oracles ++ ops.Text.oracles ++ ops.Ann.oracles
 }

