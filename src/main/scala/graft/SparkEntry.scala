@@ -16,11 +16,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Features.queries ++ ops.Graph.queries ++
       ops.Metrics.queries ++ ops.Text.queries ++ ops.Dedup.queries ++
-      ops.Ann.queries
+      ops.Ann.queries ++ ops.Sessions.queries ++ ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Features.oracles ++ ops.Graph.oracles ++
-      ops.Metrics.oracles ++ ops.Text.oracles ++ ops.Ann.oracles
+      ops.Metrics.oracles ++ ops.Text.oracles ++ ops.Ann.oracles ++
+      ops.Sessions.oracles
 }

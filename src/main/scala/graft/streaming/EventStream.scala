@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming side of the engine (SURVEY.md §2.F): the CDR
+  * pipeline's per-window features computed continuously instead of by
+  * the reference's batch re-scans (data_process.py slices by month/week
+  * — here a watermark + window does the slicing incrementally).
+  *
+  * Works over any streaming `events`-shaped DataFrame (readStream from
+  * files/Kafka in production, MemoryStream in specs). All operators are
+  * also valid on batch frames — specs exercise both paths.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Long,
+    session_end: Long, n_events: Long, total_value: Double)
+
+  /** (start, last, n, total) — tuple state: encoder-friendly in codegen */
+  private type SessionState = (Long, Long, Long, Double)
+
+  /** Watermarked sliding-window aggregation: per event_type counts and
+    * value sums over 10-minute tumbling windows, tolerating 1 hour of
+    * event-time lateness. Partial aggregation happens map-side before
+    * the window-key shuffle — the plan a 1000-executor cluster wants. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Event-time sessionization with custom state: a session closes when
+    * 30 minutes pass without events (event-time timeout against the
+    * watermark). State per user is O(1) — start/last/count/sum. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30 * 60 * 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val (start, last, n, total) = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, start, last, n, total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some((start, last, n, total)) if t - last <= gapMs =>
+                  cur = Some((start, t, n + 1, total + e.value))
+                case Some((start, last, n, total)) =>
+                  closed ::= SessionOut(userId, start, last, n, total)
+                  cur = Some((t, t, 1L, e.value))
+                case None =>
+                  cur = Some((t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2 + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Streaming + sessionization + multimodal specs (SURVEY.md §2.F). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // events offset a day from epoch: rows with event-time <= the initial
+  // watermark (0) are dropped as late, so minute 0 must not mean t=0
+  private val base = 1440L
+  private def ev(id: Long, minute: Long, user: Long, v: Double) =
+    Event(id, new Timestamp((base + minute) * 60000L), user, "call", v)
+
+  test("windowedAgg over a memory stream emits finalized windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedAgg(mem.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    // two events in window [0,10), then watermark-advancing event at t=200min
+    mem.addData(ev(1, 2, 1, 10.0), ev(2, 3, 1, 5.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, 200, 1, 1.0))
+    q.processAllAvailable()
+    val out = spark.table("win_out").collect()
+    q.stop()
+    val w0 = out.find(_.getAs[Timestamp]("w_start").getTime == base * 60000L)
+    assert(w0.isDefined, s"window [0,10) not finalized: ${out.mkString(";")}")
+    assert(w0.get.getAs[Long]("n") == 2 && w0.get.getAs[Double]("total_value") == 15.0)
+  }
+
+  test("streaming sessionize closes sessions on 30-min event-time gaps") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // user 1: events at t=0,10 (one session), then t=100 (new session)
+    mem.addData(ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0), ev(3, 100, 1, 3.0))
+    q.processAllAvailable()
+    // push watermark far ahead so the t=100 session times out too
+    mem.addData(ev(4, 1000, 2, 1.0))
+    q.processAllAvailable()
+    mem.addData(ev(5, 3000, 2, 1.0))
+    q.processAllAvailable()
+    val out = spark.table("sess_out").as[EventStream.SessionOut].collect()
+    q.stop()
+    val u1 = out.filter(_.user_id == 1).sortBy(_.session_start)
+    assert(u1.length == 2, s"expected 2 closed sessions, got ${u1.mkString(";")}")
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(1).n_events == 1 && u1(1).session_start == (base + 100) * 60000L)
+  }
+
+  test("q42 batch sessionize: session bounds ordered, events conserved") {
+    val df = ops.Sessions.q42Sessionize(spark, sf)
+    assert(df.filter(col("end_sec") < col("start_sec")).count() == 0)
+    assert(df.agg(sum("n_events")).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+  }
+
+  test("q41 multimodal metadata: lengths and hashes line up") {
+    val df = ops.Multimodal.q41MultimodalMeta(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(df.count() == docs.count())
+    val joined = df.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(col("text"))).count()
+    assert(joined == 0)
+  }
+
+  test("multimodal extractFeatures: fixed width, deterministic") {
+    val ds = Seq(
+      ops.Multimodal.Payload(1L, "hello world".getBytes),
+      ops.Multimodal.Payload(2L, "hello world".getBytes),
+      ops.Multimodal.Payload(3L, Array[Byte](1, 2, 3))).toDS()
+    val out = ops.Multimodal.extractFeatures(ds, dim = 16).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out.values.forall(_.features.length == 16))
+    assert(out(1L).features.sameElements(out(2L).features))
+    assert(!out(1L).features.sameElements(out(3L).features))
+  }
+}
