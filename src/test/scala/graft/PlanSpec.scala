@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape assertions: the 100 TB design properties (SURVEY.md §5)
+  * that must survive refactors — predicate/projection pushdown reaching
+  * the parquet scan, broadcasts on dimension joins, map-side partial
+  * aggregation, no cartesian products anywhere. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan(ops.Relational.q02FilterProject(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    // pruned read: exactly the 4 referenced columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("q04: all three dimension joins broadcast, fact never shuffles pre-agg") {
+    val p = plan(ops.Relational.q04BroadcastJoin(spark, sf))
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q01: aggregation is partial (map-side) before the exchange") {
+    val p = plan(ops.Relational.q01Agg(spark, sf))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q17: global stats come from a broadcast, not a global window") {
+    val p = plan(ops.Features.q17ZScore(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q34: query side broadcasts against the corpus") {
+    val p = plan(ops.Ann.q34AnnCosineTopk(spark, sf))
+    assert(p.contains("Broadcast"))
+  }
+
+  test("q36: native dot_long expression is in the plan, not HOF aggregate") {
+    val p = plan(ops.Ann.q36DedupEmbedding(spark, sf))
+    assert(p.contains("dotlong") || p.contains("DotLong") || p.contains("dot_long"), p.take(2000))
+  }
+}
