@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory — the engine's recommended configuration
+  * at both test scale (local[N]) and cluster scale.
+  *
+  * Settings and why (SURVEY.md §5):
+  *  - AQE on with skew-join handling: runtime re-plan replaces manual
+  *    salting for moderately skewed keys (hot users/suppliers).
+  *  - shuffle.partitions sized to cores locally; at cluster scale the
+  *    caller passes ~2-3× total cores.
+  *  - partition coalescing keeps small post-filter shuffles from
+  *    fragmenting into thousands of empty tasks.
+  *  - UTC session timezone: oracle comparisons and date_trunc semantics
+  *    must not depend on host zone.
+  */
+object GraftSession {
+
+  def local(cores: Int): SparkSession = build(s"local[$cores]", cores)
+
+  def build(master: String, shufflePartitions: Int): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

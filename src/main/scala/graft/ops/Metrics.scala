@@ -111,7 +111,7 @@ object Metrics {
       (col("label") === 0).cast("double").as("label"),
       array_to_vector(col("embedding")).as("features"))
     val model = new LogisticRegression()
-      .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+      .setMaxIter(12).setRegParam(0.01).setStandardization(true)
       .fit(data)
     model.transform(data)
       .select(col("vec_id"), col("label").cast("int").as("y"),
