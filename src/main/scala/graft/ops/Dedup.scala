@@ -46,7 +46,9 @@ object Dedup {
     * over word-trigram shingles, refined with the exact Jaccard of the
     * colliding docs (the verify step real pipelines run post-LSH). */
   def q32DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Text.shingled(spark, dir)
+    // sh feeds the signature build, both refinement joins and sizing —
+    // persist once instead of re-shingling the corpus 4×
+    val sh = Text.shingled(spark, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val cands = minhashCandidates(sh, numHashes = 16, bands = 4)
     // exact-Jaccard refinement for CANDIDATES only — never all pairs

@@ -72,7 +72,9 @@ object Graph {
     * out-neighbors (buildLSN, data_process.py:20-48). Self-join on the
     * shared neighbor, canonical u<v ordering, count ≥ k. */
   def q21CommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val e = hotEdges(spark, dir)
+    // self-join reads the subgraph twice: persist it instead of running
+    // the orders⋈lineitem build per side (standard at any scale)
+    val e = hotEdges(spark, dir).cache()
     e.as("a").join(e.as("b"),
         col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("u"), col("b.src").as("v"))
@@ -87,7 +89,8 @@ object Graph {
     * neighbor-degree mean. Integer sum / count keeps the oracle exact. */
   def q22NeighborAvgDegree(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
-    val und = e.unionAll(e.select(col("dst"), col("src"))).distinct()
+    // und feeds both the degree agg and the neighbor join — persist once
+    val und = e.unionAll(e.select(col("dst"), col("src"))).distinct().cache()
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     und.join(deg, col("dst") === col("n"))
       .groupBy(col("src").as("node"))
@@ -102,8 +105,10 @@ object Graph {
   def q23Triangles(spark: SparkSession, dir: String): DataFrame = {
     val e = hotEdges(spark, dir)
     val und = e.unionAll(e.select(col("dst"), col("src")))
-      .filter(col("src") =!= col("dst")).distinct()
-    val canon = und.filter(col("src") < col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    // canon appears three times in the triangle join — persist, or the
+    // edge build runs 3×
+    val canon = und.filter(col("src") < col("dst")).cache()
     val tris = canon.as("e1")
       .join(canon.as("e2"), col("e2.src") === col("e1.dst"))
       .join(canon.as("e3"),

@@ -106,12 +106,16 @@ object Metrics {
   def q29MllibPipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
+    // embeddings are narrow: repartition to a handful of partitions so
+    // each LBFGS iteration schedules a few tasks, not cores× empty ones
+    // (at cluster scale the input keeps its natural partitioning)
     val data = Tables.embeddings(spark, dir).select(
       col("vec_id"),
       (col("label") === 0).cast("double").as("label"),
       array_to_vector(col("embedding")).as("features"))
+      .repartition(4)
     val model = new LogisticRegression()
-      .setMaxIter(12).setRegParam(0.01).setStandardization(true)
+      .setMaxIter(8).setRegParam(0.01).setStandardization(true)
       .fit(data)
     model.transform(data)
       .select(col("vec_id"), col("label").cast("int").as("y"),

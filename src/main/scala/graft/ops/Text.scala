@@ -66,6 +66,7 @@ object Text {
           .partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)
       .select(col("doc_id"), col("shingle"))
+      .cache() // feeds sizing + both sides of the inverted-index join
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = kept.as("a")
       .join(kept.as("b"),
