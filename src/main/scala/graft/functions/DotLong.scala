@@ -21,11 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(LongType) &&
-        right.dataType == ArrayType(LongType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"dot_long needs two ARRAY<BIGINT>, got ${left.dataType} / ${right.dataType}")
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_long needs two ARRAY<BIGINT>, got $l / $r")
+  }
 
   override def dataType: DataType = LongType
 

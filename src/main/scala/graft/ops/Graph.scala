@@ -167,6 +167,20 @@ object Graph {
         round(col("w") * lit(1.0) / sum(col("w")).over(Window.partitionBy(col("src"))), 6))
       .orderBy(col("src"), col("dst"))
 
+  /** q43: column(-mean)-normalized weighted adjacency
+    * (new_utlis_1.py:26-33 normalize_col): each edge weight divided by
+    * its destination column's mean weight. Integer sums keep it exact. */
+  def q43ColNormalizeAdj(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("dst"))
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("norm_w",
+        round(col("w") / (sum(col("w")).over(w) * lit(1.0) / count(lit(1)).over(w)), 6))
+      .orderBy(col("src"), col("dst"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q20_degrees" ->
       s"""WITH e AS ($edgesSql),
@@ -233,7 +247,14 @@ object Graph {
         | round(count(*)*1.0 / sum(count(*)) OVER (PARTITION BY o_custkey), 6)
         |  AS norm_w
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q43_col_normalize_adj" ->
+      """WITH adj AS (SELECT o_custkey AS src, l_suppkey AS dst, count(*) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2)
+        |SELECT src, dst, w,
+        | round(w / (sum(w) OVER (PARTITION BY dst) * 1.0
+        |   / count(*) OVER (PARTITION BY dst)), 6) AS norm_w
+        |FROM adj ORDER BY 1, 2""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -242,6 +263,7 @@ object Graph {
     "q22_neighbor_avg_degree" -> (q22NeighborAvgDegree _),
     "q23_triangles" -> (q23Triangles _),
     "q24_degree_sampling_prob" -> (q24DegreeSamplingProb _),
-    "q25_row_normalize_adj" -> (q25RowNormalizeAdj _)
+    "q25_row_normalize_adj" -> (q25RowNormalizeAdj _),
+    "q43_col_normalize_adj" -> (q43ColNormalizeAdj _)
   )
 }
