@@ -159,17 +159,19 @@ object Features {
       .orderBy(col("c_custkey"))
   }
 
-  /** q18: stratified train/test split (data_process.py:62) — sampleBy on
-    * a derived label with a fixed seed. Sampling RNG is engine-specific,
-    * so this is a rows-only check; the spec asserts the strata
-    * proportions instead. */
-  def q18StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
-    val labeled = Tables.customer(spark, dir)
-      .withColumn("label", (col("c_acctbal") < 0).cast("int"))
-    labeled.stat.sampleBy("label", Map(0 -> 0.8, 1 -> 0.8), seed = 42L)
+  /** q18: stratified train/test split (data_process.py:62). Instead of
+    * engine-RNG sampling, an LCG hash of the key picks a reproducible
+    * 80% per stratum — the production-grade deterministic split (same
+    * rows on every rerun/engine, no RNG), with exactly the reference's
+    * stratify-by-label semantics. Pure integer math → SQL oracle. */
+  def q18StratifiedSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        (col("c_acctbal") < 0).cast("int").as("label"),
+        expr("((c_custkey * 1103515245 + 12345) % 2147483648) % 100").as("h"))
+      .filter(col("h") < 80)
       .select(col("c_custkey"), col("label"))
       .orderBy(col("c_custkey"))
-  }
 
   /** q19: the assembled per-user feature matrix — the reference's
     * slice_feature vector (data_process.py:159-168) as one joined wide
@@ -256,6 +258,11 @@ object Features {
         | round((c_acctbal - mu)/sigma,6) AS z
         |FROM customer CROSS JOIN (SELECT ${Exact.sql.davg("c_acctbal")} AS mu,
         |  sqrt(${Exact.sql.dvarPop("c_acctbal")}) AS sigma FROM customer) s
+        |ORDER BY 1""".stripMargin,
+    "q18_stratified_split" ->
+      """SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS label
+        |FROM customer
+        |WHERE ((c_custkey * 1103515245 + 12345) % 2147483648) % 100 < 80
         |ORDER BY 1""".stripMargin,
     "q19_feature_matrix" ->
       s"""WITH base AS (SELECT user_id, count(*) AS n_events,

@@ -96,7 +96,7 @@ object Text {
       .withColumn("t", split(col("text"), " "))
     val withCounts = markers.foldLeft(toks) { case (df, (lang, ws)) =>
       val inList = ws.map(w => s"x = '$w'").mkString(" OR ")
-      df.withColumn(s"c_$lang", expr(s"size(filter(t, x -> $inList))"))
+      df.withColumn(s"c_$lang", expr(s"size(filter(t, x -> $inList))").cast("long"))
     }
     val best = greatest(col("c_en"), col("c_de"), col("c_fr"), col("c_es"))
     withCounts.select(
@@ -191,6 +191,22 @@ object Text {
         | round((length(text) - n_tok + 1)*1.0/n_tok, 6) AS mean_wlen,
         | round(least(n_tok*1.0/100, 1.0)*0.5 + n_uniq*0.3/n_tok
         |   + least(n_stop*5.0/n_tok, 1.0)*0.2, 6) AS quality
+        |FROM c ORDER BY 1""".stripMargin,
+    "q37_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        | c AS (SELECT doc_id, lang AS lang_true,
+        |   len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))::BIGINT AS c_en,
+        |   len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'und' OR x = 'nicht'))::BIGINT AS c_de,
+        |   len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'et' OR x = 'les'))::BIGINT AS c_fr,
+        |   len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'que' OR x = 'y'))::BIGINT AS c_es
+        |  FROM t)
+        |SELECT doc_id, lang_true,
+        | CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+        |      WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+        |      WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+        |      WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+        |      ELSE 'es' END AS lang_pred,
+        | c_en, c_de, c_fr, c_es
         |FROM c ORDER BY 1""".stripMargin,
     "q39_token_count" ->
       """SELECT doc_id,
