@@ -174,28 +174,43 @@ object Features {
       .orderBy(col("c_custkey"))
 
   /** q19: the assembled per-user feature matrix — the reference's
-    * slice_feature vector (data_process.py:159-168) as one joined wide
-    * row per user, reusing the individual feature operators. */
+    * 32-wide slice_feature vector (data_process.py:159-168:
+    * [indegree-ish activity stats, recall_rate, repeat_rate, mean_dur,
+    * var_dur] + 24 hour bins) as one joined wide row per user, reusing
+    * the individual feature operators. Each source feature is a single
+    * user_id-keyed aggregation; the assembly is left-joins on the same
+    * key, so at scale it is one co-partitioned shuffle per source. */
   def q19FeatureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val hourCols = (0 until 24).map(h =>
+      round(sum(when(hour(col("ts")) === h, 1L).otherwise(0L)) * lit(1.0) /
+        count(lit(1)), 6).as(f"h$h%02d"))
+    val aggCols = Seq(
+      round(Exact.davg(col("value")), 6).as("mean_val"),
+      round(Exact.dvarPop(col("value")), 6).as("var_val"),
+      countDistinct(col("event_type")).as("n_types")) ++ hourCols
     val base = Tables.events(spark, dir)
       .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        round(Exact.davg(col("value")), 6).as("mean_val"),
-        round(Exact.dvarPop(col("value")), 6).as("var_val"),
-        countDistinct(col("event_type")).as("n_types"))
+      .agg(count(lit(1)).as("n_events"), aggCols: _*)
     val gaps = q13TimeGaps(spark, dir)
       .select(col("user_id"), col("mean_gap"))
     val recall = q15RecallRate(spark, dir)
       .select(col("user_id"), col("recall_rate"))
+    // mean weekly contact-repeat Jaccard (6-dp values: exact decimal sum)
+    val rep = q14RepeatRate(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("repeat_rate"))
     base
       .join(gaps, Seq("user_id"), "left")
       .join(recall, Seq("user_id"), "left")
+      .join(rep, Seq("user_id"), "left")
       .select(
-        col("user_id"), col("n_events"), col("mean_val"), col("var_val"),
-        col("n_types"),
-        coalesce(col("mean_gap"), lit(0.0)).as("mean_gap"),
-        coalesce(col("recall_rate"), lit(0.0)).as("recall_rate"))
+        Seq(col("user_id"), col("n_events"), col("mean_val"), col("var_val"),
+          col("n_types"),
+          coalesce(col("mean_gap"), lit(0.0)).as("mean_gap"),
+          coalesce(col("recall_rate"), lit(0.0)).as("recall_rate"),
+          coalesce(col("repeat_rate"), lit(0.0)).as("repeat_rate")) ++
+          (0 until 24).map(h => col(f"h$h%02d")): _*)
       .orderBy(col("user_id"))
   }
 
@@ -264,11 +279,15 @@ object Features {
         |FROM customer
         |WHERE ((c_custkey * 1103515245 + 12345) % 2147483648) % 100 < 80
         |ORDER BY 1""".stripMargin,
-    "q19_feature_matrix" ->
+    "q19_feature_matrix" -> {
+      val hourSql = (0 until 24).map(h =>
+        f"round(sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END)*1.0/count(*),6) AS h$h%02d")
+        .mkString(",\n  ")
       s"""WITH base AS (SELECT user_id, count(*) AS n_events,
         |  round(${Exact.sql.davg("value")},6) AS mean_val,
         |  round(${Exact.sql.dvarPop("value")},6) AS var_val,
-        |  count(DISTINCT event_type) AS n_types
+        |  count(DISTINCT event_type) AS n_types,
+        |  $hourSql
         | FROM events GROUP BY 1),
         | g AS (SELECT user_id,
         |  floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
@@ -280,12 +299,28 @@ object Features {
         |  FROM events),
         | recall AS (SELECT user_id,
         |  round(sum(CASE WHEN mp > ts THEN 1 ELSE 0 END)*1.0/count(*),6) AS recall_rate
-        |  FROM r WHERE event_type='view' GROUP BY 1)
-        |SELECT b.user_id, b.n_events, b.mean_val, b.var_val, b.n_types,
+        |  FROM r WHERE event_type='view' GROUP BY 1),
+        | uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk, event_type FROM events),
+        | cnt AS (SELECT user_id, wk, count(*) AS n FROM uw GROUP BY 1,2),
+        | inter AS (SELECT a.user_id, a.wk, count(*) AS i FROM uw a
+        |   JOIN uw b ON a.user_id=b.user_id AND a.event_type=b.event_type AND b.wk = a.wk - 7
+        |   GROUP BY 1,2),
+        | jac AS (SELECT c.user_id, c.wk,
+        |   round(coalesce(x.i,0)*1.0/(c.n + coalesce(p.n,0) - coalesce(x.i,0)),6) AS jaccard
+        |  FROM cnt c
+        |   LEFT JOIN cnt p ON p.user_id=c.user_id AND p.wk = c.wk - 7
+        |   LEFT JOIN inter x ON x.user_id=c.user_id AND x.wk=c.wk),
+        | rep AS (SELECT user_id,
+        |   round(CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE)/count(*),6) AS repeat_rate
+        |  FROM jac GROUP BY 1)
+        |SELECT b.*, 
         | coalesce(gaps.mean_gap, 0.0) AS mean_gap,
-        | coalesce(recall.recall_rate, 0.0) AS recall_rate
+        | coalesce(recall.recall_rate, 0.0) AS recall_rate,
+        | coalesce(rep.repeat_rate, 0.0) AS repeat_rate
         |FROM base b LEFT JOIN gaps USING(user_id) LEFT JOIN recall USING(user_id)
-        |ORDER BY 1""".stripMargin
+        | LEFT JOIN rep USING(user_id)
+        |ORDER BY user_id""".stripMargin
+    }
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
