@@ -141,6 +141,7 @@ object Text {
       .select(
         col("doc_id"),
         size(col("t")).cast("long").as("ws_tokens"),
+        size(split(col("text"), "[^a-z0-9]+")).cast("long").as("re_tokens"),
         expr("(length(text) + 3) div 4").cast("long").as("bpe_est"),
         length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy(col("doc_id"))
@@ -211,6 +212,7 @@ object Text {
     "q39_token_count" ->
       """SELECT doc_id,
         | len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        | len(string_split_regex(text, '[^a-z0-9]+'))::BIGINT AS re_tokens,
         | ((length(text) + 3) // 4)::BIGINT AS bpe_est,
         | length(text)::BIGINT AS n_chars_actual
         |FROM documents ORDER BY 1""".stripMargin

@@ -38,6 +38,22 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming twin of the batch multi-scale stats (ops.Features q10):
+    * per-user per-week mean/variance computed incrementally — the
+    * reference re-scans the whole CDR log per window (data_process.py
+    * month/week slicing); a watermark + tumbling window does it in one
+    * continuous pass with map-side partial aggregation. */
+  def userWindowStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "7 days"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("value")).as("mean_val"),
+        var_pop(col("value")).as("var_val"))
+      .select(col("window.start").as("w_start"), col("user_id"),
+        col("n"), col("mean_val"), col("var_val"))
+
   /** Event-time sessionization with custom state: a session closes when
     * 30 minutes pass without events (event-time timeout against the
     * watermark). State per user is O(1) — start/last/count/sum. */

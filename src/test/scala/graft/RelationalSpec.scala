@@ -72,4 +72,13 @@ class RelationalSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(formatted.contains("PushedFilters"), formatted)
   }
+
+  test("q07 companion: approx_count_distinct tracks exact within 10%") {
+    import org.apache.spark.sql.functions._
+    val r = Tables.lineitem(spark, sf).agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).head()
+    val (e, a) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(e - a) / e < 0.10, s"exact $e approx $a")
+  }
 }

@@ -57,6 +57,24 @@ class StreamingSpec extends SparkSpec {
     assert(u1(1).n_events == 1 && u1(1).session_start == (base + 100) * 60000L)
   }
 
+  test("userWindowStats emits per-user weekly mean/var incrementally") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.userWindowStats(mem.toDF())
+      .writeStream.format("memory").queryName("uws_out")
+      .outputMode("append").start()
+    mem.addData(ev(1, 0, 7, 10.0), ev(2, 10, 7, 20.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, 60 * 24 * 14, 7, 1.0)) // two weeks later: closes w0
+    q.processAllAvailable()
+    val out = spark.table("uws_out").collect()
+    q.stop()
+    val w0 = out.find(r => r.getAs[Long]("user_id") == 7L && r.getAs[Long]("n") == 2L)
+    assert(w0.isDefined, out.mkString(";"))
+    assert(w0.get.getAs[Double]("mean_val") == 15.0)
+    assert(w0.get.getAs[Double]("var_val") == 25.0)
+  }
+
   test("q42 batch sessionize: session bounds ordered, events conserved") {
     val df = ops.Sessions.q42Sessionize(spark, sf)
     assert(df.filter(col("end_sec") < col("start_sec")).count() == 0)
