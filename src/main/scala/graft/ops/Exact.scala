@@ -38,8 +38,25 @@ object Exact {
   def dsumProduct(a: Column, b: Column): Column =
     sum(a.cast(dec) * b.cast(dec)).cast("double")
 
+  /** Engine-identical rounding: floor(x·10^d + 0.5)/10^d.
+    *
+    * `round()` itself is NOT portable at boundaries: Spark rounds the
+    * exact decimal expansion of the double (BigDecimal HALF_UP), DuckDB
+    * multiplies by 10^d in floating point and std::round's — when a
+    * rational output (any integer ratio) sits exactly on a .5 boundary
+    * the two can disagree by one ulp of output. This spelling is the
+    * same three IEEE ops in both engines, so it is bit-identical always
+    * (ties go toward +∞ — consistency is what the oracle gate needs). */
+  def r(c: Column, d: Int): Column = {
+    val m = lit(math.pow(10, d))
+    floor(c * m + lit(0.5)) / m
+  }
+
   // The DuckDB spellings of the same expressions.
   object sql {
+    /** DuckDB spelling of [[Exact.r]]. */
+    def r(x: String, d: Int): String =
+      s"floor(($x) * 1e$d + 0.5) / 1e$d"
     def dsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
     def davg(x: String): String = s"${dsum(x)}/count($x)"
     def dvarPop(x: String): String =

@@ -30,8 +30,8 @@ object Features {
       .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
       .groupBy(col("user_id"), col("scale"), col("bucket"))
       .agg(
-        round(Exact.davg(col("value")), 6).as("mean_val"),
-        round(Exact.dvarPop(col("value")), 6).as("var_val"),
+        Exact.r(Exact.davg(col("value")), 6).as("mean_val"),
+        Exact.r(Exact.dvarPop(col("value")), 6).as("var_val"),
         count(lit(1)).as("n"))
       .orderBy(col("user_id"), col("scale"), col("bucket"))
 
@@ -47,8 +47,8 @@ object Features {
     per
       .groupBy(col("user_id"))
       .agg(
-        round(lit(1.0) / count(lit(1)), 6).as("mean_share"),
-        round(greatest(
+        Exact.r(lit(1.0) / count(lit(1)), 6).as("mean_share"),
+        Exact.r(greatest(
           sum(col("c") * col("c")).cast("double") /
             (sum(col("c")).cast("double") * sum(col("c")).cast("double")) /
             count(lit(1)) -
@@ -65,7 +65,7 @@ object Features {
       .groupBy(col("user_id"), hour(col("ts")).cast("long").as("h"))
       .agg(count(lit(1)).as("c"))
       .withColumn("share",
-        round(col("c") / sum(col("c")).over(Window.partitionBy(col("user_id"))), 6))
+        Exact.r(col("c") / sum(col("c")).over(Window.partitionBy(col("user_id"))), 6))
       .select(col("user_id"), col("h"), col("c"), col("share"))
       .orderBy(col("user_id"), col("h"))
 
@@ -80,7 +80,7 @@ object Features {
       .withColumn("sec", unix_timestamp(col("ts")))
       .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
       .groupBy(col("user_id"))
-      .agg(round(sum(col("gap")) * lit(1.0) / count(col("gap")), 4).as("mean_gap"),
+      .agg(Exact.r(sum(col("gap")) * lit(1.0) / count(col("gap")), 4).as("mean_gap"),
         count(col("gap")).as("n_gaps"))
       .orderBy(col("user_id"))
   }
@@ -110,7 +110,7 @@ object Features {
         col("x.user_id") === col("c.user_id") && col("x.wk") === col("c.wk"), "left")
       .select(
         col("c.user_id").as("user_id"), col("c.wk").as("wk"),
-        round(
+        Exact.r(
           coalesce(col("x.i"), lit(0L)) /
           (col("c.n") + coalesce(col("p.n"), lit(0L)) - coalesce(col("x.i"), lit(0L))),
           6).as("jaccard"))
@@ -127,7 +127,7 @@ object Features {
       .filter(col("event_type") === "view")
       .groupBy(col("user_id"))
       .agg(
-        round(sum(when(col("mp") > col("ts"), 1).otherwise(0)) / count(lit(1)), 6)
+        Exact.r(sum(when(col("mp") > col("ts"), 1).otherwise(0)) / count(lit(1)), 6)
           .as("recall_rate"),
         count(lit(1)).as("n_out"))
       .orderBy(col("user_id"))
@@ -182,11 +182,11 @@ object Features {
     * key, so at scale it is one co-partitioned shuffle per source. */
   def q19FeatureMatrix(spark: SparkSession, dir: String): DataFrame = {
     val hourCols = (0 until 24).map(h =>
-      round(sum(when(hour(col("ts")) === h, 1L).otherwise(0L)) * lit(1.0) /
+      Exact.r(sum(when(hour(col("ts")) === h, 1L).otherwise(0L)) * lit(1.0) /
         count(lit(1)), 6).as(f"h$h%02d"))
     val aggCols = Seq(
-      round(Exact.davg(col("value")), 6).as("mean_val"),
-      round(Exact.dvarPop(col("value")), 6).as("var_val"),
+      Exact.r(Exact.davg(col("value")), 6).as("mean_val"),
+      Exact.r(Exact.dvarPop(col("value")), 6).as("var_val"),
       countDistinct(col("event_type")).as("n_types")) ++ hourCols
     val base = Tables.events(spark, dir)
       .groupBy(col("user_id"))
@@ -198,7 +198,7 @@ object Features {
     // mean weekly contact-repeat Jaccard (6-dp values: exact decimal sum)
     val rep = q14RepeatRate(spark, dir)
       .groupBy(col("user_id"))
-      .agg(round(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
+      .agg(Exact.r(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
         count(lit(1)), 6).as("repeat_rate"))
     base
       .join(gaps, Seq("user_id"), "left")
@@ -217,8 +217,8 @@ object Features {
   val oracles: Map[String, String] = Map(
     "q10_windowed_stats" ->
       s"""SELECT user_id, scale, bucket,
-         | round(${Exact.sql.davg("value")},6) AS mean_val,
-         | round(${Exact.sql.dvarPop("value")},6) AS var_val,
+         | ${Exact.sql.r(Exact.sql.davg("value"), 6)} AS mean_val,
+         | ${Exact.sql.r(Exact.sql.dvarPop("value"), 6)} AS var_val,
          | count(*) AS n
          |FROM (SELECT e.*, s.scale,
          |   (date_diff('day', DATE '$epoch', ts::DATE))::BIGINT // (7*s.scale)::BIGINT AS bucket
@@ -226,23 +226,23 @@ object Features {
          |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "q11_energy_dispersion" ->
       """WITH per AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1,2)
-        |SELECT user_id, round(1.0/count(*),6) AS mean_share,
-        | round(greatest(
+        |SELECT user_id, floor((1.0/count(*)) * 1e6 + 0.5) / 1e6 AS mean_share,
+        | floor((greatest(
         |   CAST(sum(c*c) AS DOUBLE)/(CAST(sum(c) AS DOUBLE)*CAST(sum(c) AS DOUBLE))/count(*)
-        |   - 1.0/(count(*)*count(*)), 0.0),6) AS var_share,
+        |   - 1.0/(count(*)*count(*)), 0.0)) * 1e6 + 0.5) / 1e6 AS var_share,
         | count(*) AS n_types
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q12_hour_histogram" ->
       """WITH per AS (SELECT user_id, hour(ts) AS h, count(*) AS c FROM events GROUP BY 1,2)
         |SELECT user_id, h, c,
-        | round(c*1.0/sum(c) OVER (PARTITION BY user_id),6) AS share
+        | floor((c*1.0/sum(c) OVER (PARTITION BY user_id)) * 1e6 + 0.5) / 1e6 AS share
         |FROM per ORDER BY 1,2""".stripMargin,
     "q13_time_gaps" ->
       """WITH g AS (SELECT user_id,
         |  floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |   OVER (PARTITION BY user_id, ts::DATE ORDER BY ts, event_id) AS gap
         | FROM events)
-        |SELECT user_id, round(sum(gap)*1.0/count(gap),4) AS mean_gap, count(gap) AS n_gaps
+        |SELECT user_id, floor((sum(gap)*1.0/count(gap)) * 1e4 + 0.5) / 1e4 AS mean_gap, count(gap) AS n_gaps
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_repeat_rate" ->
       """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk, event_type FROM events),
@@ -251,7 +251,7 @@ object Features {
         |   JOIN uw b ON a.user_id=b.user_id AND a.event_type=b.event_type AND b.wk = a.wk - 7
         |   GROUP BY 1,2)
         |SELECT c.user_id, c.wk,
-        | round(coalesce(x.i,0)*1.0/(c.n + coalesce(p.n,0) - coalesce(x.i,0)),6) AS jaccard
+        | floor((coalesce(x.i,0)*1.0/(c.n + coalesce(p.n,0) - coalesce(x.i,0))) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM cnt c
         | LEFT JOIN cnt p ON p.user_id=c.user_id AND p.wk = c.wk - 7
         | LEFT JOIN inter x ON x.user_id=c.user_id AND x.wk=c.wk
@@ -261,7 +261,7 @@ object Features {
         |  max(CASE WHEN event_type='purchase' THEN ts END) OVER (PARTITION BY user_id) AS mp
         | FROM events)
         |SELECT user_id,
-        | round(sum(CASE WHEN mp > ts THEN 1 ELSE 0 END)*1.0/count(*),6) AS recall_rate,
+        | floor((sum(CASE WHEN mp > ts THEN 1 ELSE 0 END)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS recall_rate,
         | count(*) AS n_out
         |FROM t WHERE event_type='view' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_area_change" ->
@@ -281,11 +281,11 @@ object Features {
         |ORDER BY 1""".stripMargin,
     "q19_feature_matrix" -> {
       val hourSql = (0 until 24).map(h =>
-        f"round(sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END)*1.0/count(*),6) AS h$h%02d")
+        f"floor((sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS h$h%02d")
         .mkString(",\n  ")
       s"""WITH base AS (SELECT user_id, count(*) AS n_events,
-        |  round(${Exact.sql.davg("value")},6) AS mean_val,
-        |  round(${Exact.sql.dvarPop("value")},6) AS var_val,
+        |  ${Exact.sql.r(Exact.sql.davg("value"), 6)} AS mean_val,
+        |  ${Exact.sql.r(Exact.sql.dvarPop("value"), 6)} AS var_val,
         |  count(DISTINCT event_type) AS n_types,
         |  $hourSql
         | FROM events GROUP BY 1),
@@ -293,12 +293,12 @@ object Features {
         |  floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |   OVER (PARTITION BY user_id, ts::DATE ORDER BY ts, event_id) AS gap
         |  FROM events),
-        | gaps AS (SELECT user_id, round(sum(gap)*1.0/count(gap),4) AS mean_gap FROM g GROUP BY 1),
+        | gaps AS (SELECT user_id, floor((sum(gap)*1.0/count(gap)) * 1e4 + 0.5) / 1e4 AS mean_gap FROM g GROUP BY 1),
         | r AS (SELECT user_id, ts, event_type,
         |  max(CASE WHEN event_type='purchase' THEN ts END) OVER (PARTITION BY user_id) AS mp
         |  FROM events),
         | recall AS (SELECT user_id,
-        |  round(sum(CASE WHEN mp > ts THEN 1 ELSE 0 END)*1.0/count(*),6) AS recall_rate
+        |  floor((sum(CASE WHEN mp > ts THEN 1 ELSE 0 END)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS recall_rate
         |  FROM r WHERE event_type='view' GROUP BY 1),
         | uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk, event_type FROM events),
         | cnt AS (SELECT user_id, wk, count(*) AS n FROM uw GROUP BY 1,2),
@@ -306,12 +306,12 @@ object Features {
         |   JOIN uw b ON a.user_id=b.user_id AND a.event_type=b.event_type AND b.wk = a.wk - 7
         |   GROUP BY 1,2),
         | jac AS (SELECT c.user_id, c.wk,
-        |   round(coalesce(x.i,0)*1.0/(c.n + coalesce(p.n,0) - coalesce(x.i,0)),6) AS jaccard
+        |   floor((coalesce(x.i,0)*1.0/(c.n + coalesce(p.n,0) - coalesce(x.i,0))) * 1e6 + 0.5) / 1e6 AS jaccard
         |  FROM cnt c
         |   LEFT JOIN cnt p ON p.user_id=c.user_id AND p.wk = c.wk - 7
         |   LEFT JOIN inter x ON x.user_id=c.user_id AND x.wk=c.wk),
         | rep AS (SELECT user_id,
-        |   round(CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE)/count(*),6) AS repeat_rate
+        |   floor((CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE)/count(*)) * 1e6 + 0.5) / 1e6 AS repeat_rate
         |  FROM jac GROUP BY 1)
         |SELECT b.*, 
         | coalesce(gaps.mean_gap, 0.0) AS mean_gap,

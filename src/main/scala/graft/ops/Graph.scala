@@ -94,7 +94,7 @@ object Graph {
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     und.join(deg, col("dst") === col("n"))
       .groupBy(col("src").as("node"))
-      .agg(round(sum(col("d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
+      .agg(Exact.r(sum(col("d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
         count(lit(1)).as("n_nbrs"))
       .orderBy(col("node"))
   }
@@ -122,7 +122,7 @@ object Graph {
       .join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("t"), lit(0L)).as("triangles"),
-        round(when(col("deg") >= 2,
+        Exact.r(when(col("deg") >= 2,
             coalesce(col("t"), lit(0L)) * lit(2.0) / (col("deg") * (col("deg") - 1)))
           .otherwise(lit(0.0)), 6).as("clustering"))
       .orderBy(col("node"))
@@ -151,7 +151,7 @@ object Graph {
     val total = scored.agg(sum(col("sc")).as("tot"))
     scored.crossJoin(broadcast(total))
       .select(col("c_custkey"), col("label"), col("deg"),
-        round(col("sc").cast("double") / col("tot").cast("double"), 8).as("prob"))
+        Exact.r(col("sc").cast("double") / col("tot").cast("double"), 8).as("prob"))
       .orderBy(col("c_custkey"))
   }
 
@@ -164,7 +164,7 @@ object Graph {
       .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .agg(count(lit(1)).as("w"))
       .withColumn("norm_w",
-        round(col("w") * lit(1.0) / sum(col("w")).over(Window.partitionBy(col("src"))), 6))
+        Exact.r(col("w") * lit(1.0) / sum(col("w")).over(Window.partitionBy(col("src"))), 6))
       .orderBy(col("src"), col("dst"))
 
   /** q43: column(-mean)-normalized weighted adjacency
@@ -177,7 +177,7 @@ object Graph {
       .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .agg(count(lit(1)).as("w"))
       .withColumn("norm_w",
-        round(col("w") / (sum(col("w")).over(w) * lit(1.0) / count(lit(1)).over(w)), 6))
+        Exact.r(col("w") / (sum(col("w")).over(w) * lit(1.0) / count(lit(1)).over(w)), 6))
       .orderBy(col("src"), col("dst"))
   }
 
@@ -202,7 +202,7 @@ object Graph {
         | und AS (SELECT DISTINCT src, dst FROM
         |   (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
         | deg AS (SELECT src AS n, count(*) AS d FROM und GROUP BY 1)
-        |SELECT und.src AS node, round(sum(d)*1.0/count(*), 6) AS nbr_avg_deg,
+        |SELECT und.src AS node, floor((sum(d)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS nbr_avg_deg,
         | count(*) AS n_nbrs
         |FROM und JOIN deg ON und.dst = deg.n
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -220,8 +220,8 @@ object Graph {
         |    UNION ALL SELECT c FROM tri) GROUP BY 1),
         | deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1)
         |SELECT deg.node, deg, coalesce(t, 0) AS triangles,
-        | round(CASE WHEN deg >= 2
-        |   THEN coalesce(t, 0) * 2.0 / (deg * (deg - 1)) ELSE 0.0 END, 6)
+        | floor((CASE WHEN deg >= 2
+        |   THEN coalesce(t, 0) * 2.0 / (deg * (deg - 1)) ELSE 0.0 END) * 1e6 + 0.5) / 1e6
         |  AS clustering
         |FROM deg LEFT JOIN pern ON deg.node = pern.node
         |ORDER BY 1""".stripMargin,
@@ -239,12 +239,12 @@ object Graph {
         |    AS DECIMAL(28,10)) AS sc
         |  FROM lab CROSS JOIN r)
         |SELECT c_custkey, label, deg,
-        | round(CAST(sc AS DOUBLE) /
-        |   CAST((SELECT sum(sc) FROM s) AS DOUBLE), 8) AS prob
+        | floor((CAST(sc AS DOUBLE) /
+        |   CAST((SELECT sum(sc) FROM s) AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS prob
         |FROM s ORDER BY 1""".stripMargin,
     "q25_row_normalize_adj" ->
       """SELECT o_custkey AS src, l_suppkey AS dst, count(*) AS w,
-        | round(count(*)*1.0 / sum(count(*)) OVER (PARTITION BY o_custkey), 6)
+        | floor((count(*)*1.0 / sum(count(*)) OVER (PARTITION BY o_custkey)) * 1e6 + 0.5) / 1e6
         |  AS norm_w
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -252,8 +252,8 @@ object Graph {
       """WITH adj AS (SELECT o_custkey AS src, l_suppkey AS dst, count(*) AS w
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2)
         |SELECT src, dst, w,
-        | round(w / (sum(w) OVER (PARTITION BY dst) * 1.0
-        |   / count(*) OVER (PARTITION BY dst)), 6) AS norm_w
+        | floor((w / (sum(w) OVER (PARTITION BY dst) * 1.0
+        |   / count(*) OVER (PARTITION BY dst))) * 1e6 + 0.5) / 1e6 AS norm_w
         |FROM adj ORDER BY 1, 2""".stripMargin
   )
 

@@ -48,20 +48,20 @@ object Metrics {
       sum(when(col("y") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"),
       sum(when(col("y") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"))
     c.select(col("tp"), col("fp"), col("tn"), col("fn"),
-        round((col("tp") + col("tn")) * lit(1.0) /
+        Exact.r((col("tp") + col("tn")) * lit(1.0) /
           (col("tp") + col("fp") + col("tn") + col("fn")), 6).as("accuracy"),
-        round(col("tp") * lit(1.0) / (col("tp") + col("fp")), 6).as("precision_pos"),
-        round(col("tp") * lit(1.0) / (col("tp") + col("fn")), 6).as("recall_pos"),
-        round(col("tn") * lit(1.0) / (col("tn") + col("fn")), 6).as("precision_neg"),
-        round(col("tn") * lit(1.0) / (col("tn") + col("fp")), 6).as("recall_neg"))
+        Exact.r(col("tp") * lit(1.0) / (col("tp") + col("fp")), 6).as("precision_pos"),
+        Exact.r(col("tp") * lit(1.0) / (col("tp") + col("fn")), 6).as("recall_pos"),
+        Exact.r(col("tn") * lit(1.0) / (col("tn") + col("fn")), 6).as("precision_neg"),
+        Exact.r(col("tn") * lit(1.0) / (col("tn") + col("fp")), 6).as("recall_neg"))
       .withColumn("macro_precision",
-        round((col("tp") * lit(1.0) / (col("tp") + col("fp"))
+        Exact.r((col("tp") * lit(1.0) / (col("tp") + col("fp"))
           + col("tn") * lit(1.0) / (col("tn") + col("fn"))) / 2, 6))
       .withColumn("macro_recall",
-        round((col("tp") * lit(1.0) / (col("tp") + col("fn"))
+        Exact.r((col("tp") * lit(1.0) / (col("tp") + col("fn"))
           + col("tn") * lit(1.0) / (col("tn") + col("fp"))) / 2, 6))
       .withColumn("f1_pos",
-        round(col("tp") * lit(2.0) /
+        Exact.r(col("tp") * lit(2.0) /
           (col("tp") * 2 + col("fp") + col("fn")), 6))
   }
 
@@ -78,7 +78,7 @@ object Metrics {
         sum(when(col("y") === 1, col("rk"))).as("rsum"),
         sum(col("y")).cast("double").as("np"),
         sum(lit(1) - col("y")).cast("double").as("nn"))
-      .select(round(
+      .select(Exact.r(
           (col("rsum") - col("np") * (col("np") + 1) / 2) / (col("np") * col("nn")),
           6).as("auc"),
         col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"))
@@ -95,7 +95,7 @@ object Metrics {
       .withColumn("term",
         (col("y") * col("cum_pos") * lit(1.0) / col("k")).cast("decimal(28,12)"))
     t.agg(sum(col("term")).cast("double").as("s"), sum(col("y")).as("np"))
-      .select(round(col("s") / col("np"), 6).as("avg_precision"),
+      .select(Exact.r(col("s") / col("np"), 6).as("avg_precision"),
         col("np").as("n_pos"))
   }
 
@@ -134,14 +134,14 @@ object Metrics {
         |   sum(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END) AS fn
         |  FROM p)
         |SELECT tp, fp, tn, fn,
-        | round((tp+tn)*1.0/(tp+fp+tn+fn), 6) AS accuracy,
-        | round(tp*1.0/(tp+fp), 6) AS precision_pos,
-        | round(tp*1.0/(tp+fn), 6) AS recall_pos,
-        | round(tn*1.0/(tn+fn), 6) AS precision_neg,
-        | round(tn*1.0/(tn+fp), 6) AS recall_neg,
-        | round((tp*1.0/(tp+fp) + tn*1.0/(tn+fn))/2, 6) AS macro_precision,
-        | round((tp*1.0/(tp+fn) + tn*1.0/(tn+fp))/2, 6) AS macro_recall,
-        | round(tp*2.0/(tp*2+fp+fn), 6) AS f1_pos
+        | floor(((tp+tn)*1.0/(tp+fp+tn+fn)) * 1e6 + 0.5) / 1e6 AS accuracy,
+        | floor((tp*1.0/(tp+fp)) * 1e6 + 0.5) / 1e6 AS precision_pos,
+        | floor((tp*1.0/(tp+fn)) * 1e6 + 0.5) / 1e6 AS recall_pos,
+        | floor((tn*1.0/(tn+fn)) * 1e6 + 0.5) / 1e6 AS precision_neg,
+        | floor((tn*1.0/(tn+fp)) * 1e6 + 0.5) / 1e6 AS recall_neg,
+        | floor(((tp*1.0/(tp+fp) + tn*1.0/(tn+fn))/2) * 1e6 + 0.5) / 1e6 AS macro_precision,
+        | floor(((tp*1.0/(tp+fn) + tn*1.0/(tn+fp))/2) * 1e6 + 0.5) / 1e6 AS macro_recall,
+        | floor((tp*2.0/(tp*2+fp+fn)) * 1e6 + 0.5) / 1e6 AS f1_pos
         |FROM c""".stripMargin,
     "q27_roc_auc" ->
       s"""WITH sc AS ($scoredSql),
@@ -149,8 +149,8 @@ object Metrics {
         |   rank() OVER (ORDER BY score) * 1.0 +
         |    (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS rk
         |  FROM sc)
-        |SELECT round((sum(CASE WHEN y=1 THEN rk END)
-        |   - sum(y)*1.0*(sum(y)+1)/2) / (sum(y)*1.0*sum(1-y)), 6) AS auc,
+        |SELECT floor(((sum(CASE WHEN y=1 THEN rk END)
+        |   - sum(y)*1.0*(sum(y)+1)/2) / (sum(y)*1.0*sum(1-y))) * 1e6 + 0.5) / 1e6 AS auc,
         | sum(y) AS n_pos, sum(1-y) AS n_neg
         |FROM r""".stripMargin,
     "q28_avg_precision" ->
@@ -159,8 +159,8 @@ object Metrics {
         |   row_number() OVER (ORDER BY score DESC, vec_id) AS k,
         |   sum(y) OVER (ORDER BY score DESC, vec_id) AS cum_pos
         |  FROM sc)
-        |SELECT round(CAST(sum(CAST(y*cum_pos*1.0/k AS DECIMAL(28,12))) AS DOUBLE)
-        |   / sum(y), 6) AS avg_precision,
+        |SELECT floor((CAST(sum(CAST(y*cum_pos*1.0/k AS DECIMAL(28,12))) AS DOUBLE)
+        |   / sum(y)) * 1e6 + 0.5) / 1e6 AS avg_precision,
         | sum(y) AS n_pos
         |FROM t""".stripMargin
   )

@@ -27,8 +27,8 @@ object Relational {
         round(Exact.dsum(col("l_quantity")), 4).as("sum_qty"),
         round(Exact.dsum(col("l_extendedprice")), 4).as("sum_base_price"),
         round(Exact.dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
-        round(Exact.davg(col("l_quantity")), 6).as("avg_qty"),
-        round(Exact.davg(col("l_discount")), 6).as("avg_disc"),
+        Exact.r(Exact.davg(col("l_quantity")), 6).as("avg_qty"),
+        Exact.r(Exact.davg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -148,8 +148,8 @@ object Relational {
         | round(${Exact.sql.dsum("l_quantity")},4) AS sum_qty,
         | round(${Exact.sql.dsum("l_extendedprice")},4) AS sum_base_price,
         | round(${Exact.sql.dsumProduct("l_extendedprice", "(1.0-l_discount)")},4) AS sum_disc_price,
-        | round(${Exact.sql.davg("l_quantity")},6) AS avg_qty,
-        | round(${Exact.sql.davg("l_discount")},6) AS avg_disc,
+        | ${Exact.sql.r(Exact.sql.davg("l_quantity"), 6)} AS avg_qty,
+        | ${Exact.sql.r(Exact.sql.davg("l_discount"), 6)} AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -77,7 +77,7 @@ object Text {
       .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
       .select(col("id1"), col("id2"), col("inter"),
-        round(col("inter") * lit(1.0) /
+        Exact.r(col("inter") * lit(1.0) /
           (col("s1.sz") + col("s2.sz") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("id1"), col("id2"))
@@ -122,11 +122,11 @@ object Text {
         expr("size(filter(t, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))").cast("long"))
       .select(
         col("doc_id"), col("n_tok"), col("n_uniq"), col("n_stop"),
-        round(col("n_uniq") * lit(1.0) / col("n_tok"), 6).as("ttr"),
-        round(col("n_stop") * lit(1.0) / col("n_tok"), 6).as("stop_ratio"),
-        round((length(col("text")) - col("n_tok") + 1) * lit(1.0) / col("n_tok"), 6)
+        Exact.r(col("n_uniq") * lit(1.0) / col("n_tok"), 6).as("ttr"),
+        Exact.r(col("n_stop") * lit(1.0) / col("n_tok"), 6).as("stop_ratio"),
+        Exact.r((length(col("text")) - col("n_tok") + 1) * lit(1.0) / col("n_tok"), 6)
           .as("mean_wlen"),
-        round(
+        Exact.r(
           least(col("n_tok") * lit(1.0) / 100, lit(1.0)) * lit(0.5)
             + col("n_uniq") * lit(0.3) / col("n_tok")
             + least(col("n_stop") * lit(5.0) / col("n_tok"), lit(1.0)) * lit(0.2),
@@ -174,10 +174,10 @@ object Text {
         |     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |   GROUP BY 1, 2)
         |SELECT id1, id2, inter,
-        | round(inter*1.0/(s1.sz + s2.sz - inter), 6) AS jaccard
+        | floor((inter*1.0/(s1.sz + s2.sz - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM inter JOIN sizes s1 ON id1 = s1.doc_id
         | JOIN sizes s2 ON id2 = s2.doc_id
-        |WHERE inter*1.0/(s1.sz + s2.sz - inter) >= 0.5
+        |WHERE floor((inter*1.0/(s1.sz + s2.sz - inter)) * 1e6 + 0.5) / 1e6 >= 0.5
         |ORDER BY 1, 2""".stripMargin,
     "q38_quality_score" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
@@ -187,11 +187,11 @@ object Text {
         |   len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))::BIGINT AS n_stop
         |  FROM t)
         |SELECT doc_id, n_tok, n_uniq, n_stop,
-        | round(n_uniq*1.0/n_tok, 6) AS ttr,
-        | round(n_stop*1.0/n_tok, 6) AS stop_ratio,
-        | round((length(text) - n_tok + 1)*1.0/n_tok, 6) AS mean_wlen,
-        | round(least(n_tok*1.0/100, 1.0)*0.5 + n_uniq*0.3/n_tok
-        |   + least(n_stop*5.0/n_tok, 1.0)*0.2, 6) AS quality
+        | floor((n_uniq*1.0/n_tok) * 1e6 + 0.5) / 1e6 AS ttr,
+        | floor((n_stop*1.0/n_tok) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+        | floor(((length(text) - n_tok + 1)*1.0/n_tok) * 1e6 + 0.5) / 1e6 AS mean_wlen,
+        | floor((least(n_tok*1.0/100, 1.0)*0.5 + n_uniq*0.3/n_tok
+        |   + least(n_stop*5.0/n_tok, 1.0)*0.2) * 1e6 + 0.5) / 1e6 AS quality
         |FROM c ORDER BY 1""".stripMargin,
     "q37_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),

@@ -46,4 +46,9 @@ class PlanSpec extends SparkSpec {
     val p = plan(ops.Ann.q36DedupEmbedding(spark, sf))
     assert(p.contains("dotlong") || p.contains("DotLong") || p.contains("dot_long"), p.take(2000))
   }
+
+  test("q05/q34: rank-filter plans as per-partition WindowGroupLimit") {
+    assert(plan(ops.Relational.q05WindowRank(spark, sf)).contains("WindowGroupLimit"))
+    assert(plan(ops.Ann.q34AnnCosineTopk(spark, sf)).contains("WindowGroupLimit"))
+  }
 }
