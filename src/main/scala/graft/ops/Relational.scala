@@ -141,6 +141,29 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q44: exact percentiles (p50/p90/p99) per group, spelled as the
+    * rank-based discrete percentile — value at row ceil(p·n) of the
+    * group-sorted order — so both engines pick the SAME concrete row
+    * (interpolating percentile builtins differ in float details across
+    * engines). One window sort per group; at scale this is the standard
+    * sort-within-partition median. */
+  def q44Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    def pick(p: Double, alias: String) =
+      max(when(col("rn") === ceil(col("n") * p), col("l_extendedprice")))
+        .as(alias)
+    ranked.groupBy(col("l_returnflag"))
+      .agg(pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** DuckDB oracles for §2.A (identical aliases + ORDER BY on both sides). */
   val oracles: Map[String, String] = Map(
     "q01_agg" ->
@@ -196,6 +219,18 @@ object Relational {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q44_percentiles" ->
+      """WITH ranked AS (SELECT l_returnflag, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS p50,
+        | max(CASE WHEN rn = ceil(n * 0.9) THEN l_extendedprice END) AS p90,
+        | max(CASE WHEN rn = ceil(n * 0.99) THEN l_extendedprice END) AS p99,
+        | count(*) AS n
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     "q09_pivot" -> {
       val cols = (0 until 24).map(h =>
         f"coalesce(sum(CASE WHEN hour(ts) = $h THEN 1 END), 0) AS h$h%02d").mkString(",\n ")
@@ -212,6 +247,7 @@ object Relational {
     "q06_semi_anti" -> (q06SemiAnti _),
     "q07_distinct_count" -> (q07DistinctCount _),
     "q08_rollup" -> (q08Rollup _),
-    "q09_pivot" -> (q09Pivot _)
+    "q09_pivot" -> (q09Pivot _),
+    "q44_percentiles" -> (q44Percentiles _)
   )
 }
