@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured-Streaming side of the engine (SURVEY.md §2.F): the CDR
   * pipeline's per-window features computed continuously instead of by
@@ -37,6 +37,20 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Stream→lake sink: append-mode parquet with an exactly-once
+    * checkpoint. The standard landing pattern at scale — finalized
+    * watermarked windows append as immutable files; downstream batch
+    * operators (the whole §2 family) read the same lake. */
+  def sinkToLake(finalized: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    finalized.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
 
   /** Streaming twin of the batch multi-scale stats (ops.Features q10):
     * per-user per-week mean/variance computed incrementally — the

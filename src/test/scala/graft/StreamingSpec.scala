@@ -75,6 +75,25 @@ class StreamingSpec extends SparkSpec {
     assert(w0.get.getAs[Double]("var_val") == 25.0)
   }
 
+  test("sinkToLake lands finalized windows as readable parquet") {
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Files.createTempDirectory("graft_lake_out").toString
+    val ckp = Files.createTempDirectory("graft_lake_ckp").toString
+    mem.addData(ev(1, 2, 1, 10.0), ev(2, 3, 1, 5.0), ev(3, 200, 1, 1.0))
+    val q = EventStream.sinkToLake(EventStream.windowedAgg(mem.toDF()), out, ckp)
+    q.awaitTermination()
+    // second batch: checkpoint resumes, no duplicates of window [0,10)
+    mem.addData(ev(4, 500, 1, 2.0))
+    val q2 = EventStream.sinkToLake(EventStream.windowedAgg(mem.toDF()), out, ckp)
+    q2.awaitTermination()
+    val back = spark.read.parquet(out)
+    val w0 = back.filter(col("w_start") === new Timestamp(base * 60000L)).collect()
+    assert(w0.length == 1, back.collect().mkString(";"))
+    assert(w0.head.getAs[Long]("n") == 2)
+  }
+
   test("q42 batch sessionize: session bounds ordered, events conserved") {
     val df = ops.Sessions.q42Sessionize(spark, sf)
     assert(df.filter(col("end_sec") < col("start_sec")).count() == 0)
