@@ -38,6 +38,16 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the continuous twin of ops.Text q30:
+    * duplicate payloads (same content hash) within the watermark horizon
+    * are dropped on arrival. State is bounded by the watermark: Spark
+    * evicts seen-keys older than the horizon, which is what makes exact
+    * dedup feasible on an unbounded crawl stream. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream→lake sink: append-mode parquet with an exactly-once
     * checkpoint. The standard landing pattern at scale — finalized
     * watermarked windows append as immutable files; downstream batch

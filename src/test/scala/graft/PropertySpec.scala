@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Randomized-reference tests: the distributed operators against naive
+  * in-memory implementations on seeded random data. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotLong matches BigInt reference on 200 random vector pairs") {
+    val rnd = new Random(42)
+    val cases = (1 to 200).map { i =>
+      val n = 1 + rnd.nextInt(80)
+      val a = Array.fill(n)(rnd.nextLong() % 400000000L)
+      val b = Array.fill(n)(rnd.nextLong() % 400000000L)
+      (i.toLong, a, b)
+    }
+    val expected = cases.map { case (i, a, b) =>
+      i -> a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum.toLong
+    }.toMap
+    val df = cases.toDF("id", "a", "b")
+      .select(col("id"), functions.DotLong(col("a"), col("b")).as("d"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("streaming sessionize matches naive reference on random event streams") {
+    val rnd = new Random(7)
+    val base = 1440L // stay above the initial watermark
+    // 12 users, 150 events, gaps up to 90 min so sessions split randomly
+    var minute = base
+    val events = (1 to 150).map { i =>
+      minute += rnd.nextInt(9)
+      Event(i.toLong, new Timestamp(minute * 60000L),
+        1L + rnd.nextInt(12), "call", rnd.nextInt(100).toDouble)
+    }
+    // naive reference: per user, sorted, 30-min gap splits
+    val gapMs = 30 * 60 * 1000L
+    val refSessions = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = sorted.foldLeft(List.empty[List[Event]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if (e.ts.getTime - cur.head.ts.getTime <= gapMs) (e :: cur) :: done
+          else List(e) :: cur :: done
+      }
+      sessions.map { s =>
+        val es = s.reverse
+        (u, es.head.ts.getTime, es.last.ts.getTime, es.length.toLong,
+          es.map(_.value).sum)
+      }
+    }.toSet
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("prop_sess")
+      .outputMode("append").start()
+    // feed in event-time order (chunks), then a far-future flush so every
+    // session times out and closes
+    events.grouped(50).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    mem.addData(Event(9999L, new Timestamp((minute + 100000) * 60000L), 999L, "x", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(10000L, new Timestamp((minute + 200000) * 60000L), 999L, "x", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("prop_sess").as[EventStream.SessionOut].collect()
+      .filter(_.user_id != 999L)
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value))
+      .toSet
+    q.stop()
+    assert(got == refSessions, s"missing=${refSessions -- got} extra=${got -- refSessions}")
+  }
+}

@@ -94,6 +94,21 @@ class StreamingSpec extends SparkSpec {
     assert(w0.head.getAs[Long]("n") == 2)
   }
 
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(ev(1, 0, 1, 1.0), ev(1, 1, 1, 1.0), ev(2, 2, 1, 2.0))
+    q.processAllAvailable()
+    mem.addData(ev(1, 3, 1, 1.0)) // still within horizon: dropped
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L), out.mkString(";"))
+  }
+
   test("q42 batch sessionize: session bounds ordered, events conserved") {
     val df = ops.Sessions.q42Sessionize(spark, sf)
     assert(df.filter(col("end_sec") < col("start_sec")).count() == 0)
