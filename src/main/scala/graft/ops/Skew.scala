@@ -24,11 +24,17 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
-    // deterministic bucket from the whole left row's key + a spreading
-    // hash of a uniquifying column set (fall back to spark_partition_id
-    // + monotonically_increasing_id for rows with no other columns)
+    // right/full outer would emit `salt` null-padded copies of unmatched
+    // replicated right rows — only left-preserving types are sound
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-preserving join types, got $joinType")
+    // DETERMINISTIC salt: hash of the whole left row. Task retries must
+    // re-derive the same bucket (nondeterministic salts corrupt joins
+    // when a lost shuffle map output is recomputed — SPARK-23207 class);
+    // identical duplicate rows sharing a bucket only costs balance.
     val lSalted = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id(), col(key)), lit(salt)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
     val rReplicated = right.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     lSalted.join(rReplicated,

@@ -102,7 +102,10 @@ object EventStream {
               val t = e.ts.getTime
               cur match {
                 case Some((start, last, n, total)) if t - last <= gapMs =>
-                  cur = Some((start, t, n + 1, total + e.value))
+                  // late (within-watermark) events may arrive out of order
+                  // across batches: extend the session, never shrink it
+                  cur = Some((math.min(start, t), math.max(last, t),
+                    n + 1, total + e.value))
                 case Some((start, last, n, total)) =>
                   closed ::= SessionOut(userId, start, last, n, total)
                   cur = Some((t, t, 1L, e.value))

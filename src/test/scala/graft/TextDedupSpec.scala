@@ -82,15 +82,19 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
-  test("q35 LSH ANN: subset of bucket, top-1 recall vs brute force > 0") {
+  test("q35 LSH ANN: approximate top-1 never beats exact top-1") {
     val exact = ops.Ann.q34AnnCosineTopk(spark, sf)
-      .filter(col("rk") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
+      .filter(col("rk") === 1).select(col("qid"), col("cos"))
+      .as[(Long, Double)].collect().toMap
     val approx = ops.Ann.q35AnnLsh(spark, sf)
-      .filter(col("rk") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
-    // same-bucket top-1 should recover a positive fraction of true top-1
-    val hits = approx.count { case (q, c) => exact.get(q).contains(c) }
+      .filter(col("rk") === 1).select(col("qid"), col("cos"))
+      .as[(Long, Double)].collect().toMap
     assert(approx.nonEmpty)
-    assert(hits >= 0) // recall tracked, bucketing correctness is the gate
+    // the bucket-restricted best can at most MATCH the global best; a
+    // cosine above it means the LSH path scores pairs differently
+    approx.foreach { case (q, c) =>
+      assert(c <= exact(q) + 1e-9, s"query $q: lsh cos $c > exact ${exact(q)}")
+    }
   }
 
   test("q36 embedding near-dups are canonical pairs with cos >= 0.9") {
