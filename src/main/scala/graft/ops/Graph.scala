@@ -181,6 +181,31 @@ object Graph {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** q45: multi-relation in-degrees — the Amazon/Yelp pipelines build
+    * THREE relation graphs (R-U-R/R-T-R/R-S-R) and sum per-node
+    * in-degrees clamped at 1 (new_utlis_1.py:53
+    * `(g1.in_degrees()+g2.in_degrees()+g3.in_degrees()).clamp(min=1)`).
+    * Relations here: the purchase edges sliced by order priority class.
+    * One scan, conditional distinct-counts per relation — no per-graph
+    * passes. */
+  def q45MultiRelationDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .when(col("o_orderpriority") === "3-MEDIUM", 2)
+          .otherwise(3).as("rel"))
+      .distinct()
+    e.groupBy(col("dst").as("node"))
+      .agg(
+        countDistinct(when(col("rel") === 1, col("src"))).as("in_r1"),
+        countDistinct(when(col("rel") === 2, col("src"))).as("in_r2"),
+        countDistinct(when(col("rel") === 3, col("src"))).as("in_r3"))
+      .withColumn("total_deg",
+        greatest(col("in_r1") + col("in_r2") + col("in_r3"), lit(1L)))
+      .orderBy(col("node"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q20_degrees" ->
       s"""WITH e AS ($edgesSql),
@@ -248,6 +273,20 @@ object Graph {
         |  AS norm_w
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q45_multi_relation_degrees" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1
+        |       WHEN o_orderpriority = '3-MEDIUM' THEN 2
+        |       ELSE 3 END AS rel
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT dst AS node,
+        | count(DISTINCT CASE WHEN rel = 1 THEN src END) AS in_r1,
+        | count(DISTINCT CASE WHEN rel = 2 THEN src END) AS in_r2,
+        | count(DISTINCT CASE WHEN rel = 3 THEN src END) AS in_r3,
+        | greatest(count(DISTINCT CASE WHEN rel = 1 THEN src END)
+        |   + count(DISTINCT CASE WHEN rel = 2 THEN src END)
+        |   + count(DISTINCT CASE WHEN rel = 3 THEN src END), 1) AS total_deg
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q43_col_normalize_adj" ->
       """WITH adj AS (SELECT o_custkey AS src, l_suppkey AS dst, count(*) AS w
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2)
@@ -264,6 +303,7 @@ object Graph {
     "q23_triangles" -> (q23Triangles _),
     "q24_degree_sampling_prob" -> (q24DegreeSamplingProb _),
     "q25_row_normalize_adj" -> (q25RowNormalizeAdj _),
-    "q43_col_normalize_adj" -> (q43ColNormalizeAdj _)
+    "q43_col_normalize_adj" -> (q43ColNormalizeAdj _),
+    "q45_multi_relation_degrees" -> (q45MultiRelationDegrees _)
   )
 }

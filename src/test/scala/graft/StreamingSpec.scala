@@ -109,6 +109,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L), out.mkString(";"))
   }
 
+  test("sessionize tolerates out-of-order events within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("ooo_sess")
+      .outputMode("append").start()
+    // batch 1: in-order events at t=30,40
+    mem.addData(ev(1, 30, 5, 1.0), ev(2, 40, 5, 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event at t=20 (within 1h watermark) joins the same
+    // session; `last` must stay 40, not shrink to 20
+    mem.addData(ev(3, 20, 5, 1.0))
+    q.processAllAvailable()
+    // close it via timeout
+    mem.addData(ev(4, 3000, 6, 1.0))
+    q.processAllAvailable()
+    mem.addData(ev(5, 6000, 6, 1.0))
+    q.processAllAvailable()
+    val out = spark.table("ooo_sess").as[EventStream.SessionOut].collect()
+      .filter(_.user_id == 5L)
+    q.stop()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out.head.session_start == (base + 20) * 60000L)
+    assert(out.head.session_end == (base + 40) * 60000L)
+    assert(out.head.n_events == 3)
+  }
+
   test("q42 batch sessionize: session bounds ordered, events conserved") {
     val df = ops.Sessions.q42Sessionize(spark, sf)
     assert(df.filter(col("end_sec") < col("start_sec")).count() == 0)
