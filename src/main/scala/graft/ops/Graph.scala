@@ -206,6 +206,42 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** q46: degree-weighted edge sampling probability
+    * (new_utlis_1.py:66-97 edge_probability): for edges whose BOTH
+    * endpoints are in the train split, p ∝ deg(src)^w · deg(dst)^w,
+    * normalized; edge label = 1 where endpoint labels agree positive,
+    * 0 on label disagreement (the reference's homo/hetero edge split).
+    * deg^0.75 via sqrt(d·sqrt(d)), normalizer via exact decimal sum —
+    * the same determinism toolkit as q24. */
+  def q46EdgeSamplingProb(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("sd"))
+    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("dd"))
+    val lab = Tables.customer(spark, dir).select(col("c_custkey"),
+      (col("c_acctbal") < 0).cast("int").as("src_label"),
+      (expr("((c_custkey * 1103515245 + 12345) % 2147483648) % 100") < 80)
+        .as("src_train"))
+    val slab = Tables.supplier(spark, dir).select(col("s_suppkey"),
+      (col("s_acctbal") < 0).cast("int").as("dst_label"),
+      (expr("((s_suppkey * 1103515245 + 12345) % 2147483648) % 100") < 80)
+        .as("dst_train"))
+    val scored = e
+      .join(outDeg, "src").join(inDeg, "dst")
+      .join(lab, col("src") === col("c_custkey"))
+      .join(broadcast(slab), col("dst") === col("s_suppkey"))
+      .filter(col("src_train") && col("dst_train"))
+      .select(col("src"), col("dst"),
+        when(col("src_label") =!= col("dst_label"), 0)
+          .when(col("src_label") === 1, 1).otherwise(2).as("edge_class"),
+        (sqrt(col("sd") * sqrt(col("sd"))) * sqrt(col("dd") * sqrt(col("dd"))))
+          .cast("decimal(28,10)").as("sc"))
+    val total = scored.agg(sum(col("sc")).as("tot"))
+    scored.crossJoin(broadcast(total))
+      .select(col("src"), col("dst"), col("edge_class"),
+        Exact.r(col("sc").cast("double") / col("tot").cast("double"), 8).as("prob"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q20_degrees" ->
       s"""WITH e AS ($edgesSql),
@@ -273,6 +309,28 @@ object Graph {
         |  AS norm_w
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q46_edge_sampling_prob" ->
+      s"""WITH e AS ($edgesSql),
+        | od AS (SELECT src, count(*) AS sd FROM e GROUP BY 1),
+        | idg AS (SELECT dst, count(*) AS dd FROM e GROUP BY 1),
+        | lab AS (SELECT c_custkey,
+        |   CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS src_label,
+        |   ((c_custkey * 1103515245 + 12345) % 2147483648) % 100 < 80 AS src_train
+        |  FROM customer),
+        | slab AS (SELECT s_suppkey,
+        |   CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS dst_label,
+        |   ((s_suppkey * 1103515245 + 12345) % 2147483648) % 100 < 80 AS dst_train
+        |  FROM supplier),
+        | sc AS (SELECT src, dst,
+        |   CASE WHEN src_label <> dst_label THEN 0
+        |        WHEN src_label = 1 THEN 1 ELSE 2 END AS edge_class,
+        |   CAST(sqrt(sd * sqrt(sd)) * sqrt(dd * sqrt(dd)) AS DECIMAL(28,10)) AS sc
+        |  FROM e JOIN od USING (src) JOIN idg USING (dst)
+        |   JOIN lab ON src = c_custkey JOIN slab ON dst = s_suppkey
+        |  WHERE src_train AND dst_train)
+        |SELECT src, dst, edge_class,
+        | floor((CAST(sc AS DOUBLE) / CAST((SELECT sum(sc) FROM sc) AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS prob
+        |FROM sc ORDER BY 1, 2""".stripMargin,
     "q45_multi_relation_degrees" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst,
         |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1
@@ -304,6 +362,7 @@ object Graph {
     "q24_degree_sampling_prob" -> (q24DegreeSamplingProb _),
     "q25_row_normalize_adj" -> (q25RowNormalizeAdj _),
     "q43_col_normalize_adj" -> (q43ColNormalizeAdj _),
-    "q45_multi_relation_degrees" -> (q45MultiRelationDegrees _)
+    "q45_multi_relation_degrees" -> (q45MultiRelationDegrees _),
+    "q46_edge_sampling_prob" -> (q46EdgeSamplingProb _)
   )
 }
