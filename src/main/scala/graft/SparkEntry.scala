@@ -16,7 +16,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Features.queries ++ ops.Graph.queries ++
       ops.Metrics.queries ++ ops.Text.queries ++ ops.Dedup.queries ++
-      ops.Ann.queries ++ ops.Sessions.queries ++ ops.Multimodal.queries
+      ops.Ann.queries ++ ops.Sessions.queries ++ ops.Multimodal.queries ++
+      ops.Components.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */

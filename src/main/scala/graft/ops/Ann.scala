@@ -141,6 +141,53 @@ object Ann {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** q48: IVF (inverted-file) ANN — the scale path past LSH: a coarse
+    * k-means quantizer (MLlib, fixed seed) partitions the corpus into
+    * cells; a query probes only its `nprobe` nearest cells and scores
+    * exact cosine inside them. At 100 TB: centroids broadcast (kB),
+    * corpus is hash-partitioned by cell id, each probe touches
+    * nprobe/k of the data. Trainer RNG is engine-specific → rows-only
+    * driver check; AnnSpec gates recall vs q34 ground truth. */
+  def q48AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val nprobe = 3
+    val emb = Tables.embeddings(spark, dir)
+    val feats = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(10).fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // centroid table: tiny, broadcast everywhere
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val cdf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+    // queries probe their nprobe closest centroids (exact double dot —
+    // ranking only, no oracle), then exact cosine within probed cells
+    val q = prep(assigned.filter(col("vec_id") < 10), "qid", "qe", "qn")
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qraw")), "qid")
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(qraw, centroid,
+          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+          |            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          | CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("cell"))))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cell"))
+    val c = prep(assigned.filter(col("vec_id") >= 10), "cid", "ce", "cn")
+      .join(assigned.select(col("vec_id").as("cid"), col("cell")), "cid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    c.join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("cid"), col("cell"), cosine("qe", "ce", "qn", "cn").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q34_ann_cosine_topk" -> {
       s"""WITH qt AS (SELECT * FROM embeddings WHERE vec_id < 10),
@@ -169,6 +216,7 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_ann_cosine_topk" -> (q34AnnCosineTopk _),
     "q35_ann_lsh" -> (q35AnnLsh _),
-    "q36_dedup_embedding" -> (q36DedupEmbedding _)
+    "q36_dedup_embedding" -> (q36DedupEmbedding _),
+    "q48_ann_ivf" -> (q48AnnIvf _)
   )
 }

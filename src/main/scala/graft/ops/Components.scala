@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over the link-similarity network — the fraud-
+  * ring detection step the reference's buildLSN output feeds (clusters
+  * of users sharing ≥k call contacts ARE the suspected rings; the
+  * reference leaves clustering to the GNN, production systems run CC).
+  *
+  * Algorithm: hash-min label propagation — every vertex starts with its
+  * own id, each round adopts the min label in its closed neighborhood,
+  * until a fixed point. Each round is one join + one groupBy (both
+  * shuffles on the vertex id); rounds needed = graph diameter, and the
+  * driver loop only orchestrates — all data stays distributed. This is
+  * the standard large-graph CC (GraphX/GraphFrames use the same
+  * fixpoint); at 100 TB you'd add large-star/small-star contraction to
+  * cut rounds on high-diameter graphs.
+  */
+object Components {
+
+  /** CC labels for an undirected edge list (src, dst). Returns
+    * (node, component) with component = min vertex id in the component. */
+  private[graft] def connectedComponents(
+      edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // neighbor-min pass: each node adopts min(own, neighbors') label
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("comp", "dst_comp"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst_comp")).as("nbr_comp"))
+      // localCheckpoint truncates the lineage: without it each round's
+      // plan embeds all previous rounds and the optimizer/codegen blow
+      // up exponentially (OOMs by ~iteration 15 even on tiny graphs)
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** q47: components of the ≥3-common-neighbor LSN graph (q21's output
+    * as the edge list) + per-component size — the "fraud ring" view.
+    * Iteration count is data-dependent → rows-only driver check;
+    * ComponentsSpec proves equality with a union-find reference. */
+  def q47ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val lsn = Graph.q21CommonNeighbors(spark, dir)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val labels = connectedComponents(lsn)
+    labels
+      .withColumn("comp_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("comp"))))
+      .orderBy(col("comp"), col("node"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_connected_components" -> (q47ConnectedComponents _)
+  )
+}

@@ -1,0 +1,45 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+/** Connected components vs a union-find reference. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("label propagation equals union-find on random graphs") {
+    val rnd = new Random(13)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val expected = unionFind(edges)
+    val got = ops.Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"diff=${(got.toSet diff expected.toSet).take(5)}")
+  }
+
+  test("q47 components: labels are component minima, sizes consistent") {
+    val df = ops.Components.q47ConnectedComponents(spark, sf).cache()
+    assert(df.filter(col("comp") > col("node")).count() == 0)
+    val bad = df.groupBy("comp").agg(count(lit(1)).as("n"),
+        max("comp_size").as("sz"))
+      .filter(col("n") =!= col("sz")).count()
+    assert(bad == 0)
+    df.unpersist()
+  }
+}

@@ -97,6 +97,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q48 IVF ANN: high recall@10 vs brute force, never beats exact") {
+    val exact = ops.Ann.q34AnnCosineTopk(spark, sf)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val ivf = ops.Ann.q48AnnIvf(spark, sf)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(ivf.nonEmpty)
+    val recalls = exact.keys.toSeq.map { q =>
+      val hit = ivf.getOrElse(q, Set.empty[Long]) & exact(q)
+      hit.size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe=3 of k=8 cells must recover most true neighbors on
+    // clustered synthetic embeddings
+    assert(mean >= 0.5, s"mean recall@10 $mean")
+  }
+
   test("q36 embedding near-dups are canonical pairs with cos >= 0.9") {
     val rows = ops.Ann.q36DedupEmbedding(spark, sf).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
