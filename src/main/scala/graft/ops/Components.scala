@@ -42,15 +42,15 @@ object Components {
         .agg(min(col("dst_comp")).as("nbr_comp"))
       // localCheckpoint truncates the lineage: without it each round's
       // plan embeds all previous rounds and the optimizer/codegen blow
-      // up exponentially (OOMs by ~iteration 15 even on tiny graphs)
+      // up exponentially (OOMs by ~iteration 15 even on tiny graphs).
+      // prev label rides along so convergence is a filter, not a join.
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select(col("node"), col("comp"))
       i += 1
     }
     sym.unpersist()

@@ -57,7 +57,7 @@ object Graph {
     * and an in-row for dst; distinct-counting the counterpart per
     * direction gives both degrees in a single shuffle. */
   def q20Degrees(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
+    val e = edges(spark, dir).cache() // both union branches read it
     e.select(col("src").as("node"), lit(1).as("dir"), col("dst").as("other"))
       .unionAll(e.select(col("dst"), lit(0), col("src")))
       .groupBy(col("node"))
@@ -214,7 +214,7 @@ object Graph {
     * deg^0.75 via sqrt(d·sqrt(d)), normalizer via exact decimal sum —
     * the same determinism toolkit as q24. */
   def q46EdgeSamplingProb(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
+    val e = edges(spark, dir).cache() // degree aggs + the edge join itself
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("sd"))
     val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("dd"))
     val lab = Tables.customer(spark, dir).select(col("c_custkey"),
