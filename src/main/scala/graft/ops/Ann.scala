@@ -147,10 +147,10 @@ object Ann {
     * exact cosine inside them. At 100 TB: centroids broadcast (kB),
     * corpus is hash-partitioned by cell id, each probe touches
     * nprobe/k of the data. Trainer RNG is engine-specific → rows-only
-    * driver check; AnnSpec gates recall vs q34 ground truth. */
+    * driver check; TextDedupSpec gates recall vs q34 ground truth. */
   def q48AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
     val nprobe = 3
     val emb = Tables.embeddings(spark, dir)
     val feats = emb.select(col("vec_id"), col("embedding"),

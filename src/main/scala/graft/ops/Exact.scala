@@ -52,8 +52,16 @@ object Exact {
     floor(c * m + lit(0.5)) / m
   }
 
+  /** Deterministic LCG 80% split bucket (the reproducible stratified
+    * train split used by q18, q46 and FraudPipeline — one definition). */
+  def lcgTrain80(key: String): Column =
+    expr(s"(($key * 1103515245 + 12345) % 2147483648) % 100") < 80
+
   // The DuckDB spellings of the same expressions.
   object sql {
+    /** DuckDB spelling of [[Exact.lcgTrain80]]. */
+    def lcgTrain80(key: String): String =
+      s"(($key * 1103515245 + 12345) % 2147483648) % 100 < 80"
     /** DuckDB spelling of [[Exact.r]]. */
     def r(x: String, d: Int): String =
       s"floor(($x) * 1e$d + 0.5) / 1e$d"

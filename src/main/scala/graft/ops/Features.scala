@@ -168,8 +168,8 @@ object Features {
     Tables.customer(spark, dir)
       .select(col("c_custkey"),
         (col("c_acctbal") < 0).cast("int").as("label"),
-        expr("((c_custkey * 1103515245 + 12345) % 2147483648) % 100").as("h"))
-      .filter(col("h") < 80)
+        Exact.lcgTrain80("c_custkey").as("h"))
+      .filter(col("h"))
       .select(col("c_custkey"), col("label"))
       .orderBy(col("c_custkey"))
 

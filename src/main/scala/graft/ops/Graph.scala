@@ -219,12 +219,10 @@ object Graph {
     val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("dd"))
     val lab = Tables.customer(spark, dir).select(col("c_custkey"),
       (col("c_acctbal") < 0).cast("int").as("src_label"),
-      (expr("((c_custkey * 1103515245 + 12345) % 2147483648) % 100") < 80)
-        .as("src_train"))
+      Exact.lcgTrain80("c_custkey").as("src_train"))
     val slab = Tables.supplier(spark, dir).select(col("s_suppkey"),
       (col("s_acctbal") < 0).cast("int").as("dst_label"),
-      (expr("((s_suppkey * 1103515245 + 12345) % 2147483648) % 100") < 80)
-        .as("dst_train"))
+      Exact.lcgTrain80("s_suppkey").as("dst_train"))
     val scored = e
       .join(outDeg, "src").join(inDeg, "dst")
       .join(lab, col("src") === col("c_custkey"))

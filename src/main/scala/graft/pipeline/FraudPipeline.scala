@@ -37,7 +37,7 @@ object FraudPipeline {
 
     // 3. reproducible stratified 80/20 split (same LCG hash as q18)
     val withSplit = labeled.withColumn("is_train",
-      expr("((user_id * 1103515245 + 12345) % 2147483648) % 100") < 80)
+      ops.Exact.lcgTrain80("user_id"))
 
     // 4. assemble + train on the train fold only
     val featCols = features.columns.filterNot(_ == "user_id")
@@ -48,6 +48,7 @@ object FraudPipeline {
       .setFeaturesCol("fvec").setLabelCol("label")
       .setMaxIter(20).setRegParam(0.01)
       .fit(assembled.filter(col("is_train")))
+    assembled.unpersist() // scoring below is a single pass; don't leak
 
     // 5. score the held-out fold, compute the reference's metric suite
     val scored = model.transform(assembled.filter(!col("is_train")))

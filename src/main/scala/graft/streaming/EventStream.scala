@@ -101,11 +101,17 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some((start, last, n, total)) if t - last <= gapMs =>
+                case Some((start, last, n, total))
+                    if t - last <= gapMs && t >= start - gapMs =>
                   // late (within-watermark) events may arrive out of order
                   // across batches: extend the session, never shrink it
                   cur = Some((math.min(start, t), math.max(last, t),
                     n + 1, total + e.value))
+                case Some(state) if t < state._1 - gapMs =>
+                  // a straggler OLDER than the open session by more than
+                  // the gap: its own (already-elapsed) session, emitted
+                  // immediately; the open session is untouched
+                  closed ::= SessionOut(userId, t, t, 1L, e.value)
                 case Some((start, last, n, total)) =>
                   closed ::= SessionOut(userId, start, last, n, total)
                   cur = Some((t, t, 1L, e.value))

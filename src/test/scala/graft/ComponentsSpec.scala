@@ -33,6 +33,16 @@ class ComponentsSpec extends SparkSpec {
       s"diff=${(got.toSet diff expected.toSet).take(5)}")
   }
 
+  test("deep chain converges via pointer jumping (O(log diameter))") {
+    // a 200-node path has diameter 199: pure hash-min would need 199
+    // rounds and fragment at the 30-round cap; pointer jumping must not
+    val edges = (1L until 200L).map(i => (i, i + 1))
+    val got = ops.Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 1L), s"fragmented: ${got.values.toSet}")
+  }
+
   test("q47 components: labels are component minima, sizes consistent") {
     val df = ops.Components.q47ConnectedComponents(spark, sf).cache()
     assert(df.filter(col("comp") > col("node")).count() == 0)
