@@ -17,12 +17,12 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Features.queries ++ ops.Graph.queries ++
       ops.Metrics.queries ++ ops.Text.queries ++ ops.Dedup.queries ++
       ops.Ann.queries ++ ops.Sessions.queries ++ ops.Multimodal.queries ++
-      ops.Components.queries ++ ops.TimeJoins.queries
+      ops.Components.queries ++ ops.TimeJoins.queries ++ ops.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Features.oracles ++ ops.Graph.oracles ++
       ops.Metrics.oracles ++ ops.Text.oracles ++ ops.Ann.oracles ++
-      ops.Sessions.oracles ++ ops.TimeJoins.oracles
+      ops.Sessions.oracles ++ ops.TimeJoins.oracles ++ ops.Sampling.oracles
 }
