@@ -92,7 +92,10 @@ object Graph {
     // und feeds both the degree agg and the neighbor join — persist once
     val und = e.unionAll(e.select(col("dst"), col("src"))).distinct().cache()
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
-    und.join(deg, col("dst") === col("n"))
+    // deg is one row per NODE — orders of magnitude under the edge list;
+    // broadcasting it keeps und partitioned in place (at extreme node
+    // counts drop the hint and let AQE decide)
+    und.join(broadcast(deg), col("dst") === col("n"))
       .groupBy(col("src").as("node"))
       .agg(Exact.r(sum(col("d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
         count(lit(1)).as("n_nbrs"))
