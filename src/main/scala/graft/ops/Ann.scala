@@ -37,15 +37,28 @@ object Ann {
     * vectors, inside int64 (overflow only if components reach ~1.2 at
     * dim 64). The 1e18 scale cancels in the cosine ratio. */
   private def prep(df: DataFrame, idOut: String, vecOut: String,
-      normOut: String): DataFrame =
+      normOut: String): DataFrame = {
+    // Overflow guard: the int64 accumulators are exact only while
+    // ‖x_scaled‖² ≤ ~9.2e18, i.e. ‖x‖² ≤ ~9.2 (and by Cauchy–Schwarz
+    // every pair dot is then in range too). A non-unit-norm input must
+    // fail LOUDLY, not corrupt every cosine — so the norm is gated on a
+    // double-precision estimate of the squared norm (exactness doesn't
+    // matter for the guard, only magnitude).
+    val sq2 = expr(s"""aggregate($vecOut, CAST(0 AS DOUBLE),
+      | (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))""".stripMargin)
     df.select(col("vec_id").as(idOut),
         expr("transform(embedding, x -> " +
           "CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT))")
           .as(vecOut))
-      .withColumn(normOut, sqrt(
-        expr(s"""aggregate(transform($vecOut, x -> x * x),
-          | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
-          .cast("double")))
+      .withColumn(normOut,
+        when(sq2 < lit(9.0e18), sqrt(
+          expr(s"""aggregate(transform($vecOut, x -> x * x),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+            .cast("double")))
+          .otherwise(raise_error(concat(lit(s"graft.Ann: embedding $idOut="),
+            col(idOut).cast("string"),
+            lit(" has squared norm > ~9 — exact int64 cosine would overflow; normalize inputs first")))))
+  }
 
   /** Exact scaled-integer dot product over pre-quantized arrays — a
     * native codegen'd Catalyst expression (graft.functions.DotLong):
@@ -57,21 +70,22 @@ object Ann {
     round(dotDec(a, b).cast("double") / (col(na) * col(nb)), 6)
 
   /** DuckDB spelling of the same math via position-joined unnest —
-    * identical decimal quantization and exact sums. */
-  private def cosineSql(qTab: String, cTab: String): String =
-    s"""qe AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS pos,
+    * identical decimal quantization and exact sums. `sfx` renames the
+    * CTEs so two instantiations can share one query. */
+  private def cosineSql(qTab: String, cTab: String, sfx: String = ""): String =
+    s"""qe$sfx AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS pos,
       |   CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS x
       |  FROM $qTab),
-      | ce AS (SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS pos,
+      | ce$sfx AS (SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS pos,
       |   CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS y
       |  FROM $cTab),
-      | dots AS (SELECT qid, cid, CAST(sum(x * y) AS DOUBLE) AS dot
-      |  FROM qe JOIN ce USING (pos) GROUP BY 1, 2),
-      | nq AS (SELECT qid, CAST(sum(x * x) AS DOUBLE) AS n2 FROM qe GROUP BY 1),
-      | nc AS (SELECT cid, CAST(sum(y * y) AS DOUBLE) AS n2 FROM ce GROUP BY 1),
-      | cosres AS (SELECT qid, cid,
-      |   round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
-      |  FROM dots JOIN nq USING (qid) JOIN nc USING (cid))""".stripMargin
+      | dots$sfx AS (SELECT qid, cid, CAST(sum(x * y) AS DOUBLE) AS dot
+      |  FROM qe$sfx JOIN ce$sfx USING (pos) GROUP BY 1, 2),
+      | nq$sfx AS (SELECT qid, CAST(sum(x * x) AS DOUBLE) AS n2 FROM qe$sfx GROUP BY 1),
+      | nc$sfx AS (SELECT cid, CAST(sum(y * y) AS DOUBLE) AS n2 FROM ce$sfx GROUP BY 1),
+      | cosres$sfx AS (SELECT qid, cid,
+      |   round(dot / (sqrt(nq$sfx.n2) * sqrt(nc$sfx.n2)), 6) AS cos
+      |  FROM dots$sfx JOIN nq$sfx USING (qid) JOIN nc$sfx USING (cid))""".stripMargin
 
   /** q34: brute-force cosine top-10 per query (vec_id < 10 are the
     * queries, the rest the corpus). Query side broadcasts; per-query
@@ -123,21 +137,46 @@ object Ann {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** q36: embedding near-dup pairs — cosine ≥ 0.9 over canonical
-    * id1 < id2 pairs, blocked by the cluster label (the IVF-style
-    * pruning: near-dups share a coarse cluster; at scale the label is a
-    * learned centroid id). */
+  /** q36: embedding near-dup pairs — cosine ≥ 0.4 over canonical
+    * id1 < id2 pairs, blocked on (label, IVF cell). (Threshold chosen
+    * so the oracle exercises real pairs on the synthetic embeddings,
+    * whose max pairwise cosine is ~0.5 — a 0.9 "near-dup" bar would
+    * make the check vacuously empty.)
+    *
+    * The cell is a deterministic coarse quantizer: 8 fixed seed vectors
+    * (vec_id < 8, a kB-sized broadcast) and nearest-seed-by-cosine
+    * assignment using the same exact scaled-integer cosine as the pair
+    * scoring — so the DuckDB oracle replicates the cells bit-for-bit
+    * (MLlib k-means centroids, q48, can't be oracled; at 100 TB you'd
+    * swap the seed table for q48's learned centroids — identical plan).
+    *
+    * Scale: candidates shuffle on the (label, cell) equi-key — a plain
+    * hash-partitioned join, NO corpus broadcast, and per-block pair
+    * counts bounded by the cell granularity (k cells ⇒ n²/k candidate
+    * pairs; grow k with n). PlanSpec pins the no-broadcast shape. */
   def q36DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val lab = emb.select(col("vec_id"), col("label"))
+    val seeds = prep(emb.filter(col("vec_id") < 8), "sid", "sv", "sn")
+    val cells = prep(emb, "vid", "v", "n")
+      .crossJoin(broadcast(seeds))
+      .select(col("vid"), col("sid"), cosine("v", "sv", "n", "sn").as("scos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("scos").desc, col("sid"))))
+      .filter(col("rk") === 1)
+      .select(col("vid"), col("sid").as("cell"))
+      .persist()
     val a = prep(emb, "id1", "v1", "n1")
       .join(lab.withColumnRenamed("vec_id", "id1"), "id1")
+      .join(cells.toDF("id1", "cell"), "id1")
     val b = prep(emb, "id2", "v2", "n2")
-      .join(lab.withColumnRenamed("vec_id", "id2").withColumnRenamed("label", "label2"), "id2")
-    a.join(broadcast(b), col("label") === col("label2") && col("id1") < col("id2"))
+      .join(lab.toDF("id2", "label2"), "id2")
+      .join(cells.toDF("id2", "cell2"), "id2")
+    a.join(b, col("label") === col("label2") && col("cell") === col("cell2") &&
+        col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("label"),
         cosine("v1", "v2", "n1", "n2").as("cos"))
-      .filter(col("cos") >= 0.9)
+      .filter(col("cos") >= 0.4)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -202,13 +241,22 @@ object Ann {
     "q36_dedup_embedding" -> {
       s"""WITH qt AS (SELECT * FROM embeddings),
         | ct AS (SELECT * FROM embeddings),
+        | st AS (SELECT * FROM embeddings WHERE vec_id < 8),
         | lab AS (SELECT vec_id, label FROM embeddings),
+        | ${cosineSql("qt", "st", "_s")},
+        | cells AS (SELECT qid AS vid, cid AS cell FROM (
+        |   SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |   FROM cosres_s) WHERE rk = 1),
         | ${cosineSql("qt", "ct")}
         |SELECT qid AS id1, cid AS id2, la.label AS label, cos
         |FROM cosres
         | JOIN lab la ON la.vec_id = qid
         | JOIN lab lb ON lb.vec_id = cid
-        |WHERE qid < cid AND la.label = lb.label AND cos >= 0.9
+        | JOIN cells ca ON ca.vid = qid
+        | JOIN cells cb ON cb.vid = cid
+        |WHERE qid < cid AND la.label = lb.label AND ca.cell = cb.cell
+        |  AND cos >= 0.4
         |ORDER BY 1, 2""".stripMargin
     }
   )

@@ -45,25 +45,31 @@ object Components {
           .withColumnRenamed("comp", "dst_comp"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dst_comp")).as("nbr_comp"))
+      // localCheckpoint does double duty: it truncates the lineage
+      // (without it each round's plan embeds all previous rounds and
+      // the optimizer/codegen blow up exponentially — OOMs by
+      // ~iteration 15 even on tiny graphs) AND materializes `stepped`
+      // ONCE for its two consumers below (pointer-jump lookup + join);
+      // Spark does not dedupe common subplans, so an un-checkpointed
+      // `stepped` would recompute the whole neighbor-min pass twice.
+      // prev label rides along so convergence is a filter, not a join.
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
+        .localCheckpoint(true)
       // pointer jump: comp := label(comp) — halves label distance per
       // round, turning O(diameter) hash-min into O(log diameter)
-      val jump = stepped.select(col("comp").as("jnode"), col("node"))
       val lookup = stepped.select(col("node").as("jnode"), col("comp").as("jcomp"))
-      // localCheckpoint truncates the lineage: without it each round's
-      // plan embeds all previous rounds and the optimizer/codegen blow
-      // up exponentially (OOMs by ~iteration 15 even on tiny graphs).
-      // prev label rides along so convergence is a filter, not a join.
       val next = stepped.join(lookup, col("comp") === col("jnode"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"),
           col("prev"))
         .localCheckpoint(true)
       changed = next.filter(col("comp") =!= col("prev")).count()
-      labels.unpersist() // best-effort: drop the previous round's blocks
+      // checkpoint blocks from previous rounds are freed by the
+      // ContextCleaner once unreferenced (Dataset.unpersist is a no-op
+      // for localCheckpoint blocks) — dropping the refs here suffices
       labels = next.select(col("node"), col("comp"))
       i += 1
     }

@@ -70,15 +70,24 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** 64-bit SimHash over a (doc_id, token) DataFrame: per-bit ±1 votes
-    * from each token's xxhash64, majority sign per bit, bits packed into
-    * one BIGINT. 64 codegen'd conditional sums — one groupBy, no UDF. */
+  /** 64-bit SimHash over a (doc_id, token) DataFrame: per-bit weighted
+    * votes, majority per bit, bits packed into one BIGINT.
+    *
+    * Token occurrences first collapse to (doc_id, token-hash, count) —
+    * map-side partial aggregation shrinks the input to the 64 bit-vote
+    * sums by the token repeat factor, and each token hashes ONCE instead
+    * of per occurrence. The ±1 vote `Σ ±c > 0` is spelled as
+    * `2·Σ(c·bit) > Σc` (identical result incl. ties) so each bit costs
+    * one shift-and-multiply-add, not a conditional. All codegen'd, no
+    * UDF. */
   private[graft] def simhash(tok: DataFrame): DataFrame = {
-    val h = tok.withColumn("h", xxhash64(col("token")))
-    val votes: Seq[Column] = (0 until 64).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+    val h = tok.groupBy(col("doc_id"), xxhash64(col("token")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val votes: Seq[Column] =
+      sum(col("c")).as("t") +: (0 until 64).map(b =>
+        sum(col("c") * expr(s"(h >> $b) & 1")).as(s"o$b"))
     val packed = (0 until 64).map(b =>
-      when(col(s"v$b") > 0, expr(s"CAST(1 AS BIGINT) << $b")).otherwise(lit(0L)))
+      when(col(s"o$b") * 2 > col("t"), expr(s"CAST(1 AS BIGINT) << $b")).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     h.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))

@@ -53,15 +53,21 @@ object Exact {
   }
 
   /** Deterministic LCG 80% split bucket (the reproducible stratified
-    * train split used by q18, q46 and FraudPipeline — one definition). */
+    * train split used by q18, q46 and FraudPipeline — one definition).
+    * The key is reduced mod 2³¹ BEFORE the multiply: a raw
+    * `key * 1103515245` wraps int64 past key ≈ 8.4e9 — silently in
+    * Spark (negative bucket ⇒ always "< 80" ⇒ a 100% split), an error
+    * in DuckDB. Reduced first, the product tops out at ~2.4e18 for ANY
+    * int64 key, and the bucket is unchanged for keys < 2³¹
+    * ((a mod m)·c mod m = a·c mod m). */
   def lcgTrain80(key: String): Column =
-    expr(s"(($key * 1103515245 + 12345) % 2147483648) % 100") < 80
+    expr(s"((($key % 2147483648) * 1103515245 + 12345) % 2147483648) % 100") < 80
 
   // The DuckDB spellings of the same expressions.
   object sql {
     /** DuckDB spelling of [[Exact.lcgTrain80]]. */
     def lcgTrain80(key: String): String =
-      s"(($key * 1103515245 + 12345) % 2147483648) % 100 < 80"
+      s"((($key % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80"
     /** DuckDB spelling of [[Exact.r]]. */
     def r(x: String, d: Int): String =
       s"floor(($x) * 1e$d + 0.5) / 1e$d"

@@ -20,12 +20,12 @@ object Features {
   private val epoch = "2024-01-01"
 
   /** q10: per-user mean/variance of `value` at multiple time scales
-    * (1/2/4-week buckets) — data_process.py:75-79, computed in ONE pass
-    * over the fact table by exploding the scale dimension instead of the
-    * reference's 4 re-scans. */
+    * (1/2/3/4-week buckets, `for scale in range(1, 5)` —
+    * data_process.py:72-79), computed in ONE pass over the fact table by
+    * exploding the scale dimension instead of the reference's 4 re-scans. */
   def q10WindowedStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("scale", explode(array(lit(1), lit(2), lit(4))))
+      .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
       .withColumn("day_idx", datediff(col("ts").cast("date"), lit(epoch).cast("date")))
       .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
       .groupBy(col("user_id"), col("scale"), col("bucket"))
@@ -222,7 +222,7 @@ object Features {
          | count(*) AS n
          |FROM (SELECT e.*, s.scale,
          |   (date_diff('day', DATE '$epoch', ts::DATE))::BIGINT // (7*s.scale)::BIGINT AS bucket
-         |  FROM events e CROSS JOIN (VALUES (1),(2),(4)) s(scale)) t
+         |  FROM events e CROSS JOIN (VALUES (1),(2),(3),(4)) s(scale)) t
          |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "q11_energy_dispersion" ->
       """WITH per AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1,2)
@@ -277,7 +277,7 @@ object Features {
     "q18_stratified_split" ->
       """SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS label
         |FROM customer
-        |WHERE ((c_custkey * 1103515245 + 12345) % 2147483648) % 100 < 80
+        |WHERE (((c_custkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80
         |ORDER BY 1""".stripMargin,
     "q19_feature_matrix" -> {
       val hourSql = (0 until 24).map(h =>

@@ -17,10 +17,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale notes (100 TB): the self-join ops (q21/q23) are quadratic in
   * per-vertex degree, exactly like the reference's O(n²) Python loops —
-  * they run on a thresholded subgraph here, and at cluster scale you
-  * additionally degree-cap hub vertices (drop adjacency lists above a
-  * cap before pairing), the standard bound used by LSH/triangle
-  * literature; linear ops (q20/q22/q24/q25) are single shuffles keyed
+  * they run on a thresholded subgraph AND degree-cap hub adjacency
+  * before pairing (see [[adjCap]]), the standard bound used by the
+  * LSH/triangle literature, so no single celebrity vertex can blow up
+  * a stage; linear ops (q20/q22/q24/q25) are single shuffles keyed
   * on the vertex id with map-side partial aggregation.
   */
 object Graph {
@@ -52,6 +52,28 @@ object Graph {
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       | WHERE l_quantity >= 45""".stripMargin
 
+  /** Per-vertex adjacency cap for the quadratic pairing ops (q21/q23):
+    * a hub with degree d contributes d²-ish candidate pairs, so one
+    * celebrity vertex can dominate the whole job. Keep at most `cap`
+    * adjacency entries per key — deterministically, the `cap` smallest
+    * counterpart ids, so the DuckDB oracle replicates the same capped
+    * subgraph bit-for-bit. The cap makes the per-key pair blowup
+    * ≤ cap², a guarantee independent of the data (GraphSpec proves it
+    * on a synthetic hub). */
+  private[graft] val adjCap = 256
+
+  private[graft] def capPerKey(e: DataFrame, key: String, ord: String, cap: Int): DataFrame =
+    e.withColumn("_rn",
+        row_number().over(Window.partitionBy(col(key)).orderBy(col(ord))))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+
+  /** DuckDB spelling of [[capPerKey]]. */
+  private def capSql(src: String, key: String, ord: String, cap: Int): String =
+    s"""SELECT src, dst FROM (SELECT src, dst,
+       |   row_number() OVER (PARTITION BY $key ORDER BY $ord) AS rn FROM $src)
+       |  WHERE rn <= $cap""".stripMargin
+
   /** q20: in/out/total degree per vertex (data_process.py:131-138).
     * One union + one groupBy: each edge contributes an out-row for src
     * and an in-row for dst; distinct-counting the counterpart per
@@ -73,8 +95,9 @@ object Graph {
     * shared neighbor, canonical u<v ordering, count ≥ k. */
   def q21CommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
     // self-join reads the subgraph twice: persist it instead of running
-    // the orders⋈lineitem build per side (standard at any scale)
-    val e = hotEdges(spark, dir).cache()
+    // the orders⋈lineitem build per side (standard at any scale);
+    // hub vertices are degree-capped BEFORE pairing (see adjCap)
+    val e = capPerKey(hotEdges(spark, dir), "dst", "src", adjCap).cache()
     e.as("a").join(e.as("b"),
         col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("u"), col("b.src").as("v"))
@@ -93,9 +116,14 @@ object Graph {
     val und = e.unionAll(e.select(col("dst"), col("src"))).distinct().cache()
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     // deg is one row per NODE — orders of magnitude under the edge list;
-    // broadcasting it keeps und partitioned in place (at extreme node
-    // counts drop the hint and let AQE decide)
-    und.join(broadcast(deg), col("dst") === col("n"))
+    // broadcasting it keeps und partitioned in place. The hint is
+    // size-GATED, not hardcoded: past ~50M nodes a per-node broadcast
+    // is a driver killer, so fall back to a shuffle join (AQE may still
+    // choose better at runtime). The count is one agg over the cached
+    // und — a metadata-scale pre-pass, not a data collect.
+    val broadcastNodeLimit = 50L * 1000 * 1000
+    val degSide = if (deg.count() <= broadcastNodeLimit) broadcast(deg) else deg
+    und.join(degSide, col("dst") === col("n"))
       .groupBy(col("src").as("node"))
       .agg(Exact.r(sum(col("d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
         count(lit(1)).as("n_nbrs"))
@@ -110,8 +138,11 @@ object Graph {
     val und = e.unionAll(e.select(col("dst"), col("src")))
       .filter(col("src") =!= col("dst")).distinct().cache()
     // canon appears three times in the triangle join — persist, or the
-    // edge build runs 3×
-    val canon = und.filter(col("src") < col("dst")).cache()
+    // edge build runs 3×; hub out-adjacency is degree-capped BEFORE the
+    // two-hop pairing (bounds candidates at cap² per vertex — adjCap);
+    // `deg` below stays the TRUE degree from the uncapped graph
+    val canon = capPerKey(und.filter(col("src") < col("dst")), "src", "dst", adjCap)
+      .cache()
     val tris = canon.as("e1")
       .join(canon.as("e2"), col("e2.src") === col("e1.dst"))
       .join(canon.as("e3"),
@@ -243,7 +274,54 @@ object Graph {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** q53: signed call-type edge weights (data_process.py:99-104: calltype
+    * 1 ⇒ weight +1, calltype 2 ⇒ weight −1, other calltypes ⇒ no edge;
+    * nx.Graph.add_edge OVERWRITES, so the LAST processed event in file
+    * order fixes the pair's weight). Analog mapping: src = user_id,
+    * dst = the props.k counterpart, 'purchase' ⇒ +1, 'error' ⇒ −1,
+    * other event types dropped; "file order" = event_id order (the
+    * reference iterates rows in ingestion order, not timestamp order).
+    * Feeds the weighted-degree variant: per node and side, positive /
+    * negative edge counts and the signed degree sum.
+    * One window on the (src, dst) pair + one groupBy — two shuffles,
+    * map-side partial aggregation, no driver loops. */
+  def q53SignedDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val typed = Tables.events(spark, dir)
+      .withColumn("peer", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("event_type").isin("purchase", "error"))
+      .withColumn("w", when(col("event_type") === "purchase", lit(1L)).otherwise(lit(-1L)))
+    val last = Window.partitionBy(col("user_id"), col("peer"))
+      .orderBy(col("event_id").desc)
+    val edges = typed
+      .withColumn("rn", row_number().over(last))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("src"), col("peer").as("dst"), col("w"))
+    edges.select(col("src").as("node"), lit("out").as("side"), col("w"))
+      .unionAll(edges.select(col("dst"), lit("in"), col("w")))
+      .groupBy(col("node"), col("side"))
+      .agg(
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("w") < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(col("w")).as("signed_deg"))
+      .orderBy(col("node"), col("side"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q53_signed_degrees" ->
+      """WITH t AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS peer, event_id,
+        |   CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS w
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        | lastw AS (SELECT user_id, peer, w,
+        |   row_number() OVER (PARTITION BY user_id, peer ORDER BY event_id DESC) AS rn
+        |  FROM t),
+        | e AS (SELECT user_id AS src, peer AS dst, w FROM lastw WHERE rn = 1),
+        | d AS (SELECT src AS node, 'out' AS side, w FROM e
+        |   UNION ALL SELECT dst, 'in', w FROM e)
+        |SELECT node, side,
+        | CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        | CAST(sum(CASE WHEN w < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        | CAST(sum(w) AS BIGINT) AS signed_deg
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q20_degrees" ->
       s"""WITH e AS ($edgesSql),
         | d AS (SELECT src AS node, 1 AS dir, dst AS other FROM e
@@ -255,7 +333,8 @@ object Graph {
         |  + count(DISTINCT CASE WHEN dir=0 THEN other END) AS deg
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_common_neighbors" ->
-      s"""WITH e AS ($hotEdgesSql)
+      s"""WITH e0 AS ($hotEdgesSql),
+        | e AS (${capSql("e0", "dst", "src", adjCap)})
         |SELECT a.src AS u, b.src AS v, count(*) AS common
         |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
         |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
@@ -273,7 +352,8 @@ object Graph {
         | und AS (SELECT DISTINCT src, dst FROM
         |   (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
         |   WHERE src <> dst),
-        | canon AS (SELECT src, dst FROM und WHERE src < dst),
+        | canon0 AS (SELECT src, dst FROM und WHERE src < dst),
+        | canon AS (${capSql("canon0", "src", "dst", adjCap)}),
         | tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         |   FROM canon e1 JOIN canon e2 ON e2.src = e1.dst
         |   JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
@@ -316,11 +396,11 @@ object Graph {
         | idg AS (SELECT dst, count(*) AS dd FROM e GROUP BY 1),
         | lab AS (SELECT c_custkey,
         |   CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS src_label,
-        |   ((c_custkey * 1103515245 + 12345) % 2147483648) % 100 < 80 AS src_train
+        |   (((c_custkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80 AS src_train
         |  FROM customer),
         | slab AS (SELECT s_suppkey,
         |   CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS dst_label,
-        |   ((s_suppkey * 1103515245 + 12345) % 2147483648) % 100 < 80 AS dst_train
+        |   (((s_suppkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80 AS dst_train
         |  FROM supplier),
         | sc AS (SELECT src, dst,
         |   CASE WHEN src_label <> dst_label THEN 0
@@ -364,6 +444,7 @@ object Graph {
     "q25_row_normalize_adj" -> (q25RowNormalizeAdj _),
     "q43_col_normalize_adj" -> (q43ColNormalizeAdj _),
     "q45_multi_relation_degrees" -> (q45MultiRelationDegrees _),
-    "q46_edge_sampling_prob" -> (q46EdgeSamplingProb _)
+    "q46_edge_sampling_prob" -> (q46EdgeSamplingProb _),
+    "q53_signed_degrees" -> (q53SignedDegrees _)
   )
 }

@@ -15,11 +15,9 @@ import org.apache.spark.sql.expressions.Window
   * component is the score — deterministic, so the DuckDB oracle is exact.
   *
   * Scale notes: confusion counts are one partial-aggregated scan; AUC
-  * is the Mann–Whitney rank statistic (one global sort — at cluster
-  * scale a range-partitioned sort, not a single-partition window; here
-  * the window has no PARTITION BY which Spark executes as one task, fine
-  * for a metric over scores, and the input to it is just (score,label));
-  * AP terms quantize to DECIMAL before the final sum so the result is
+  * and AP rank via [[Ranking]]'s two-pass range-bucketed windows — no
+  * single-partition global sort anywhere (PlanSpec pins this); AP terms
+  * quantize to DECIMAL before the final sum so the result is
   * accumulation-order independent.
   */
 object Metrics {
@@ -63,21 +61,41 @@ object Metrics {
       .withColumn("f1_pos",
         Exact.r(col("tp") * lit(2.0) /
           (col("tp") * 2 + col("fp") + col("fn")), 6))
+      .withColumn("f1_neg",
+        Exact.r(col("tn") * lit(2.0) /
+          (col("tn") * 2 + col("fn") + col("fp")), 6))
+      // the reference's headline f1_score(average="macro"),
+      // new_utlis_1.py:42: unweighted mean of the per-class F1s
+      .withColumn("macro_f1",
+        Exact.r((col("tp") * lit(2.0) / (col("tp") * 2 + col("fp") + col("fn"))
+          + col("tn") * lit(2.0) / (col("tn") * 2 + col("fn") + col("fp"))) / 2, 6))
   }
 
   /** q27: ROC AUC as the Mann–Whitney U rank statistic —
     * AUC = (Σ midrank(positives) − n₊(n₊+1)/2) / (n₊·n₋).
-    * Midranks (rank + (ties−1)/2) are half-integers, so every partial
-    * sum is exact in a double regardless of order. */
+    * Midranks (cum_before + (ties+1)/2) are half-integers, so every
+    * partial sum is exact in a double regardless of order.
+    *
+    * Scale-safe ranking: scores first collapse to per-score groups
+    * (one shuffle), then the prefix count comes from [[Ranking]]'s
+    * two-pass range-bucketed window — no single-partition global sort
+    * anywhere in the plan (pinned by PlanSpec). */
   def q27RocAuc(spark: SparkSession, dir: String): DataFrame = {
-    val r = scored(spark, dir)
-      .withColumn("rk",
-        rank().over(Window.orderBy(col("score"))).cast("double") +
-          (count(lit(1)).over(Window.partitionBy(col("score"))) - 1) / lit(2.0))
+    val g = scored(spark, dir)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).cast("long").as("pos"))
+    val bk = Ranking.withRangeBucket(g, "score", descending = false).persist()
+    val off = Ranking.exclusiveOffsets(bk, Map("cum" -> sum(col("cnt"))))
+    val w = Window.partitionBy(col("_b")).orderBy(col("score"))
+    val r = bk
+      .withColumn("cum_before", sum(col("cnt")).over(w) - col("cnt") + off("cum"))
+      // midrank of every row in this score group:
+      // rank + (ties−1)/2 = cum_before + (ties+1)/2
+      .withColumn("rk", col("cum_before").cast("double") + (col("cnt") + 1) / lit(2.0))
     r.agg(
-        sum(when(col("y") === 1, col("rk"))).as("rsum"),
-        sum(col("y")).cast("double").as("np"),
-        sum(lit(1) - col("y")).cast("double").as("nn"))
+        sum(col("pos") * col("rk")).as("rsum"),
+        sum(col("pos")).cast("double").as("np"),
+        sum(col("cnt") - col("pos")).cast("double").as("nn"))
       .select(Exact.r(
           (col("rsum") - col("np") * (col("np") + 1) / 2) / (col("np") * col("nn")),
           6).as("auc"),
@@ -88,10 +106,18 @@ object Metrics {
     * score-desc ranking, vec_id tiebreak). Per-rank terms quantize to
     * DECIMAL(28,12) so the global sum is order-independent. */
   def q28AvgPrecision(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("score").desc, col("vec_id"))
-    val t = scored(spark, dir)
-      .withColumn("k", row_number().over(w).cast("long"))
-      .withColumn("cum_pos", sum(col("y")).over(w))
+    // Scale-safe global row_number/prefix-sum: range-bucket on score
+    // (descending-monotone), window PARTITIONED by bucket, add the
+    // bucket's exclusive row/positive offsets — bit-identical to the
+    // single-partition window it replaces (see Ranking).
+    val bk = Ranking.withRangeBucket(scored(spark, dir), "score", descending = true)
+      .persist()
+    val off = Ranking.exclusiveOffsets(bk, Map(
+      "rows" -> count(lit(1)), "pos" -> sum(col("y")).cast("long")))
+    val w = Window.partitionBy(col("_b")).orderBy(col("score").desc, col("vec_id"))
+    val t = bk
+      .withColumn("k", row_number().over(w).cast("long") + off("rows"))
+      .withColumn("cum_pos", sum(col("y")).over(w) + off("pos"))
       .withColumn("term",
         (col("y") * col("cum_pos") * lit(1.0) / col("k")).cast("decimal(28,12)"))
     t.agg(sum(col("term")).cast("double").as("s"), sum(col("y")).as("np"))
@@ -106,14 +132,16 @@ object Metrics {
   def q29MllibPipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
-    // embeddings are narrow: repartition to a handful of partitions so
-    // each LBFGS iteration schedules a few tasks, not cores× empty ones
-    // (at cluster scale the input keeps its natural partitioning)
-    val data = Tables.embeddings(spark, dir).select(
+    // embeddings are narrow: when the input arrives in fewer than a
+    // handful of partitions (local small-SF reads), widen to 4 so each
+    // LBFGS iteration schedules a few tasks; an input that is already
+    // well-partitioned (any cluster-scale read) keeps its natural
+    // partitioning — no forced shuffle.
+    val base = Tables.embeddings(spark, dir).select(
       col("vec_id"),
       (col("label") === 0).cast("double").as("label"),
       array_to_vector(col("embedding")).as("features"))
-      .repartition(4)
+    val data = if (base.rdd.getNumPartitions < 4) base.repartition(4) else base
     val model = new LogisticRegression()
       .setMaxIter(8).setRegParam(0.01).setStandardization(true)
       .fit(data)
@@ -128,10 +156,10 @@ object Metrics {
       s"""WITH sc AS ($scoredSql),
         | p AS (SELECT y, CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred FROM sc),
         | c AS (SELECT
-        |   sum(CASE WHEN y=1 AND pred=1 THEN 1 ELSE 0 END) AS tp,
-        |   sum(CASE WHEN y=0 AND pred=1 THEN 1 ELSE 0 END) AS fp,
-        |   sum(CASE WHEN y=0 AND pred=0 THEN 1 ELSE 0 END) AS tn,
-        |   sum(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END) AS fn
+        |   CAST(sum(CASE WHEN y=1 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |   CAST(sum(CASE WHEN y=0 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |   CAST(sum(CASE WHEN y=0 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |   CAST(sum(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
         |  FROM p)
         |SELECT tp, fp, tn, fn,
         | floor(((tp+tn)*1.0/(tp+fp+tn+fn)) * 1e6 + 0.5) / 1e6 AS accuracy,
@@ -141,7 +169,9 @@ object Metrics {
         | floor((tn*1.0/(tn+fp)) * 1e6 + 0.5) / 1e6 AS recall_neg,
         | floor(((tp*1.0/(tp+fp) + tn*1.0/(tn+fn))/2) * 1e6 + 0.5) / 1e6 AS macro_precision,
         | floor(((tp*1.0/(tp+fn) + tn*1.0/(tn+fp))/2) * 1e6 + 0.5) / 1e6 AS macro_recall,
-        | floor((tp*2.0/(tp*2+fp+fn)) * 1e6 + 0.5) / 1e6 AS f1_pos
+        | floor((tp*2.0/(tp*2+fp+fn)) * 1e6 + 0.5) / 1e6 AS f1_pos,
+        | floor((tn*2.0/(tn*2+fn+fp)) * 1e6 + 0.5) / 1e6 AS f1_neg,
+        | floor(((tp*2.0/(tp*2+fp+fn) + tn*2.0/(tn*2+fn+fp))/2) * 1e6 + 0.5) / 1e6 AS macro_f1
         |FROM c""".stripMargin,
     "q27_roc_auc" ->
       s"""WITH sc AS ($scoredSql),
@@ -151,7 +181,7 @@ object Metrics {
         |  FROM sc)
         |SELECT floor(((sum(CASE WHEN y=1 THEN rk END)
         |   - sum(y)*1.0*(sum(y)+1)/2) / (sum(y)*1.0*sum(1-y))) * 1e6 + 0.5) / 1e6 AS auc,
-        | sum(y) AS n_pos, sum(1-y) AS n_neg
+        | CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(1-y) AS BIGINT) AS n_neg
         |FROM r""".stripMargin,
     "q28_avg_precision" ->
       s"""WITH sc AS ($scoredSql),
@@ -161,7 +191,7 @@ object Metrics {
         |  FROM sc)
         |SELECT floor((CAST(sum(CAST(y*cum_pos*1.0/k AS DECIMAL(28,12))) AS DOUBLE)
         |   / sum(y)) * 1e6 + 0.5) / 1e6 AS avg_precision,
-        | sum(y) AS n_pos
+        | CAST(sum(y) AS BIGINT) AS n_pos
         |FROM t""".stripMargin
   )
 

@@ -233,7 +233,7 @@ object Relational {
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     "q09_pivot" -> {
       val cols = (0 until 24).map(h =>
-        f"coalesce(sum(CASE WHEN hour(ts) = $h THEN 1 END), 0) AS h$h%02d").mkString(",\n ")
+        f"CAST(coalesce(sum(CASE WHEN hour(ts) = $h THEN 1 END), 0) AS BIGINT) AS h$h%02d").mkString(",\n ")
       s"SELECT event_type,\n $cols\nFROM events GROUP BY 1 ORDER BY 1"
     }
   )

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Keep-bucket in [0,100) from an LCG hash of the key column. */
+  /** Keep-bucket in [0,100) from an LCG hash of the key column. The key
+    * reduces mod 2³¹ BEFORE the multiply so the product never wraps
+    * int64 (see Exact.lcgTrain80 — same fix, same spelling). */
   private def bucket(key: String) =
-    expr(s"(($key * 1103515245 + 12345) % 2147483648) % 100")
+    expr(s"((($key % 2147483648) * 1103515245 + 12345) % 2147483648) % 100")
   private def bucketSql(key: String) =
-    s"(($key * 1103515245 + 12345) % 2147483648) % 100"
+    s"((($key % 2147483648) * 1103515245 + 12345) % 2147483648) % 100"
 
   /** q51: class-balanced downsample — keep every minority-class row
     * (label 0, ~10%) and a deterministic ~11% of the rest, yielding a

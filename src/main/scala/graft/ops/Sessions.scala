@@ -40,8 +40,8 @@ object Sessions {
         |   sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
         |  FROM e),
         | s AS (SELECT user_id, sec,
-        |   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY sec, event_id) AS session_id
+        |   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY sec, event_id) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, min(sec) AS start_sec, max(sec) AS end_sec,
         | count(*) AS n_events

@@ -96,34 +96,40 @@ object EventStream {
             Iterator.single(SessionOut(userId, start, last, n, total))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
+            // 1. gap-merge the batch FIRST: an out-of-order batch can
+            //    contain several disjoint sessions, and two stragglers
+            //    within the gap of each other must land in ONE session
+            //    (exactly as batch q42 would merge them) — folding them
+            //    one-by-one into the open session would emit singletons.
+            var cands = List.empty[SessionState] // head = newest
             sorted.foreach { e =>
               val t = e.ts.getTime
-              cur match {
-                case Some((start, last, n, total))
-                    if t - last <= gapMs && t >= start - gapMs =>
-                  // late (within-watermark) events may arrive out of order
-                  // across batches: extend the session, never shrink it
-                  cur = Some((math.min(start, t), math.max(last, t),
-                    n + 1, total + e.value))
-                case Some(state) if t < state._1 - gapMs =>
-                  // a straggler OLDER than the open session by more than
-                  // the gap: its own (already-elapsed) session, emitted
-                  // immediately; the open session is untouched
-                  closed ::= SessionOut(userId, t, t, 1L, e.value)
-                case Some((start, last, n, total)) =>
-                  closed ::= SessionOut(userId, start, last, n, total)
-                  cur = Some((t, t, 1L, e.value))
-                case None =>
-                  cur = Some((t, t, 1L, e.value))
+              cands = cands match {
+                case (start, last, n, total) :: rest if t - last <= gapMs =>
+                  (start, math.max(last, t), n + 1, total + e.value) :: rest
+                case _ => (t, t, 1L, e.value) :: cands
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s._2 + gapMs)
+            // 2. reconcile with the open session: it is just one more
+            //    candidate interval — chain-merge intervals that touch
+            //    within the gap, in start order
+            val all = (state.getOption.toList ++ cands.reverse)
+              .sortBy(s => (s._1, s._2))
+            var merged = List.empty[SessionState] // head = newest
+            all.foreach { s =>
+              merged = merged match {
+                case (start, last, n, total) :: rest if s._1 - last <= gapMs =>
+                  (start, math.max(last, s._2), n + s._3, total + s._4) :: rest
+                case _ => s :: merged
+              }
             }
-            closed.reverseIterator
+            // 3. the newest interval stays open in state; every older
+            //    one is already gap-separated from it — emit as closed
+            val open = merged.head
+            state.update(open)
+            state.setTimeoutTimestamp(open._2 + gapMs)
+            merged.tail.reverse.iterator
+              .map(s => SessionOut(userId, s._1, s._2, s._3, s._4))
           }
       }
   }

@@ -4,11 +4,11 @@ import graft.ops.Features
 
 class FeaturesSpec extends SparkSpec {
 
-  test("q10 multi-scale stats cover 3 scales and n sums to 3x events") {
+  test("q10 multi-scale stats cover the 4 reference scales, n sums to 4x events") {
     val rows = Features.q10WindowedStats(spark, sf).collect()
-    assert(rows.map(_.getAs[Int]("scale")).distinct.sorted.toSeq == Seq(1, 2, 4))
+    assert(rows.map(_.getAs[Int]("scale")).distinct.sorted.toSeq == Seq(1, 2, 3, 4))
     val n = rows.map(_.getAs[Long]("n")).sum
-    assert(n == 3 * Tables.events(spark, sf).count())
+    assert(n == 4 * Tables.events(spark, sf).count())
   }
 
   test("q11 shares per user are a probability distribution") {

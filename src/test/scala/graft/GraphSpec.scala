@@ -36,6 +36,22 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(tot - 1.0) < 1e-4, s"prob sum $tot")
   }
 
+  test("adjacency cap bounds pair blowup under a synthetic hub vertex") {
+    import spark.implicits._
+    val cap = 16
+    // one hub (dst=0) with 1000 distinct neighbors + a small clique side
+    val hub = (1 to 1000).map(i => (i.toLong, 0L)).toDF("src", "dst")
+    val capped = ops.Graph.capPerKey(hub, "dst", "src", cap)
+    assert(capped.count() == cap)
+    // deterministic: the cap keeps the SMALLEST src ids
+    assert(capped.agg(max("src")).head().getLong(0) == cap.toLong)
+    // the quadratic pairing on the capped graph is bounded by cap²/2,
+    // not the 1000²/2 the raw hub would produce
+    val pairs = capped.as("a").join(capped.as("b"),
+      col("a.dst") === col("b.dst") && col("a.src") < col("b.src")).count()
+    assert(pairs == cap.toLong * (cap - 1) / 2)
+  }
+
   test("q25 row-normalized weights sum to 1 per src") {
     val bad = ops.Graph.q25RowNormalizeAdj(spark, sf)
       .groupBy("src").agg(sum("norm_w").as("s"))

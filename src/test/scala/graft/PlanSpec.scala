@@ -47,6 +47,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dotlong") || p.contains("DotLong") || p.contains("dot_long"), p.take(2000))
   }
 
+  test("q36: pair join shuffles on (label, cell); the corpus is never hint-broadcast") {
+    // with auto-broadcast off, only hinted broadcasts remain — the pair
+    // join must fall back to a shuffle join (the kB seed table may stay
+    // broadcast; a full corpus side must not)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val p = plan(ops.Ann.q36DedupEmbedding(spark, sf))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("q27/q28: no single-partition global window (two-pass ranking)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (df <- Seq(ops.Metrics.q27RocAuc(spark, sf),
+                   ops.Metrics.q28AvgPrecision(spark, sf))) {
+      val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty) // the ranking window is still a window...
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty, w)) // ...but partitioned
+    }
+  }
+
   test("q05/q34: rank-filter plans as per-partition WindowGroupLimit") {
     assert(plan(ops.Relational.q05WindowRank(spark, sf)).contains("WindowGroupLimit"))
     assert(plan(ops.Ann.q34AnnCosineTopk(spark, sf)).contains("WindowGroupLimit"))

@@ -136,6 +136,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.n_events == 3)
   }
 
+  test("sessionize merges stragglers that fall within one gap of each other") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("straggler_sess")
+      .outputMode("append").start()
+    // batch 1: an open session ahead at t=152 (watermark = 152-60 = 92,
+    // so t>=100 events below are still within the watermark, not late)
+    mem.addData(ev(1, 152, 9, 1.0))
+    q.processAllAvailable()
+    // batch 2: TWO stragglers at t=100 and t=120 — both older than the
+    // open session by > gap (152-120=32 > 30), but within the gap of
+    // EACH OTHER: batch q42 puts them in ONE session, so must we (not
+    // two singletons)
+    mem.addData(ev(3, 100, 9, 2.0), ev(4, 120, 9, 3.0))
+    q.processAllAvailable()
+    val out = spark.table("straggler_sess").as[EventStream.SessionOut].collect()
+      .filter(_.user_id == 9L)
+    q.stop()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out.head.session_start == (base + 100) * 60000L)
+    assert(out.head.session_end == (base + 120) * 60000L)
+    assert(out.head.n_events == 2 && out.head.total_value == 5.0)
+  }
+
   test("q42 batch sessionize: session bounds ordered, events conserved") {
     val df = ops.Sessions.q42Sessionize(spark, sf)
     assert(df.filter(col("end_sec") < col("start_sec")).count() == 0)

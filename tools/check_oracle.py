@@ -62,6 +62,17 @@ def main(out_dir: str, sf_dir: str) -> int:
         bad = []
         for c in s.columns:
             sv, dv = s[c].to_numpy(), d[c].to_numpy()
+            # Dtype-strict: the driver hashes each side's native representation,
+            # so an integer column on one side and a float/object column on the
+            # other (e.g. DuckDB HUGEINT from an uncast sum()) is a hash
+            # mismatch even when values are numerically equal. Replicate that.
+            skind, dkind = sv.dtype.kind, dv.dtype.kind
+            numeric = {"i", "u", "f"}
+            if skind != dkind and (skind in numeric or dkind in numeric) \
+                    and not (skind in "iu" and dkind in "iu"):
+                bad.append(f"{c}: dtype mismatch spark={sv.dtype} duck={dv.dtype} "
+                           f"(uncast DuckDB sum()? wrap in CAST(... AS BIGINT))")
+                continue
             if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
                 sv = sv.astype(float); dv = dv.astype(float)
                 both_nan = np.isnan(sv) & np.isnan(dv)
