@@ -177,11 +177,14 @@ object Graph {
         (col("c_acctbal") < 0).cast("int").as("label"),
         greatest(coalesce(col("d"), lit(0L)), lit(1L)).as("deg"))
     val rate = lab.agg((sum(col("label")) * lit(1.0) / count(lit(1))).as("fr"))
+    // scored feeds BOTH the normalizer agg and the final projection —
+    // persist it or the whole join/degree subplan runs twice
     val scored = lab.crossJoin(broadcast(rate))
       .withColumn("sc",
         (sqrt(col("deg") * sqrt(col("deg"))) /
           when(col("label") === 1, col("fr")).otherwise(lit(1.0) - col("fr")))
           .cast("decimal(28,10)"))
+      .persist()
     val total = scored.agg(sum(col("sc")).as("tot"))
     scored.crossJoin(broadcast(total))
       .select(col("c_custkey"), col("label"), col("deg"),
@@ -267,6 +270,9 @@ object Graph {
           .when(col("src_label") === 1, 1).otherwise(2).as("edge_class"),
         (sqrt(col("sd") * sqrt(col("sd"))) * sqrt(col("dd") * sqrt(col("dd"))))
           .cast("decimal(28,10)").as("sc"))
+      // dual consumer (normalizer agg + final projection): persist, or
+      // the 4-way join above runs twice
+      .persist()
     val total = scored.agg(sum(col("sc")).as("tot"))
     scored.crossJoin(broadcast(total))
       .select(col("src"), col("dst"), col("edge_class"),

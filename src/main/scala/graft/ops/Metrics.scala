@@ -151,6 +151,33 @@ object Metrics {
       .orderBy(col("vec_id"))
   }
 
+  /** q54: the GNN-class model analog, one tier closer than q29 —
+    * the reference trains GAT/GCN over node features (Code for
+    * Sichuan/src/model.py, layers.py; new_model_*.py). MLlib has no
+    * message-passing GNN, so the closest DataFrame-native capability
+    * match is a MultilayerPerceptronClassifier over the same embedding
+    * features (64 → 16 → 2, seeded). Training is the same distributed
+    * treeAggregate gradient loop as q29 — partitioning notes there
+    * apply. Solver RNG is engine-internal → rows-only driver check;
+    * MetricsSpec gates accuracy against the majority class. */
+  def q54MlpPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      (col("label") === 0).cast("double").as("label"),
+      array_to_vector(col("embedding")).as("features"))
+    val data = if (base.rdd.getNumPartitions < 4) base.repartition(4) else base
+    val model = new MultilayerPerceptronClassifier()
+      .setLayers(Array(64, 16, 2))
+      .setSeed(42L).setMaxIter(40)
+      .fit(data)
+    model.transform(data)
+      .select(col("vec_id"), col("label").cast("int").as("y"),
+        col("prediction").cast("int").as("pred"))
+      .orderBy(col("vec_id"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q26_confusion_metrics" ->
       s"""WITH sc AS ($scoredSql),
@@ -199,6 +226,7 @@ object Metrics {
     "q26_confusion_metrics" -> (q26ConfusionMetrics _),
     "q27_roc_auc" -> (q27RocAuc _),
     "q28_avg_precision" -> (q28AvgPrecision _),
-    "q29_mllib_pipeline" -> (q29MllibPipeline _)
+    "q29_mllib_pipeline" -> (q29MllibPipeline _),
+    "q54_mlp_pipeline" -> (q54MlpPipeline _)
   )
 }

@@ -31,4 +31,11 @@ class MetricsSpec extends SparkSpec {
     val agree = df.filter("y = pred").count().toDouble / df.count()
     assert(agree > 0.85, s"train accuracy $agree")
   }
+
+  test("q54 MLP scores every vector and beats majority-class") {
+    val df = ops.Metrics.q54MlpPipeline(spark, sf)
+    assert(df.count() == Tables.embeddings(spark, sf).count())
+    val agree = df.filter("y = pred").count().toDouble / df.count()
+    assert(agree > 0.85, s"train accuracy $agree")
+  }
 }
