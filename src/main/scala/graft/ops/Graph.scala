@@ -80,12 +80,15 @@ object Graph {
     * direction gives both degrees in a single shuffle. */
   def q20Degrees(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).cache() // both union branches read it
+    // e is already DISTINCT (src, dst), so each (node, other) pair is
+    // unique per direction — the distinct-count is a plain conditional
+    // count (one-phase hash agg, no expand/dedup pass)
     e.select(col("src").as("node"), lit(1).as("dir"), col("dst").as("other"))
       .unionAll(e.select(col("dst"), lit(0), col("src")))
       .groupBy(col("node"))
       .agg(
-        countDistinct(when(col("dir") === 1, col("other"))).as("out_deg"),
-        countDistinct(when(col("dir") === 0, col("other"))).as("in_deg"))
+        coalesce(sum(when(col("dir") === 1, 1L)), lit(0L)).as("out_deg"),
+        coalesce(sum(when(col("dir") === 0, 1L)), lit(0L)).as("in_deg"))
       .withColumn("deg", col("out_deg") + col("in_deg"))
       .orderBy(col("node"))
   }
@@ -233,11 +236,14 @@ object Graph {
           .when(col("o_orderpriority") === "3-MEDIUM", 2)
           .otherwise(3).as("rel"))
       .distinct()
+    // e is DISTINCT (src, dst, rel): per (dst, rel) the srcs are already
+    // unique, so each distinct-count is a plain conditional count —
+    // one-phase hash agg instead of three expand/dedup passes
     e.groupBy(col("dst").as("node"))
       .agg(
-        countDistinct(when(col("rel") === 1, col("src"))).as("in_r1"),
-        countDistinct(when(col("rel") === 2, col("src"))).as("in_r2"),
-        countDistinct(when(col("rel") === 3, col("src"))).as("in_r3"))
+        coalesce(sum(when(col("rel") === 1, 1L)), lit(0L)).as("in_r1"),
+        coalesce(sum(when(col("rel") === 2, 1L)), lit(0L)).as("in_r2"),
+        coalesce(sum(when(col("rel") === 3, 1L)), lit(0L)).as("in_r3"))
       .withColumn("total_deg",
         greatest(col("in_r1") + col("in_r2") + col("in_r3"), lit(1L)))
       .orderBy(col("node"))

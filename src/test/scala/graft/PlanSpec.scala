@@ -59,6 +59,11 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("q20/q45: degree counts are one-phase aggs — no Expand from distinct-counts") {
+    assert(!plan(ops.Graph.q20Degrees(spark, sf)).contains("Expand"))
+    assert(!plan(ops.Graph.q45MultiRelationDegrees(spark, sf)).contains("Expand"))
+  }
+
   test("q27/q28: no single-partition global window (two-pass ranking)") {
     import org.apache.spark.sql.execution.window.WindowExec
     for (df <- Seq(ops.Metrics.q27RocAuc(spark, sf),
