@@ -78,6 +78,28 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("user_id"),
         col("n"), col("mean_val"), col("var_val"))
 
+  /** Stream–stream interval join — the continuous twin of the batch
+    * range join (ops.TimeJoins q50): each event on stream `a` joins the
+    * events of stream `b` for the same user within the PRECEDING hour.
+    * Both sides carry a watermark and the join condition bounds event
+    * time in both directions, so Spark can size and EVICT the join
+    * state — the only configuration at which an unbounded stream-stream
+    * join is safe in production (state is O(users × 1h rate), not O(∞)).
+    * Inputs must expose (user_id, ts, event_id, value); the right side
+    * is renamed internally to keep the join condition unambiguous. */
+  def intervalJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    val right = b.select(
+      col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+      col("event_id").as("r_event_id"), col("value").as("r_value"))
+    a.withWatermark("ts", "1 hour")
+      .join(right.withWatermark("r_ts", "1 hour"),
+        expr("""user_id = r_user_id AND
+               |r_ts BETWEEN ts - INTERVAL 1 HOUR AND ts AND
+               |event_id != r_event_id""".stripMargin))
+      .select(col("user_id"), col("event_id"), col("r_event_id"),
+        col("ts"), col("r_ts"), col("value"), col("r_value"))
+  }
+
   /** Event-time sessionization with custom state: a session closes when
     * 30 minutes pass without events (event-time timeout against the
     * watermark). State per user is O(1) — start/last/count/sum. */

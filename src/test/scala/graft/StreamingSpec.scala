@@ -161,6 +161,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.n_events == 2 && out.head.total_value == 5.0)
   }
 
+  test("stream-stream interval join pairs each event with its preceding hour") {
+    implicit val sq = spark.sqlContext
+    val memA = MemoryStream[Event]
+    val memB = MemoryStream[Event]
+    val q = EventStream.intervalJoin(memA.toDF(), memB.toDF())
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    // b-events at t=10 and t=100; a-event at t=50 joins only the one at
+    // t=10 (t=100 is in its future), a-event at t=130 joins only t=100
+    // (t=10 is beyond the 1h window)
+    memB.addData(ev(101, 10, 3, 1.0), ev(102, 100, 3, 2.0))
+    memA.addData(ev(1, 50, 3, 10.0), ev(2, 130, 3, 20.0))
+    q.processAllAvailable()
+    val out = spark.table("ij_out").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("r_event_id"))).toSet
+    q.stop()
+    assert(out == Set((1L, 101L), (2L, 102L)), out.toString)
+  }
+
   test("q42 batch sessionize: session bounds ordered, events conserved") {
     val df = ops.Sessions.q42Sessionize(spark, sf)
     assert(df.filter(col("end_sec") < col("start_sec")).count() == 0)
