@@ -117,8 +117,28 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** q55: near-dup cluster keep-list — the step an LLM-data pipeline
+    * actually ships: MinHash candidate pairs (q32) refined at
+    * Jaccard ≥ 0.5 become edges, connected components group transitive
+    * near-dups into clusters, and the minimum doc_id per cluster is the
+    * canonical survivor. Emits only clustered docs (singletons trivially
+    * keep themselves). Same distributed CC as q47 — O(log diameter)
+    * rounds, no driver iteration. Hash-based candidates → rows-only
+    * driver check; DedupSpec pins one-keeper-per-cluster and
+    * keeper = min(doc_id). */
+  def q55DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q32DedupMinhash(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    Components.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("comp").as("cluster"),
+        (col("node") === col("comp")).as("keep"))
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_dedup_minhash" -> (q32DedupMinhash _),
-    "q33_dedup_simhash" -> (q33DedupSimhash _)
+    "q33_dedup_simhash" -> (q33DedupSimhash _),
+    "q55_dedup_clusters" -> (q55DedupClusters _)
   )
 }

@@ -115,6 +115,18 @@ class TextDedupSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 $mean")
   }
 
+  test("q55 dedup clusters: exactly one keeper per cluster, keeper is min doc_id") {
+    val rows = ops.Dedup.q55DedupClusters(spark, sf).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster.nonEmpty) // sf0.001 corpus contains near-dups
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.count(_.getAs[Boolean]("keep")) == 1, s"cluster $c keepers != 1")
+      val ids = rs.map(_.getAs[Long]("doc_id"))
+      assert(rs.filter(_.getAs[Boolean]("keep")).head.getAs[Long]("doc_id") == ids.min)
+      assert(c == ids.min) // component label IS the canonical id
+    }
+  }
+
   test("q36 embedding near-dups are canonical pairs above the threshold") {
     val rows = ops.Ann.q36DedupEmbedding(spark, sf).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
