@@ -31,6 +31,37 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("Ranking two-pass prefix/rank is bit-identical to the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new Random(11)
+    // heavy ties + negatives + a constant block: the cases that stress
+    // bucket-boundary and degenerate-width handling
+    val rows = (1 to 2000).map { i =>
+      val score = rnd.nextInt(40) match {
+        case 0 => 0.0
+        case _ => math.floor(rnd.nextGaussian() * 1000) / 100.0
+      }
+      (i.toLong, score, if (rnd.nextInt(10) == 0) 1 else 0)
+    }
+    val df = rows.toDF("vec_id", "score", "y")
+    val bk = ops.Ranking.withRangeBucket(df, "score", descending = true, buckets = 37)
+    val off = ops.Ranking.exclusiveOffsets(bk, Map(
+      "rows" -> count(lit(1)), "pos" -> sum(col("y")).cast("long")))
+    val w = Window.partitionBy(col("_b")).orderBy(col("score").desc, col("vec_id"))
+    val got = bk
+      .withColumn("k", row_number().over(w).cast("long") + off("rows"))
+      .withColumn("cum", sum(col("y")).over(w) + off("pos"))
+      .select(col("vec_id"), col("k"), col("cum"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val naiveW = Window.orderBy(col("score").desc, col("vec_id"))
+    val want = df
+      .withColumn("k", row_number().over(naiveW).cast("long"))
+      .withColumn("cum", sum(col("y")).over(naiveW))
+      .select(col("vec_id"), col("k"), col("cum"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
   test("streaming sessionize matches naive reference on random event streams") {
     val rnd = new Random(7)
     val base = 1440L // stay above the initial watermark
