@@ -6,6 +6,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated key filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=q47_connected_components); driver leaves it
+    // unset and measures everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
+      case None => SparkEntry.queries
+    }
     // Untimed warmup at the smallest SF: JIT + codegen + MLlib/class
     // loading are one-time JVM costs, not per-query throughput. Steady
     // state is what a long-running cluster job sees.
@@ -19,10 +28,10 @@ object Bench {
     // the measured plan is the verified plan.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       spark.catalog.clearCache() // drop operator-internal persists, OUTSIDE the timed window
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }

@@ -24,5 +24,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Features.oracles ++ ops.Graph.oracles ++
       ops.Metrics.oracles ++ ops.Text.oracles ++ ops.Ann.oracles ++
-      ops.Sessions.oracles ++ ops.TimeJoins.oracles ++ ops.Sampling.oracles
+      ops.Sessions.oracles ++ ops.TimeJoins.oracles ++ ops.Sampling.oracles ++
+      ops.Dedup.oracles ++ ops.Components.oracles
 }

@@ -45,28 +45,33 @@ object Components {
           .withColumnRenamed("comp", "dst_comp"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dst_comp")).as("nbr_comp"))
-      // localCheckpoint does double duty: it truncates the lineage
-      // (without it each round's plan embeds all previous rounds and
-      // the optimizer/codegen blow up exponentially — OOMs by
-      // ~iteration 15 even on tiny graphs) AND materializes `stepped`
-      // ONCE for its two consumers below (pointer-jump lookup + join);
-      // Spark does not dedupe common subplans, so an un-checkpointed
-      // `stepped` would recompute the whole neighbor-min pass twice.
-      // prev label rides along so convergence is a filter, not a join.
+      // prev label rides along so convergence is a filter, not a join
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
-        .localCheckpoint(true)
       // pointer jump: comp := label(comp) — halves label distance per
-      // round, turning O(diameter) hash-min into O(log diameter)
-      val lookup = stepped.select(col("node").as("jnode"), col("comp").as("jcomp"))
+      // round, turning O(diameter) hash-min into O(log diameter). The
+      // jump reads the PREVIOUS round's labels (already checkpointed),
+      // not `stepped`: a stale jump still shortcuts chains (labels only
+      // decrease, and any label is a node of the same component, so the
+      // fixpoint is unchanged) while letting the whole round be ONE
+      // plan with ONE materialization instead of three.
+      val lookup = labels.select(col("node").as("jnode"), col("comp").as("jcomp"))
+      // localCheckpoint truncates the lineage (without it each round's
+      // plan embeds all previous rounds and the optimizer/codegen blow
+      // up exponentially — OOMs by ~iteration 15 even on tiny graphs)
+      // AND materializes the round once for the convergence count +
+      // next-round consumers.
       val next = stepped.join(lookup, col("comp") === col("jnode"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"),
           col("prev"))
         .localCheckpoint(true)
       changed = next.filter(col("comp") =!= col("prev")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[graft] cc round $i: changed=$changed " +
+          s"t=${System.nanoTime() / 1e9}")
       // checkpoint blocks from previous rounds are freed by the
       // ContextCleaner once unreferenced (Dataset.unpersist is a no-op
       // for localCheckpoint blocks) — dropping the refs here suffices
@@ -83,8 +88,10 @@ object Components {
 
   /** q47: components of the ≥3-common-neighbor LSN graph (q21's output
     * as the edge list) + per-component size — the "fraud ring" view.
-    * Iteration count is data-dependent → rows-only driver check;
-    * ComponentsSpec proves equality with a union-find reference. */
+    * Oracle-checked: DuckDB replays the fixpoint as a recursive-CTE
+    * transitive closure (min reachable id = the hash-min label);
+    * ComponentsSpec additionally proves equality with a union-find
+    * reference. */
   def q47ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
     val lsn = Graph.q21CommonNeighbors(spark, dir)
       .select(col("u").as("src"), col("v").as("dst"))
@@ -95,6 +102,20 @@ object Components {
           .partitionBy(col("comp"))))
       .orderBy(col("comp"), col("node"))
   }
+
+  /** The closure is O(component-size²) rows — fine at oracle scale
+    * (the driver checks at sf0.01); the Spark side stays O(E·log d). */
+  val oracles: Map[String, String] = Map(
+    "q47_connected_components" ->
+      s"""WITH RECURSIVE ${Graph.lsnSql},
+        | bidir AS (SELECT u AS src, v AS dst FROM lsn UNION SELECT v, u FROM lsn),
+        | reach(node, r) AS (
+        |   SELECT src, dst FROM bidir UNION SELECT src, src FROM bidir
+        |   UNION SELECT reach.node, b.dst FROM reach JOIN bidir b ON reach.r = b.src),
+        | cmp AS (SELECT node, min(r) AS comp FROM reach GROUP BY 1)
+        |SELECT node, comp, count(*) OVER (PARTITION BY comp) AS comp_size
+        |FROM cmp ORDER BY 2, 1""".stripMargin
+  )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_connected_components" -> (q47ConnectedComponents _)

@@ -10,12 +10,30 @@ import org.apache.spark.sql.functions._
   * q31 — at 100 TB you never enumerate pairs, you bucket signatures and
   * only pair within buckets.
   *
-  * All hashing is `xxhash64` (codegen'd Catalyst expression, seed mixed
-  * in as a leading column) — engine-specific bits, so these are
-  * rows-only driver checks; DedupSpec pins the semantic invariants on
-  * constructed inputs with known duplicates.
+  * All hashing derives from [[Exact.portableHash]] (md5 hex digits read
+  * as an integer — identical in every engine) with permutations in exact
+  * mod-p int64 arithmetic, so q32/q33/q55 are FULLY oracle-checked
+  * against DuckDB, not rows-only; DedupSpec additionally pins the
+  * semantic invariants on constructed inputs with known duplicates.
   */
 object Dedup {
+
+  /** Mersenne prime 2^31−1: every permutation value stays < 2^31, so
+    * a·h+b tops out near 2^62 — exact in int64 in both engines. */
+  private val P = 2147483647L
+
+  /** Permutation coefficients for hash i — fixed LCG-style constants,
+    * inlined identically into the Spark plan and the DuckDB SQL. */
+  private[graft] def coef(i: Int): (Long, Long) =
+    ((1103515245L * (i + 1) + 12345L) % P, (69069L * (i + 1) + 362437L) % P)
+
+  /** Band key: fold the band's signature slots through acc←(31·acc+m) mod p.
+    * Spark and SQL spellings below are the same fold, term for term. */
+  private def bandHash(slots: Seq[Column]): Column =
+    slots.foldLeft(lit(17L): Column)((acc, m) => (acc * lit(31L) + m) % lit(P))
+
+  private def bandHashSql(slots: Seq[String]): String =
+    slots.foldLeft("17")((acc, m) => s"(($acc) * 31 + $m) % $P")
 
   /** Per-(seed, band) MinHash signature machinery, parameterized by a
     * (doc_id, shingle) DataFrame so specs can feed synthetic docs. */
@@ -23,13 +41,18 @@ object Dedup {
       sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val mins: Seq[Column] = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    // band j = hash of its `rows` consecutive signature slots
+    // one string hash per shingle; the numHashes "permutations" are
+    // pure int64 arithmetic on it (cheaper than numHashes string hashes)
+    val hashed = sh.select(col("doc_id"),
+      (Exact.portableHash(col("shingle"), 12) % lit(P)).as("h"))
+    val mins: Seq[Column] = (0 until numHashes).map { i =>
+      val (a, b) = coef(i)
+      min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"m$i")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols: Seq[Column] = (0 until bands).map { j =>
       val slots = (j * rows until (j + 1) * rows).map(i => col(s"m$i"))
-      struct(lit(j).as("band"), xxhash64(slots: _*).as("bh"))
+      struct(lit(j).as("band"), bandHash(slots).as("bh"))
     }
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
@@ -40,6 +63,45 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .agg(countDistinct(col("x.band")).as("n_bands"))
+  }
+
+  /** The same signature/band/candidate pipeline as SQL CTEs (shared by
+    * the q32 and q55 oracles). Emits CTEs: sh, hs, sig, bands, cand,
+    * sizes, inter, mh (the q32 result shape). */
+  private def minhashSql(numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    val minCols = (0 until numHashes).map { i =>
+      val (a, b) = coef(i)
+      s"min(($a * h + $b) % $P) AS m$i"
+    }.mkString(",\n   ")
+    val bandSelects = (0 until bands).map { j =>
+      val slots = (j * rows until (j + 1) * rows).map(i => s"m$i")
+      s"SELECT doc_id, $j AS band, ${bandHashSql(slots)} AS bh FROM sig"
+    }.mkString("\n   UNION ALL ")
+    s"""sh AS (${Text.shingledSql}),
+       | hs AS (SELECT doc_id,
+       |   ${Exact.sql.portableHash("shingle", 12)} % $P AS h FROM sh),
+       | sig AS (SELECT doc_id,
+       |   $minCols
+       |  FROM hs GROUP BY 1),
+       | bands AS ($bandSelects),
+       | cand AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+       |   count(DISTINCT x.band) AS n_bands
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       | inter AS (SELECT c.id1, c.id2, count(*) AS i
+       |  FROM cand c JOIN sh a ON c.id1 = a.doc_id
+       |   JOIN sh b ON c.id2 = b.doc_id AND a.shingle = b.shingle
+       |  GROUP BY 1, 2),
+       | mh AS (SELECT c.id1, c.id2, c.n_bands,
+       |   ${Exact.sql.r(
+             "coalesce(i, 0) * 1.0 / (s1.sz + s2.sz - coalesce(i, 0))", 6)} AS jaccard
+       |  FROM cand c
+       |   LEFT JOIN inter ON c.id1 = inter.id1 AND c.id2 = inter.id2
+       |   JOIN sizes s1 ON c.id1 = s1.doc_id
+       |   JOIN sizes s2 ON c.id2 = s2.doc_id)""".stripMargin
   }
 
   /** q32: MinHash(16 hashes) + LSH(4 bands × 4 rows) candidate pairs
@@ -64,44 +126,53 @@ object Dedup {
       .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
       .select(col("id1"), col("id2"), col("n_bands"),
-        round(coalesce(col("inter"), lit(0L)) * lit(1.0) /
+        Exact.r(coalesce(col("inter"), lit(0L)) * lit(1.0) /
           (col("s1.sz") + col("s2.sz") - coalesce(col("inter"), lit(0L))), 6)
           .as("jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** 64-bit SimHash over a (doc_id, token) DataFrame: per-bit weighted
-    * votes, majority per bit, bits packed into one BIGINT.
+  /** SimHash bit width and banding: 60 bits (15 md5 hex digits — the
+    * most that stays positive in int64), 4 bands × 15 bits; any pair
+    * within hamming ≤ 3 shares ≥ 1 exact band by pigeonhole. */
+  private val simBits = 60
+  private val simBands = 4
+  private val chunkBits = simBits / simBands
+  private val chunkMask = (1L << chunkBits) - 1
+
+  /** SimHash over a (doc_id, token) DataFrame: per-bit weighted votes,
+    * majority per bit, bits packed into one BIGINT.
     *
     * Token occurrences first collapse to (doc_id, token-hash, count) —
-    * map-side partial aggregation shrinks the input to the 64 bit-vote
+    * map-side partial aggregation shrinks the input to the bit-vote
     * sums by the token repeat factor, and each token hashes ONCE instead
     * of per occurrence. The ±1 vote `Σ ±c > 0` is spelled as
     * `2·Σ(c·bit) > Σc` (identical result incl. ties) so each bit costs
     * one shift-and-multiply-add, not a conditional. All codegen'd, no
     * UDF. */
   private[graft] def simhash(tok: DataFrame): DataFrame = {
-    val h = tok.groupBy(col("doc_id"), xxhash64(col("token")).as("h"))
+    val h = tok.groupBy(col("doc_id"),
+        Exact.portableHash(col("token"), 15).as("h"))
       .agg(count(lit(1)).as("c"))
     val votes: Seq[Column] =
-      sum(col("c")).as("t") +: (0 until 64).map(b =>
+      sum(col("c")).as("t") +: (0 until simBits).map(b =>
         sum(col("c") * expr(s"(h >> $b) & 1")).as(s"o$b"))
-    val packed = (0 until 64).map(b =>
+    val packed = (0 until simBits).map(b =>
       when(col(s"o$b") * 2 > col("t"), expr(s"CAST(1 AS BIGINT) << $b")).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     h.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** q33: SimHash near-dup — band the 64-bit sketch into 4×16-bit
-    * chunks (any pair within hamming ≤ 3 shares ≥ 1 exact chunk by
-    * pigeonhole), bucket-join on (band, chunk), keep hamming ≤ 3. */
+  /** q33: SimHash near-dup — band the 60-bit sketch into 4×15-bit
+    * chunks, bucket-join on (band, chunk), keep hamming ≤ 3. */
   def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val sig = simhash(tok)
-    val bandCols = (0 until 4).map(j =>
-      struct(lit(j).as("band"), expr(s"(simhash >> ${16 * j}) & 65535").as("chunk")))
+    val bandCols = (0 until simBands).map(j =>
+      struct(lit(j).as("band"),
+        expr(s"(simhash >> ${chunkBits * j}) & $chunkMask").as("chunk")))
     val buckets = sig
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
@@ -117,15 +188,36 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  private def simhashSql: String = {
+    val voteCols = (0 until simBits).map(b =>
+      s"sum(c * ((h >> $b) & 1)) AS o$b").mkString(",\n   ")
+    val packed = (0 until simBits).map(b =>
+      s"(CASE WHEN o$b * 2 > t THEN 1::BIGINT << $b ELSE 0::BIGINT END)")
+      .mkString(" |\n   ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       | hc AS (SELECT doc_id, ${Exact.sql.portableHash("token", 15)} AS h,
+       |   count(*) AS c FROM tok GROUP BY 1, 2),
+       | v AS (SELECT doc_id, sum(c) AS t,
+       |   $voteCols
+       |  FROM hc GROUP BY 1),
+       | sig AS (SELECT doc_id,
+       |   $packed AS simhash
+       |  FROM v),
+       | bk AS (SELECT doc_id, simhash, band,
+       |   (simhash >> ($chunkBits * band)) & $chunkMask AS chunk
+       |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(band))""".stripMargin
+  }
+
   /** q55: near-dup cluster keep-list — the step an LLM-data pipeline
     * actually ships: MinHash candidate pairs (q32) refined at
     * Jaccard ≥ 0.5 become edges, connected components group transitive
     * near-dups into clusters, and the minimum doc_id per cluster is the
     * canonical survivor. Emits only clustered docs (singletons trivially
     * keep themselves). Same distributed CC as q47 — O(log diameter)
-    * rounds, no driver iteration. Hash-based candidates → rows-only
-    * driver check; DedupSpec pins one-keeper-per-cluster and
-    * keeper = min(doc_id). */
+    * rounds, no driver iteration; the oracle replays it as a DuckDB
+    * recursive-CTE transitive closure. DedupSpec pins
+    * one-keeper-per-cluster and keeper = min(doc_id). */
   def q55DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q32DedupMinhash(spark, dir)
       .filter(col("jaccard") >= 0.5)
@@ -135,6 +227,29 @@ object Dedup {
         (col("node") === col("comp")).as("keep"))
       .orderBy(col("cluster"), col("doc_id"))
   }
+
+  val oracles: Map[String, String] = Map(
+    "q32_dedup_minhash" ->
+      s"""WITH ${minhashSql(16, 4)}
+        |SELECT id1, id2, n_bands, jaccard FROM mh ORDER BY 1, 2""".stripMargin,
+    "q33_dedup_simhash" ->
+      s"""WITH $simhashSql
+        |SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+        | CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        |FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+    "q55_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashSql(16, 4)},
+        | e AS (SELECT id1 AS src, id2 AS dst FROM mh WHERE jaccard >= 0.5),
+        | bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        | reach(node, r) AS (
+        |   SELECT src, dst FROM bidir UNION SELECT src, src FROM bidir
+        |   UNION SELECT reach.node, b.dst FROM reach JOIN bidir b ON reach.r = b.src)
+        |SELECT node AS doc_id, min(r) AS cluster, node = min(r) AS keep
+        |FROM reach GROUP BY node ORDER BY 2, 1""".stripMargin
+  )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_dedup_minhash" -> (q32DedupMinhash _),

@@ -52,6 +52,18 @@ object Exact {
     floor(c * m + lit(0.5)) / m
   }
 
+  /** Engine-portable content hash: the first `hexDigits` hex chars of
+    * md5 (identical bytes in every engine) read as one integer. md5 does
+    * the mixing in native code; the hex→int conversion is exact integer
+    * arithmetic, so Spark and DuckDB agree bit-for-bit — unlike
+    * `xxhash64`, which only Spark has. 12 digits = 48 bits (fingerprint /
+    * MinHash input), 15 digits = 60 bits (SimHash bit votes); both stay
+    * positive in int64 so `%` behaves identically in both engines. */
+  def portableHash(c: Column, hexDigits: Int): Column = {
+    require(hexDigits <= 15, "16 hex digits can overflow signed int64")
+    conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
+  }
+
   /** Deterministic LCG 80% split bucket (the reproducible stratified
     * train split used by q18, q46 and FraudPipeline — one definition).
     * The key is reduced mod 2³¹ BEFORE the multiply: a raw
@@ -65,6 +77,10 @@ object Exact {
 
   // The DuckDB spellings of the same expressions.
   object sql {
+    /** DuckDB spelling of [[Exact.portableHash]] (DuckDB casts 0x-prefixed
+      * strings to integers natively; Spark spells the same value via conv). */
+    def portableHash(x: String, hexDigits: Int): String =
+      s"CAST('0x' || substring(md5($x), 1, $hexDigits) AS BIGINT)"
     /** DuckDB spelling of [[Exact.lcgTrain80]]. */
     def lcgTrain80(key: String): String =
       s"((($key % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80"

@@ -74,6 +74,15 @@ object Graph {
        |   row_number() OVER (PARTITION BY $key ORDER BY $ord) AS rn FROM $src)
        |  WHERE rn <= $cap""".stripMargin
 
+  /** The q21 LSN edge list as SQL CTEs (`e0`, `e`, `lsn`) — shared with
+    * the q47 connected-components oracle, which runs CC over it. */
+  private[graft] def lsnSql: String =
+    s"""e0 AS ($hotEdgesSql),
+       | e AS (${capSql("e0", "dst", "src", adjCap)}),
+       | lsn AS (SELECT a.src AS u, b.src AS v
+       |  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+
   /** q20: in/out/total degree per vertex (data_process.py:131-138).
     * One union + one groupBy: each edge contributes an out-row for src
     * and an in-row for dst; distinct-counting the counterpart per
@@ -122,10 +131,14 @@ object Graph {
     // broadcasting it keeps und partitioned in place. The hint is
     // size-GATED, not hardcoded: past ~50M nodes a per-node broadcast
     // is a driver killer, so fall back to a shuffle join (AQE may still
-    // choose better at runtime). The count is one agg over the cached
-    // und — a metadata-scale pre-pass, not a data collect.
+    // choose better at runtime). The gate reads an UPPER BOUND on the
+    // node count from the dimension tables' parquet footers (count(*)
+    // over parquet is statistics-only — no data scan, no extra pass
+    // over the edge build; nodes ⊆ customers ∪ suppliers).
     val broadcastNodeLimit = 50L * 1000 * 1000
-    val degSide = if (deg.count() <= broadcastNodeLimit) broadcast(deg) else deg
+    val nodeBound = Tables.customer(spark, dir).count() +
+      Tables.supplier(spark, dir).count()
+    val degSide = if (nodeBound <= broadcastNodeLimit) broadcast(deg) else deg
     und.join(degSide, col("dst") === col("n"))
       .groupBy(col("src").as("node"))
       .agg(Exact.r(sum(col("d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
@@ -174,11 +187,14 @@ object Graph {
     * broadcast back, not a single-partition window. */
   def q24DegreeSamplingProb(spark: SparkSession, dir: String): DataFrame = {
     val deg = edges(spark, dir).groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // lab feeds BOTH the fraud-rate agg and the scored projection —
+    // cache it or the edge-degree build above runs twice
     val lab = Tables.customer(spark, dir)
       .join(deg, col("c_custkey") === col("src"), "left")
       .select(col("c_custkey"),
         (col("c_acctbal") < 0).cast("int").as("label"),
         greatest(coalesce(col("d"), lit(0L)), lit(1L)).as("deg"))
+      .cache()
     val rate = lab.agg((sum(col("label")) * lit(1.0) / count(lit(1))).as("fr"))
     // scored feeds BOTH the normalizer agg and the final projection —
     // persist it or the whole join/degree subplan runs twice

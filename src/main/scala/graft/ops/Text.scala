@@ -39,7 +39,7 @@ object Text {
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
 
-  private val shingledSql =
+  private[graft] val shingledSql =
     """SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
@@ -146,16 +146,17 @@ object Text {
         length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy(col("doc_id"))
 
-  /** q40: rolling-hash fingerprint — min/max xxhash64 over the doc's
-    * trigram shingles (winnowing-style content signature). Hash choice
-    * is engine-specific → rows-only driver check; TextSpec pins the
-    * invariants (identical text ⇒ identical fingerprint). */
+  /** q40: rolling-hash fingerprint — min/max 48-bit content hash over
+    * the doc's trigram shingles (winnowing-style signature). The hash is
+    * [[Exact.portableHash]] (md5 hex digits as an integer), identical in
+    * both engines, so the fingerprint is fully oracle-checked; TextSpec
+    * additionally pins identical text ⇒ identical fingerprint. */
   def q40Fingerprint(spark: SparkSession, dir: String): DataFrame =
     shingled(spark, dir)
       .groupBy(col("doc_id"))
       .agg(
-        min(xxhash64(col("shingle"))).as("fp_min"),
-        max(xxhash64(col("shingle"))).as("fp_max"),
+        min(Exact.portableHash(col("shingle"), 12)).as("fp_min"),
+        max(Exact.portableHash(col("shingle"), 12)).as("fp_max"),
         count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_id"))
 
@@ -209,6 +210,13 @@ object Text {
         |      ELSE 'es' END AS lang_pred,
         | c_en, c_de, c_fr, c_es
         |FROM c ORDER BY 1""".stripMargin,
+    "q40_fingerprint" ->
+      s"""WITH sh AS ($shingledSql)
+        |SELECT doc_id,
+        | min(${Exact.sql.portableHash("shingle", 12)}) AS fp_min,
+        | max(${Exact.sql.portableHash("shingle", 12)}) AS fp_max,
+        | count(*) AS n_shingles
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_token_count" ->
       """SELECT doc_id,
         | len(string_split(text, ' '))::BIGINT AS ws_tokens,
