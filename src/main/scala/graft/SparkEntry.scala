@@ -25,5 +25,5 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Features.oracles ++ ops.Graph.oracles ++
       ops.Metrics.oracles ++ ops.Text.oracles ++ ops.Ann.oracles ++
       ops.Sessions.oracles ++ ops.TimeJoins.oracles ++ ops.Sampling.oracles ++
-      ops.Dedup.oracles ++ ops.Components.oracles
+      ops.Dedup.oracles ++ ops.Components.oracles ++ ops.Multimodal.oracles
 }

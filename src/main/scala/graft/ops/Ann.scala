@@ -103,31 +103,47 @@ object Ann {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** q35: random-hyperplane LSH ANN — 12 Rademacher hyperplanes derived
-    * from xxhash64(plane, dim) signs give a 12-bit bucket; queries only
-    * compare against corpus vectors in their bucket. Hash bits are
-    * engine-specific → rows-only check; AnnSpec verifies recall against
-    * q34 ground truth. */
+  /** Hyperplane count and embedding dimensionality for q35. 8 planes ⇒
+    * 256 buckets — dense enough that buckets actually collide at test
+    * SFs while still pruning ~99.6% of candidates. */
+  private val lshPlanes = 8
+  private val lshDims = 64
+
+  /** ±1 Rademacher sign for (plane, dim): parity of the first md5 hex
+    * digit of "p_d" — computed HERE once (JVM md5 ≡ every engine's md5)
+    * and inlined as LITERALS into both the Spark plan and the oracle
+    * SQL, so neither engine hashes per row and both agree by
+    * construction. */
+  private[graft] def lshSign(p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val first = md.digest(s"${p}_$d".getBytes("UTF-8"))(0)
+    if (((first >> 4) & 1) == 1) 1L else -1L
+  }
+
+  /** q35: random-hyperplane LSH ANN — 8 deterministic Rademacher
+    * hyperplanes over the scaled-int64 components give an 8-bit bucket;
+    * queries only compare against corpus vectors in their bucket. The
+    * projection Σ ±x is exact integer math on the same quantized
+    * components as the cosine, so the bucket — and therefore the whole
+    * result — is oracle-checked; AnnSpec additionally verifies recall
+    * against q34 ground truth. */
   def q35AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val planes = 12
-    // sign_p(v) = Σ_d ±v[d] > 0, with the ± pattern a deterministic
-    // function of (p, d): bit 0 of xxhash64(p, d).
+    // sign_p(v) = Σ_d ±v[d] > 0 over the pre-quantized BIGINT vector
     def bucketOf(vec: String): Column = {
-      val bits = (0 until planes).map { p =>
-        val s = expr(
-          s"""aggregate(zip_with($vec, sequence(1, size($vec)),
-            |  (x, d) -> CASE WHEN (xxhash64($p, d) & 1) = 1
-            |            THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END),
-            | CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      val bits = (0 until lshPlanes).map { p =>
+        val signs = array((1 to lshDims).map(d => lit(lshSign(p, d))): _*)
+        val s = aggregate(
+          zip_with(col(vec), signs, (x, sg) => x * sg),
+          lit(0L), (acc, v) => acc + v)
         when(s > 0, lit(1L << p)).otherwise(lit(0L))
       }
       bits.reduce(_.bitwiseOR(_))
     }
     val emb = Tables.embeddings(spark, dir)
     val q = prep(emb.filter(col("vec_id") < 10), "qid", "qe", "qn")
-      .join(emb.select(col("vec_id").as("qid"), bucketOf("embedding").as("bucket")), "qid")
+      .withColumn("bucket", bucketOf("qe"))
     val c = prep(emb.filter(col("vec_id") >= 10), "cid", "ce", "cn")
-      .join(emb.select(col("vec_id").as("cid"), bucketOf("embedding").as("bucket")), "cid")
+      .withColumn("bucket", bucketOf("ce"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
     c.join(broadcast(q), Seq("bucket"))
@@ -227,7 +243,35 @@ object Ann {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** The 8×64 sign table as a VALUES list for the q35 oracle — the same
+    * [[lshSign]] literals the Spark plan inlines. */
+  private def lshSignsSql: String =
+    (0 until lshPlanes).flatMap(p =>
+      (1 to lshDims).map(d => s"($p,$d,${lshSign(p, d)})")).mkString(",")
+
   val oracles: Map[String, String] = Map(
+    "q35_ann_lsh" -> {
+      s"""WITH qt AS (SELECT * FROM embeddings WHERE vec_id < 10),
+        | ct AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+        | ${cosineSql("qt", "ct")},
+        | signs AS (SELECT * FROM (VALUES $lshSignsSql) v(p, pos, s)),
+        | qproj AS (SELECT qid, p, sum(x * s) AS sp
+        |  FROM qe JOIN signs USING (pos) GROUP BY 1, 2),
+        | qbuck AS (SELECT qid, CAST(sum(CASE WHEN sp > 0
+        |   THEN 1::BIGINT << p ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        |  FROM qproj GROUP BY 1),
+        | cproj AS (SELECT cid, p, sum(y * s) AS sp
+        |  FROM ce JOIN signs USING (pos) GROUP BY 1, 2),
+        | cbuck AS (SELECT cid, CAST(sum(CASE WHEN sp > 0
+        |   THEN 1::BIGINT << p ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        |  FROM cproj GROUP BY 1),
+        | ranked AS (SELECT qid, cid, qb.bucket AS bucket, cos,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM cosres JOIN qbuck qb USING (qid) JOIN cbuck cb USING (cid)
+        |  WHERE qb.bucket = cb.bucket)
+        |SELECT qid, cid, bucket, cos, rk FROM ranked WHERE rk <= 10
+        |ORDER BY qid, rk""".stripMargin
+    },
     "q34_ann_cosine_topk" -> {
       s"""WITH qt AS (SELECT * FROM embeddings WHERE vec_id < 10),
         | ct AS (SELECT * FROM embeddings WHERE vec_id >= 10),

@@ -23,9 +23,11 @@ object Multimodal {
     features: Array[Float])
 
   /** q41: typed metadata extraction over a binary column — byte length,
-    * leading magic bytes, kind classification — all codegen'd column
-    * expressions; the payload is never deserialized on the driver.
-    * (rows-only driver check; MultimodalSpec pins semantics.) */
+    * leading magic bytes, kind classification, portable content hash —
+    * all codegen'd column expressions; the payload is never
+    * deserialized on the driver. Fully oracle-checked (the hash is
+    * [[Exact.portableHash]], i.e. md5 — engine-identical over the same
+    * bytes); MultimodalSpec additionally pins semantics. */
   def q41MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -39,8 +41,26 @@ object Multimodal {
           .when(hex(substring(col("payload"), 1, 4)) === "89504E47", "png")
           .when(substring(col("payload"), 1, 4).cast("string") === "RIFF", "wav")
           .otherwise("bin").as("kind"),
-        xxhash64(col("payload")).as("content_hash"))
+        Exact.portableHash(col("payload"), 15).as("content_hash"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB 1.0 can't slice BLOBs, so the oracle slices the VARCHAR
+    * then encodes — byte-identical to Spark's binary slice while the
+    * corpus is ASCII (it is: octet_length = length for every doc at
+    * every SF; a multibyte corpus would need a blob-slice UDF here,
+    * not an operator change). */
+  val oracles: Map[String, String] = Map(
+    "q41_multimodal_meta" ->
+      s"""SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | upper(hex(encode(substring(text, 1, 4)))) AS magic,
+        | CASE WHEN upper(hex(encode(substring(text, 1, 3)))) = 'FFD8FF' THEN 'jpeg'
+        |      WHEN upper(hex(encode(substring(text, 1, 4)))) = '89504E47' THEN 'png'
+        |      WHEN substring(text, 1, 4) = 'RIFF' THEN 'wav'
+        |      ELSE 'bin' END AS kind,
+        | ${Exact.sql.portableHash("text", 15)} AS content_hash
+        |FROM documents ORDER BY 1""".stripMargin
+  )
 
   /** STUB DECODER — deterministic fake standing in for a real codec
     * (no image/audio libs in this container). Emits a fixed-width
