@@ -17,7 +17,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Features.queries ++ ops.Graph.queries ++
       ops.Metrics.queries ++ ops.Text.queries ++ ops.Dedup.queries ++
       ops.Ann.queries ++ ops.Sessions.queries ++ ops.Multimodal.queries ++
-      ops.Components.queries ++ ops.TimeJoins.queries ++ ops.Sampling.queries
+      ops.Components.queries ++ ops.TimeJoins.queries ++ ops.Sampling.queries ++
+      ops.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -25,5 +26,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Features.oracles ++ ops.Graph.oracles ++
       ops.Metrics.oracles ++ ops.Text.oracles ++ ops.Ann.oracles ++
       ops.Sessions.oracles ++ ops.TimeJoins.oracles ++ ops.Sampling.oracles ++
-      ops.Dedup.oracles ++ ops.Components.oracles ++ ops.Multimodal.oracles
+      ops.Dedup.oracles ++ ops.Components.oracles ++ ops.Multimodal.oracles ++
+      ops.Corpus.oracles
 }

@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-level text operators (SURVEY.md §2.E extension): per-document
+  * salient terms (tf-idf) and the end-to-end corpus-curation pipeline —
+  * the composition an LLM data pipeline actually ships (language gate →
+  * quality gate → exact dedup → near-dup dedup → per-source mix
+  * weights). Every stage reuses an already-oracled operator, and the
+  * composed result is itself fully oracle-checked as one DuckDB query.
+  *
+  * Scale notes (100 TB): q56 is two hash aggregations keyed on
+  * (doc, term) / term plus one broadcast scalar — the same shape as
+  * word count; q57 is a chain of per-doc joins all keyed on doc_id
+  * (one shuffle key end to end) over aggregates that are each a single
+  * map-side-combined pass.
+  */
+object Corpus {
+
+  /** q56: top-5 salient terms per document by tf-idf. The idf factor is
+    * the log-free ratio N/df — `ln` is NOT identically rounded across
+    * libm implementations, so the canonical log spelling would flake
+    * the oracle; the ratio preserves the ranking semantics (monotone in
+    * df) and keeps every score an exact integer ratio.
+    * score = c·N / (df·len_d), ranked per doc (desc, term asc). */
+  def q56TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // tf feeds the length agg, the df agg and the final join — one
+    // shuffle to build, three readers
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c")).cache()
+    val len = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(len, "doc_id").join(dfq, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("c"), col("df"),
+        Exact.r(col("c") * col("n") * lit(1.0) / (col("df") * col("len")), 6)
+          .as("tfidf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** q57: corpus curation end to end — keep a document iff
+    *  (1) language gate: q37's marker vote says 'en',
+    *  (2) quality gate: q38's score ≥ 0.5 (on the rounded score, and
+    *      the oracle filters on the identical rounded expression),
+    *  (3) exact-dedup canonical: doc_id = min(doc_id) of its md5 group,
+    *  (4) near-dup survivor: not a non-keeper of a q55 cluster;
+    * then report per-source doc counts, token counts and the mix weight
+    * (source tokens / kept tokens) — the sampling weights a training
+    * run consumes. */
+  def q57CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val lang = Text.q37LangId(spark, dir).select(col("doc_id"), col("lang_pred"))
+    val qual = Text.q38QualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"), col("n_tok"))
+    val exKeep = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val nd = Dedup.q55DedupClusters(spark, dir).select(col("doc_id"), col("keep"))
+    val kept = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .join(lang, "doc_id").join(qual, "doc_id").join(exKeep, "h")
+      .join(nd, Seq("doc_id"), "left")
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.5 &&
+        col("doc_id") === col("keep_id") && coalesce(col("keep"), lit(true)))
+    // agg feeds the total and the final projection — cache, not recompute
+    val agg = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .cache()
+    val tot = agg.agg(sum(col("n_tokens")).as("tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Exact.r(col("n_tokens") * lit(1.0) / col("tot"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q56_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        | len AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM tf GROUP BY 1),
+        | dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | scored AS (SELECT doc_id, term, c, df,
+        |   floor((c * n * 1.0 / (df * len)) * 1e6 + 0.5) / 1e6 AS tfidf
+        |  FROM tf JOIN len USING (doc_id) JOIN dfq USING (term) CROSS JOIN n),
+        | ranked AS (SELECT doc_id, term, c, df, tfidf,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, c, df, tfidf, rk FROM ranked WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin,
+    "q57_corpus_pipeline" -> {
+      s"""WITH RECURSIVE ${Dedup.minhashSql(16, 4)},
+        | e AS (SELECT id1 AS src, id2 AS dst FROM mh WHERE jaccard >= 0.5),
+        | bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        | reach(node, r) AS (
+        |   SELECT src, dst FROM bidir UNION SELECT src, src FROM bidir
+        |   UNION SELECT reach.node, b.dst FROM reach JOIN bidir b ON reach.r = b.src),
+        | nd AS (SELECT node AS doc_id, node = min(r) AS keep FROM reach GROUP BY 1),
+        | t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | langq AS (SELECT doc_id,
+        |   len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS c_en,
+        |   len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'und' OR x = 'nicht')) AS c_de,
+        |   len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'et' OR x = 'les')) AS c_fr,
+        |   len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'que' OR x = 'y')) AS c_es
+        |  FROM t),
+        | lang AS (SELECT doc_id,
+        |   CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+        |        WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+        |        WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+        |        WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+        |        ELSE 'es' END AS lang_pred
+        |  FROM langq),
+        | qual AS (SELECT d.doc_id,
+        |   len(t.t)::BIGINT AS n_tok,
+        |   floor((least(len(t.t)*1.0/100, 1.0)*0.5
+        |     + len(list_distinct(t.t))*0.3/len(t.t)
+        |     + least(len(list_filter(t.t, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))*5.0/len(t.t), 1.0)*0.2)
+        |    * 1e6 + 0.5) / 1e6 AS quality
+        |  FROM documents d JOIN t ON d.doc_id = t.doc_id),
+        | ex AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |  FROM documents GROUP BY 1),
+        | kept AS (SELECT d.doc_id, d.source, qual.n_tok
+        |  FROM documents d
+        |   JOIN lang ON d.doc_id = lang.doc_id
+        |   JOIN qual ON d.doc_id = qual.doc_id
+        |   JOIN ex ON md5(d.text) = ex.h
+        |   LEFT JOIN nd ON d.doc_id = nd.doc_id
+        |  WHERE lang_pred = 'en' AND quality >= 0.5
+        |    AND d.doc_id = ex.keep_id AND coalesce(nd.keep, TRUE)),
+        | agg AS (SELECT source, count(*) AS n_docs,
+        |   CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM kept GROUP BY 1),
+        | tot AS (SELECT sum(n_tokens) AS tot FROM agg)
+        |SELECT source, n_docs, n_tokens,
+        | floor((n_tokens * 1.0 / tot) * 1e6 + 0.5) / 1e6 AS weight
+        |FROM agg CROSS JOIN tot ORDER BY 1""".stripMargin
+    }
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_tfidf_topterms" -> (q56TfidfTopTerms _),
+    "q57_corpus_pipeline" -> (q57CorpusPipeline _)
+  )
+}

@@ -66,9 +66,9 @@ object Dedup {
   }
 
   /** The same signature/band/candidate pipeline as SQL CTEs (shared by
-    * the q32 and q55 oracles). Emits CTEs: sh, hs, sig, bands, cand,
-    * sizes, inter, mh (the q32 result shape). */
-  private def minhashSql(numHashes: Int, bands: Int): String = {
+    * the q32, q55 and q57 oracles). Emits CTEs: sh, hs, sig, bands,
+    * cand, sizes, inter, mh (the q32 result shape). */
+  private[graft] def minhashSql(numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
     val minCols = (0 until numHashes).map { i =>
       val (a, b) = coef(i)

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-level operators (tf-idf, end-to-end
+  * curation pipeline). */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q56 tf-idf: ranks are 1..k per doc, scores descend, ubiquitous terms score low") {
+    val rows = ops.Corpus.q56TfidfTopTerms(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val ranks = rs.map(_.getLong(5)).sorted.toSeq
+      assert(ranks == (1L to ranks.size), s"doc $doc ranks $ranks")
+      val scores = rs.sortBy(_.getLong(5)).map(_.getDouble(4)).toSeq
+      assert(scores == scores.sortBy(-_), s"doc $doc not descending: $scores")
+    }
+    // a term present in EVERY doc has idf ratio N/df = 1 — it can only
+    // win a top-5 slot over terms that are themselves near-ubiquitous
+    val n = Tables.documents(spark, sf).count()
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val everywhere = tok.distinct().groupBy("term").count()
+      .filter(col("count") === n).select("term").as[String].collect().toSet
+    if (everywhere.nonEmpty) {
+      val topRank1 = rows.filter(_.getLong(5) == 1L).map(_.getString(1))
+      assert(topRank1.count(everywhere) < topRank1.length,
+        "every doc's top term is a corpus-wide stopword — idf is not discriminating")
+    }
+  }
+
+  test("q57 pipeline: weights sum to 1, kept docs pass every gate") {
+    val out = ops.Corpus.q57CorpusPipeline(spark, sf).collect()
+    assert(out.nonEmpty)
+    val wsum = out.map(_.getDouble(3)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    // per-source totals are bounded by the raw corpus per-source counts
+    val raw = Tables.documents(spark, sf).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    out.foreach { r =>
+      assert(r.getLong(1) <= raw(r.getString(0)),
+        s"source ${r.getString(0)} kept more docs than exist")
+    }
+  }
+}
