@@ -78,4 +78,19 @@ class PlanSpec extends SparkSpec {
     assert(plan(ops.Relational.q05WindowRank(spark, sf)).contains("WindowGroupLimit"))
     assert(plan(ops.Ann.q34AnnCosineTopk(spark, sf)).contains("WindowGroupLimit"))
   }
+
+  test("q56: tf aggregation is map-side partial, top-k is WindowGroupLimit") {
+    val p = plan(ops.Corpus.q56TfidfTopTerms(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q35: buckets computed inline — no extra per-side self-join") {
+    // one scan per side (query + corpus); the old shape re-joined the
+    // embeddings table per side to attach buckets (4 scans total)
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val scans = ops.Ann.q35AnnLsh(spark, sf).queryExecution.optimizedPlan
+      .collect { case r: LogicalRelation => r }
+    assert(scans.size == 2, scans.map(_.simpleString(60)))
+  }
 }

@@ -127,6 +127,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q55 clusters equal a union-find transitive closure of the ≥0.5 pairs") {
+    val pairs = ops.Dedup.q32DedupMinhash(spark, sf)
+      .filter(col("jaccard") >= 0.5).select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+      .map(k => k -> find(k)).toMap
+    val got = ops.Dedup.q55DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("q36 embedding near-dups are canonical pairs above the threshold") {
     val rows = ops.Ann.q36DedupEmbedding(spark, sf).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
