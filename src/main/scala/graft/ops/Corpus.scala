@@ -57,16 +57,21 @@ object Corpus {
     * (source tokens / kept tokens) — the sampling weights a training
     * run consumes. */
   def q57CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val lang = Text.q37LangId(spark, dir).select(col("doc_id"), col("lang_pred"))
-    val qual = Text.q38QualityScore(spark, dir)
-      .select(col("doc_id"), col("quality"), col("n_tok"))
+    // language + quality gates share ONE scan and ONE tokenization —
+    // the same gate expressions q37/q38 are built from, projected
+    // together instead of materializing two operators and joining them
+    val gated = Text.withQualityParts(
+        Text.withLangCounts(Tables.documents(spark, dir)
+          .withColumn("t", split(col("text"), " "))))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        Text.langPredCol.as("lang_pred"), Text.qualityCol.as("quality"),
+        col("n_tok"))
     val exKeep = Tables.documents(spark, dir)
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
     val nd = Dedup.q55DedupClusters(spark, dir).select(col("doc_id"), col("keep"))
-    val kept = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
-      .join(lang, "doc_id").join(qual, "doc_id").join(exKeep, "h")
+    val kept = gated
+      .join(exKeep, "h")
       .join(nd, Seq("doc_id"), "left")
       .filter(col("lang_pred") === "en" && col("quality") >= 0.5 &&
         col("doc_id") === col("keep_id") && coalesce(col("keep"), lit(true)))

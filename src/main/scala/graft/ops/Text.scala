@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators over `documents` (SURVEY.md §2.E) —
@@ -83,54 +83,69 @@ object Text {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** q37: stopword-marker language ID (the n-gram/stopword heuristic of
-    * production crawl pipelines). Deterministic argmax over per-language
-    * marker-token hit counts, ties → 'und'. */
-  def q37LangId(spark: SparkSession, dir: String): DataFrame = {
-    val markers = Map(
-      "en" -> Seq("the", "a", "of", "and"),
-      "de" -> Seq("der", "die", "und", "nicht"),
-      "fr" -> Seq("le", "la", "et", "les"),
-      "es" -> Seq("el", "los", "que", "y"))
-    val toks = Tables.documents(spark, dir)
-      .withColumn("t", split(col("text"), " "))
-    val withCounts = markers.foldLeft(toks) { case (df, (lang, ws)) =>
+  /** Per-language marker words (the stopword heuristic of production
+    * crawl pipelines) — shared by q37 and the q57 language gate. */
+  private[graft] val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "que", "y"))
+
+  /** Adds c_en..c_es marker-hit counts; expects a token-array column `t`. */
+  private[graft] def withLangCounts(df: DataFrame): DataFrame =
+    langMarkers.foldLeft(df) { case (d, (lang, ws)) =>
       val inList = ws.map(w => s"x = '$w'").mkString(" OR ")
-      df.withColumn(s"c_$lang", expr(s"size(filter(t, x -> $inList))").cast("long"))
+      d.withColumn(s"c_$lang", expr(s"size(filter(t, x -> $inList))").cast("long"))
     }
+
+  /** Deterministic argmax over the marker counts, ties → 'und'. */
+  private[graft] def langPredCol: Column = {
     val best = greatest(col("c_en"), col("c_de"), col("c_fr"), col("c_es"))
-    withCounts.select(
-        col("doc_id"), col("lang").as("lang_true"),
-        when(best === 0, lit("und"))
-          .when(col("c_en") === best, lit("en"))
-          .when(col("c_de") === best, lit("de"))
-          .when(col("c_fr") === best, lit("fr"))
-          .otherwise(lit("es")).as("lang_pred"),
-        col("c_en"), col("c_de"), col("c_fr"), col("c_es"))
-      .orderBy(col("doc_id"))
+    when(best === 0, lit("und"))
+      .when(col("c_en") === best, lit("en"))
+      .when(col("c_de") === best, lit("de"))
+      .when(col("c_fr") === best, lit("fr"))
+      .otherwise(lit("es"))
   }
 
-  /** q38: heuristic quality score — length, token count, type-token
-    * ratio, stopword ratio, mean word length; combined into [0,1].
-    * All ratios of exact integers, so the oracle is exact. */
-  def q38QualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("t", split(col("text"), " "))
-      .withColumn("n_tok", size(col("t")).cast("long"))
+  /** q37: stopword-marker language ID. */
+  def q37LangId(spark: SparkSession, dir: String): DataFrame =
+    withLangCounts(Tables.documents(spark, dir)
+        .withColumn("t", split(col("text"), " ")))
+      .select(
+        col("doc_id"), col("lang").as("lang_true"),
+        langPredCol.as("lang_pred"),
+        col("c_en"), col("c_de"), col("c_fr"), col("c_es"))
+      .orderBy(col("doc_id"))
+
+  /** Adds n_tok / n_uniq / n_stop from the token-array column `t`, and
+    * the [0,1] quality combination — shared by q38 and the q57 quality
+    * gate. All ratios of exact integers, so the oracle is exact. */
+  private[graft] def withQualityParts(df: DataFrame): DataFrame =
+    df.withColumn("n_tok", size(col("t")).cast("long"))
       .withColumn("n_uniq", size(array_distinct(col("t"))).cast("long"))
       .withColumn("n_stop",
         expr("size(filter(t, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))").cast("long"))
+
+  private[graft] def qualityCol: Column =
+    Exact.r(
+      least(col("n_tok") * lit(1.0) / 100, lit(1.0)) * lit(0.5)
+        + col("n_uniq") * lit(0.3) / col("n_tok")
+        + least(col("n_stop") * lit(5.0) / col("n_tok"), lit(1.0)) * lit(0.2),
+      6)
+
+  /** q38: heuristic quality score — length, token count, type-token
+    * ratio, stopword ratio, mean word length; combined into [0,1]. */
+  def q38QualityScore(spark: SparkSession, dir: String): DataFrame =
+    withQualityParts(Tables.documents(spark, dir)
+        .withColumn("t", split(col("text"), " ")))
       .select(
         col("doc_id"), col("n_tok"), col("n_uniq"), col("n_stop"),
         Exact.r(col("n_uniq") * lit(1.0) / col("n_tok"), 6).as("ttr"),
         Exact.r(col("n_stop") * lit(1.0) / col("n_tok"), 6).as("stop_ratio"),
         Exact.r((length(col("text")) - col("n_tok") + 1) * lit(1.0) / col("n_tok"), 6)
           .as("mean_wlen"),
-        Exact.r(
-          least(col("n_tok") * lit(1.0) / 100, lit(1.0)) * lit(0.5)
-            + col("n_uniq") * lit(0.3) / col("n_tok")
-            + least(col("n_stop") * lit(5.0) / col("n_tok"), lit(1.0)) * lit(0.2),
-          6).as("quality"))
+        qualityCol.as("quality"))
       .orderBy(col("doc_id"))
 
   /** q39: token counting — whitespace tokens plus the chars/4 BPE-style
