@@ -35,7 +35,11 @@ object Ranking {
                       descending: Boolean,
                       buckets: Int = defaultBuckets): DataFrame = {
     val r = df.agg(min(col(score)).cast("double"), max(col(score)).cast("double")).head()
-    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    // empty input (or all-null scores) ⇒ min/max are NULL — collapse to
+    // the degenerate single-bucket case instead of throwing
+    val (mn, mx) =
+      if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 0.0)
+      else (r.getDouble(0), r.getDouble(1))
     val width = mx - mn
     val raw =
       if (width == 0) lit(0)

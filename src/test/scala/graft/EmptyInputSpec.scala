@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Empty-input robustness: at cluster scale, empty partitions, empty
+  * filter results and freshly-created tables are routine — every
+  * operator must plan and execute on zero rows without throwing.
+  * Builds a scale-factor directory whose tables are all empty (same
+  * schemas as the real testdata) and runs a representative operator
+  * from every family over it. */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  // one representative per family: agg, window-lag, graph self-join,
+  // minhash, sessionize, iterative CC, metrics ranking, ANN broadcast,
+  // tf-idf, and the full corpus composition
+  private val reps = Seq(
+    "q01_agg", "q13_time_gaps", "q21_common_neighbors", "q24_degree_sampling_prob",
+    "q27_roc_auc", "q32_dedup_minhash", "q34_ann_cosine_topk", "q42_sessionize",
+    "q47_connected_components", "q56_tfidf_topterms", "q57_corpus_pipeline")
+
+  reps.foreach { name =>
+    test(s"$name runs on an all-empty scale factor") {
+      val out = SparkEntry.queries(name)(spark, emptyDir)
+      val n = out.count()
+      // metric queries may legitimately emit one all-null summary row;
+      // everything else must be empty
+      assert(n <= 1, s"$name returned $n rows on empty input")
+      spark.catalog.clearCache()
+    }
+  }
+}
