@@ -124,6 +124,22 @@ object Relational {
         col("total_bal"), col("n"))
       .orderBy(col("region"), col("nation"))
 
+  /** q58: full CUBE over (event_type, hour) — the grouping-sets class
+    * q08's ROLLUP doesn't cover: all four subset aggregations computed
+    * in ONE pass (Spark's Expand feeds a single shuffle) instead of
+    * four scans. Null grouping cells coalesce to sentinels so the
+    * oracle compare stays dtype-exact. */
+  def q58CubeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("h", hour(col("ts")))
+      .cube(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), round(Exact.dsum(col("value")), 4).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("h"), lit(-1)).as("h"),
+        col("n"), col("total_value"))
+      .orderBy(col("event_type"), col("h"))
+
   /** q09: pivot — hour-of-day event counts per event type (the 24-bin
     * time_dis histogram, data_process.py:152-154, as a wide table). */
   def q09Pivot(spark: SparkSession, dir: String): DataFrame = {
@@ -219,6 +235,12 @@ object Relational {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q58_cube_stats" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS event_type,
+        | CAST(coalesce(h, -1) AS INTEGER) AS h,
+        | count(*) AS n, round(${Exact.sql.dsum("value")}, 4) AS total_value
+        |FROM (SELECT event_type, hour(ts) AS h, value FROM events)
+        |GROUP BY CUBE(event_type, h) ORDER BY 1, 2""".stripMargin,
     "q44_percentiles" ->
       """WITH ranked AS (SELECT l_returnflag, l_extendedprice,
         |  row_number() OVER (PARTITION BY l_returnflag
@@ -248,6 +270,7 @@ object Relational {
     "q07_distinct_count" -> (q07DistinctCount _),
     "q08_rollup" -> (q08Rollup _),
     "q09_pivot" -> (q09Pivot _),
-    "q44_percentiles" -> (q44Percentiles _)
+    "q44_percentiles" -> (q44Percentiles _),
+    "q58_cube_stats" -> (q58CubeStats _)
   )
 }
