@@ -31,6 +31,25 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q58 cube equals the union of its four manual grouping sets") {
+    val got = ops.Relational.q58CubeStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val base = Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")).as("h"), col("value"))
+    def agg(df: org.apache.spark.sql.RelationalGroupedDataset) =
+      df.agg(count(lit(1)).as("n"), round(ops.Exact.dsum(col("value")), 4).as("tv"))
+    val both = agg(base.groupBy(col("event_type"), col("h")))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+    val byType = agg(base.groupBy(col("event_type")))
+      .collect().map(r => (r.getString(0), -1) -> (r.getLong(1), r.getDouble(2)))
+    val byHour = agg(base.groupBy(col("h")))
+      .collect().map(r => ("ALL", r.getInt(0)) -> (r.getLong(1), r.getDouble(2)))
+    val total = agg(base.groupBy())
+      .collect().map(r => ("ALL", -1) -> (r.getLong(0), r.getDouble(1)))
+    val want = (both ++ byType ++ byHour ++ total).toMap
+    assert(got == want)
+  }
+
   test("Ranking two-pass prefix/rank is bit-identical to the naive global window") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new Random(11)
