@@ -23,9 +23,15 @@ object Dedup {
   private val P = 2147483647L
 
   /** Permutation coefficients for hash i — fixed LCG-style constants,
-    * inlined identically into the Spark plan and the DuckDB SQL. */
-  private[graft] def coef(i: Int): (Long, Long) =
-    ((1103515245L * (i + 1) + 12345L) % P, (69069L * (i + 1) + 362437L) % P)
+    * inlined identically into the Spark plan and the DuckDB SQL.
+    * a=0 would degenerate the permutation to a constant (every doc's
+    * min collides → quadratic candidate blowup), so it is rejected
+    * loudly rather than silently producing a useless sketch. */
+  private[graft] def coef(i: Int): (Long, Long) = {
+    val a = (1103515245L * (i + 1) + 12345L) % P
+    require(a != 0, s"degenerate MinHash multiplier for hash $i")
+    (a, (69069L * (i + 1) + 362437L) % P)
+  }
 
   /** Band key: fold the band's signature slots through acc←(31·acc+m) mod p.
     * Spark and SQL spellings below are the same fold, term for term. */
