@@ -100,6 +100,31 @@ object EventStream {
         col("ts"), col("r_ts"), col("value"), col("r_value"))
   }
 
+  case class Doc(doc_id: Long, ts: Timestamp, text: String, source: String)
+
+  /** Streaming corpus-ingest gate — the continuous twin of the batch
+    * curation pipeline's stateless gates (ops.Corpus q57): language ID
+    * and quality score are the EXACT SAME column expressions the batch
+    * operators use (they are stateless projections, so they run
+    * unchanged on a stream), and exact dedup is content-hash
+    * `dropDuplicatesWithinWatermark` — state bounded by the watermark
+    * horizon, which is what makes dedup feasible on an unbounded crawl.
+    * (Near-dup clustering is inherently cross-document/transitive and
+    * stays a batch job over the landed lake — same split production
+    * pipelines use.) */
+  def corpusGateStream(docs: DataFrame): DataFrame =
+    graft.ops.Text.withQualityParts(
+        graft.ops.Text.withLangCounts(
+          docs.withColumn("t", split(col("text"), " "))))
+      .withColumn("lang_pred", graft.ops.Text.langPredCol)
+      .withColumn("quality", graft.ops.Text.qualityCol)
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("h"))
+      .select(col("doc_id"), col("ts"), col("source"),
+        col("n_tok"), col("quality"))
+
   /** Event-time sessionization with custom state: a session closes when
     * 30 minutes pass without events (event-time timeout against the
     * watermark). State per user is O(1) — start/last/count/sum. */

@@ -196,6 +196,28 @@ class StreamingSpec extends SparkSpec {
     assert(joined == 0)
   }
 
+  test("corpusGateStream keeps exactly the batch-gated docs, drops stream dups") {
+    implicit val sq = spark.sqlContext
+    val good = (("the cat sat on mat " * 12).trim.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 6 == 5) s"$w$i" else w }).mkString(" ")
+    def doc(id: Long, minute: Long, text: String) =
+      EventStream.Doc(id, new Timestamp((base + minute) * 60000L), text, "web")
+    val mem = MemoryStream[EventStream.Doc]
+    val q = EventStream.corpusGateStream(mem.toDF())
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    mem.addData(
+      doc(1, 0, good),                        // kept: en, high quality
+      doc(2, 1, good),                        // dropped: exact duplicate of 1
+      doc(3, 2, "der die und nicht der die"), // dropped: German
+      doc(4, 3, "a a a a a"))                 // dropped: low quality
+    q.processAllAvailable()
+    val out = spark.table("gate_out").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L), out.mkString(";"))
+    assert(out.head.getAs[Double]("quality") >= 0.5)
+  }
+
   test("multimodal extractFeatures: fixed width, deterministic") {
     val ds = Seq(
       ops.Multimodal.Payload(1L, "hello world".getBytes),
