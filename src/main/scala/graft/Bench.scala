@@ -34,7 +34,11 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       spark.catalog.clearCache() // drop operator-internal persists, OUTSIDE the timed window
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+      // a failed query must not masquerade as a fast one — flag it loudly
+      try materialize(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
