@@ -33,11 +33,17 @@ object Components {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // Round 0 fused into initialization: with identity starting labels,
+    // the first neighbor-min pass is just min(dst) per src (and the
+    // pointer jump is the identity), so labels₀ = least(node, min nbr)
+    // falls out of ONE aggregation — no init-distinct shuffle, no
+    // round-0 joins. Every node appears as a src in sym (symmetrized),
+    // so coverage is complete.
+    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint(true)
     var changed = 1L
-    var i = 0
+    var i = 1 // round 0 ran above; maxIter still counts it
     while (changed > 0 && i < maxIter) {
       // neighbor-min pass: each node adopts min(own, neighbors') label
       val nbrMin = sym

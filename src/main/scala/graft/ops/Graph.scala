@@ -47,6 +47,17 @@ object Graph {
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
 
+  /** Both edge directions from one scan: explode duplicates each joined
+    * row into (src,dst) and (dst,src) inside the same stage, so the
+    * symmetrized edge list needs ONE distinct shuffle and never runs
+    * the upstream join twice. */
+  private def symmetrized(joined: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    joined
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+
   private val hotEdgesSql =
     """SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -88,12 +99,15 @@ object Graph {
     * and an in-row for dst; distinct-counting the counterpart per
     * direction gives both degrees in a single shuffle. */
   def q20Degrees(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).cache() // both union branches read it
-    // e is already DISTINCT (src, dst), so each (node, other) pair is
+    // e is DISTINCT (src, dst), so each (node, counterpart) pair is
     // unique per direction — the distinct-count is a plain conditional
-    // count (one-phase hash agg, no expand/dedup pass)
-    e.select(col("src").as("node"), lit(1).as("dir"), col("dst").as("other"))
-      .unionAll(e.select(col("dst"), lit(0), col("src")))
+    // count (one-phase hash agg, no expand/dedup pass). Exploding both
+    // directions from the same scan avoids caching e for a double read.
+    edges(spark, dir)
+      .select(explode(array(
+        struct(col("src").as("node"), lit(1).as("dir")),
+        struct(col("dst").as("node"), lit(0).as("dir")))).as("x"))
+      .select(col("x.node").as("node"), col("x.dir").as("dir"))
       .groupBy(col("node"))
       .agg(
         coalesce(sum(when(col("dir") === 1, 1L)), lit(0L)).as("out_deg"),
@@ -123,9 +137,15 @@ object Graph {
     * averages the node's own degree; we implement the intended
     * neighbor-degree mean. Integer sum / count keeps the oracle exact. */
   def q22NeighborAvgDegree(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-    // und feeds both the degree agg and the neighbor join — persist once
-    val und = e.unionAll(e.select(col("dst"), col("src"))).distinct().cache()
+    // Symmetrize in ONE pass: dedup the directed pairs first (map-side
+    // combine shrinks the joined rows before the shuffle), then explode
+    // both directions from that small set. One join pass, two small
+    // shuffles — vs the union-of-two-subplans shape, which runs the
+    // orders⋈lineitem join once per branch. The second distinct stays:
+    // customer and supplier keys share a numeric range, so a reverse
+    // directed pair can exist.
+    val und = symmetrized(edges(spark, dir), "src", "dst")
+      .distinct().cache() // feeds both the degree agg and the neighbor join
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     // deg is one row per NODE — orders of magnitude under the edge list;
     // broadcasting it keeps und partitioned in place. The hint is
@@ -150,8 +170,7 @@ object Graph {
     * (nx.clustering, data_process.py:147). Canonical a<b<c two-hop join
     * counts each triangle once; 2T/(d(d-1)) with integer-exact T, d. */
   def q23Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = hotEdges(spark, dir)
-    val und = e.unionAll(e.select(col("dst"), col("src")))
+    val und = symmetrized(hotEdges(spark, dir), "src", "dst")
       .filter(col("src") =!= col("dst")).distinct().cache()
     // canon appears three times in the triangle join — persist, or the
     // edge build runs 3×; hub out-adjacency is degree-capped BEFORE the
