@@ -60,9 +60,13 @@ object Dedup {
       val slots = (j * rows until (j + 1) * rows).map(i => col(s"m$i"))
       struct(lit(j).as("band"), bandHash(slots).as("bh"))
     }
+    // buckets feeds BOTH sides of the bucket self-join — without the
+    // persist the whole signature aggregation (16 min-hashes over every
+    // shingle) runs once per side
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .cache()
     buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -179,10 +183,13 @@ object Dedup {
     val bandCols = (0 until simBands).map(j =>
       struct(lit(j).as("band"),
         expr(s"(simhash >> ${chunkBits * j}) & $chunkMask").as("chunk")))
+    // dual-consumer self-join: persist, or the 60-bit-vote simhash
+    // aggregation runs once per join side
     val buckets = sig
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.chunk").as("chunk"))
+      .cache()
     buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
