@@ -293,8 +293,18 @@ object Graph {
     * the same determinism toolkit as q24. */
   def q46EdgeSamplingProb(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).cache() // degree aggs + the edge join itself
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("sd"))
-    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("dd"))
+    // The degree tables are one row per NODE; joined back to e they'd
+    // default to sort-merge (their InMemoryRelation lineage gives AQE no
+    // size estimate), shuffling the edge list twice. Broadcast them —
+    // size-GATED on parquet-footer counts like q22, since a per-node
+    // broadcast is a driver killer past ~50M nodes.
+    val broadcastNodeLimit = 50L * 1000 * 1000
+    def gated(df: DataFrame, bound: Long): DataFrame =
+      if (bound <= broadcastNodeLimit) broadcast(df) else df
+    val outDeg = gated(e.groupBy(col("src")).agg(count(lit(1)).as("sd")),
+      Tables.customer(spark, dir).count())
+    val inDeg = gated(e.groupBy(col("dst")).agg(count(lit(1)).as("dd")),
+      Tables.supplier(spark, dir).count())
     val lab = Tables.customer(spark, dir).select(col("c_custkey"),
       (col("c_acctbal") < 0).cast("int").as("src_label"),
       Exact.lcgTrain80("c_custkey").as("src_train"))

@@ -59,6 +59,11 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("q46: per-node degree tables broadcast — the edge list never sort-merges") {
+    val p = plan(ops.Graph.q46EdgeSamplingProb(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q20/q45: degree counts are one-phase aggs — no Expand from distinct-counts") {
     assert(!plan(ops.Graph.q20Degrees(spark, sf)).contains("Expand"))
     assert(!plan(ops.Graph.q45MultiRelationDegrees(spark, sf)).contains("Expand"))
