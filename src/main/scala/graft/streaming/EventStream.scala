@@ -125,6 +125,27 @@ object EventStream {
       .select(col("doc_id"), col("ts"), col("source"),
         col("n_tok"), col("quality"))
 
+  /** Streaming trending terms — the continuous twin of batch q56's tf
+    * pass: tokenize in-stream, count term occurrences and (approximate)
+    * distinct docs per tumbling window, and emit terms that cross
+    * `minCount` when the watermark finalizes their window. Partial
+    * aggregation runs map-side before the (window, term) shuffle and
+    * state is bounded by the watermark horizon. Exact per-window top-k
+    * ranking is NOT append-expressible over a streaming aggregate —
+    * finalized windows land in the lake and batch q56 ranks there, the
+    * same streaming/batch split as near-dup clustering. */
+  def trendingTerms(docs: DataFrame, minCount: Long = 3): DataFrame =
+    docs
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(window(col("ts"), "10 minutes"), col("term"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("w_start"), col("term"),
+        col("n"), col("n_docs"))
+
   /** Event-time sessionization with custom state: a session closes when
     * 30 minutes pass without events (event-time timeout against the
     * watermark). State per user is O(1) — start/last/count/sum. */

@@ -218,6 +218,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Double]("quality") >= 0.5)
   }
 
+  test("trendingTerms emits only above-threshold terms of finalized windows") {
+    implicit val sq = spark.sqlContext
+    def doc(id: Long, minute: Long, text: String) =
+      EventStream.Doc(id, new Timestamp((base + minute) * 60000L), text, "web")
+    val mem = MemoryStream[EventStream.Doc]
+    val q = EventStream.trendingTerms(mem.toDF(), minCount = 3)
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    // window [0,10): "spark" ×3 across 2 docs, "cat" ×2 (below threshold)
+    mem.addData(
+      doc(1, 2, "spark spark cat"),
+      doc(2, 3, "spark cat dog"))
+    q.processAllAvailable()
+    mem.addData(doc(3, 200, "late window advancer")) // finalizes [0,10)
+    q.processAllAvailable()
+    val out = spark.table("trend_out").collect()
+    q.stop()
+    val w0 = out.filter(_.getAs[Timestamp]("w_start").getTime == base * 60000L)
+    assert(w0.map(_.getAs[String]("term")).toSeq == Seq("spark"), out.mkString(";"))
+    assert(w0.head.getAs[Long]("n") == 3 && w0.head.getAs[Long]("n_docs") == 2)
+  }
+
   test("multimodal extractFeatures: fixed width, deterministic") {
     val ds = Seq(
       ops.Multimodal.Payload(1L, "hello world".getBytes),
