@@ -29,9 +29,15 @@ object Components {
     * converges within the default cap. Non-convergence warns loudly. */
   private[graft] def connectedComponents(
       edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    // Pre-partition the (cached) edge list on the per-round join key:
+    // every round joins sym on dst, so paying ONE extra exchange at
+    // build time means each round shuffles only the label table
+    // (node-sized) into sym's partitioning — the edge list (the big
+    // side at 100 TB) never moves again.
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .cache()
     // Round 0 fused into initialization: with identity starting labels,
     // the first neighbor-min pass is just min(dst) per src (and the
@@ -90,6 +96,76 @@ object Components {
         s"[graft] connectedComponents: NOT converged after $maxIter rounds " +
           s"($changed labels still moving) — labels may be fragmented")
     labels
+  }
+
+  /** Alternative CC: large-star/small-star edge contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"). Same output
+    * contract as [[connectedComponents]] — (node, comp = component min)
+    * — proven equal by ComponentsSpec on random graphs.
+    *
+    * When to prefer which: hash-min + pointer jumping funnels EVERY
+    * member of a component through the current-min vertex's partition
+    * each round — on a 100 TB graph with a billion-node component that
+    * single reduce key is a straggler no matter how many executors you
+    * add. Contraction instead rewrites the EDGE SET each round (each
+    * node's work is bounded by its current neighborhood, which the
+    * star steps actively shrink), trading more shuffles per round for
+    * per-key load that stays balanced. Locally (small graphs, few
+    * rounds) hash-min wins on fixed overhead, so it stays the default;
+    * at extreme component sizes this is the skew-robust path.
+    *
+    * Each round: large-star connects every neighbor v > u to
+    * m = min(N(u) ∪ {u}); small-star (over the canonical big→small
+    * edges) connects every smaller neighbor and u itself to
+    * m = min(N<(u) ∪ {u}). Fixpoint = the edge set is exactly the star
+    * (node → component min); O(log²) rounds on any graph. */
+  private[graft] def connectedComponentsContract(
+      edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // canonical big→small, self-loops dropped (they carry no
+    // connectivity); the small-star step relies on this orientation
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var eCount = e.count()
+    var done = eCount == 0
+    var i = 0
+    while (!done && i < maxIter) {
+      // large-star: m(u) over the SYMMETRIZED neighborhood; every
+      // neighbor larger than u hooks onto m(u). Output stays big→small
+      // (m(u) ≤ u < v), so the orientation invariant is preserved.
+      val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      val ls = sym.join(mins, col("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: on big→small edges N<(u) is exactly the dst side;
+      // every smaller neighbor and u itself hook onto m(u) = min(dst)
+      val smins = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val next = ls.join(smins, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(smins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true) // truncate lineage, materialize once
+      val nextCount = next.count()
+      // fixpoint test: same count AND no new edges ⇒ identical sets
+      done = nextCount == eCount && next.exceptAll(e).isEmpty
+      e = next
+      eCount = nextCount
+      i += 1
+    }
+    if (!done && eCount > 0)
+      System.err.println(
+        s"[graft] connectedComponentsContract: NOT converged after $maxIter rounds")
+    // at fixpoint e IS the star: every non-root points at its component
+    // min, roots appear only on the dst side
+    e.select(col("src").as("node"), col("dst").as("comp"))
+      .unionAll(e.select(col("dst").as("node"), col("dst").as("comp")).distinct())
   }
 
   /** q47: components of the ≥3-common-neighbor LSN graph (q21's output

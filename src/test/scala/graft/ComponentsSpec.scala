@@ -43,6 +43,31 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.forall(_ == 1L), s"fragmented: ${got.values.toSet}")
   }
 
+  test("large-star/small-star contraction equals hash-min CC on random graphs") {
+    val rnd = new Random(29)
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val expected = unionFind(edges)
+    val got = ops.Components.connectedComponentsContract(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"diff=${(got.toSet diff expected.toSet).take(5)}")
+  }
+
+  test("contraction handles a deep chain and a hub star in few rounds") {
+    // 120-node path (high diameter) plus a hub fanning to 40 leaves
+    // (extreme skew): both converge inside the default cap
+    val chain = (1L until 120L).map(i => (i, i + 1))
+    val hub = (1L to 40L).map(i => (1000L, 1000L + i))
+    val got = ops.Components
+      .connectedComponentsContract((chain ++ hub).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 161)
+    assert((1L to 120L).forall(got(_) == 1L))
+    assert((1000L to 1040L).forall(got(_) == 1000L))
+  }
+
   test("q47 components: labels are component minima, sizes consistent") {
     val df = ops.Components.q47ConnectedComponents(spark, sf).cache()
     assert(df.filter(col("comp") > col("node")).count() == 0)
