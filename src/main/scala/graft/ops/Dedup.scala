@@ -75,6 +75,23 @@ object Dedup {
       .agg(countDistinct(col("x.band")).as("n_bands"))
   }
 
+  /** The full 16-hash MinHash signature of a per-row shingle ARRAY as
+    * one string column — the whole sketch computed inside codegen'd
+    * HOFs on a single row, no aggregation. Used by the streaming
+    * sketch-dedup (a stateless projection is the only signature shape
+    * a stream can afford — per-doc rows arrive whole, so nothing needs
+    * grouping). Docs too short to shingle get no signature (null):
+    * callers pick their own fallback key. */
+  private[graft] def signatureExpr(shingles: Column): Column = {
+    val hs = transform(shingles, s => Exact.portableHash(s, 12) % lit(P))
+    val mins = (0 until 16).map { i =>
+      val (a, b) = coef(i)
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(P)))
+    }
+    when(size(shingles) > 0,
+      concat_ws("_", mins.map(_.cast("string")): _*))
+  }
+
   /** The same signature/band/candidate pipeline as SQL CTEs (shared by
     * the q32, q55 and q57 oracles). Emits CTEs: sh, hs, sig, bands,
     * cand, sizes, inter, mh (the q32 result shape). */

@@ -26,7 +26,7 @@ object Text {
     * otherwise inline `split()` into every `element_at(t, i)` reference
     * inside the trigram lambda and re-tokenize the document once per
     * shingle per word — measured 12× slower at sf0.1. */
-  private val shinglesExpr =
+  private[graft] val shinglesExpr =
     """flatten(transform(array(split(text, ' ')),
       | t -> CASE WHEN size(t) >= 3 THEN
       |   array_distinct(transform(sequence(1, size(t) - 2),

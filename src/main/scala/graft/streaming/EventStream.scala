@@ -125,6 +125,28 @@ object EventStream {
       .select(col("doc_id"), col("ts"), col("source"),
         col("n_tok"), col("quality"))
 
+  /** Streaming sketch dedup — MinHash-signature duplicate suppression
+    * on an unbounded doc stream: the full 16-hash signature of the
+    * document's distinct-trigram set (ops.Dedup's exact sketch,
+    * computed as a STATELESS per-row projection — each doc arrives
+    * whole, so no aggregation state) is the dedup key, with the
+    * content md5 as fallback for docs too short to shingle. Any copy
+    * whose shingle SET matches — boilerplate repetition, duplicated
+    * paragraphs, re-crawls — collapses within the watermark horizon,
+    * strictly more than exact dedup catches. Banded LSH recall
+    * (Jaccard ≥ 0.5 near-dups) is transitive/cross-doc and stays a
+    * batch job over the landed lake (q32/q55) — the same
+    * streaming/batch split as near-dup clustering. */
+  def sketchDedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sig",
+        coalesce(
+          graft.ops.Dedup.signatureExpr(expr(graft.ops.Text.shinglesExpr)),
+          concat(lit("md5:"), md5(col("text")))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("sig"))
+      .drop("sig")
+
   /** Streaming trending terms — the continuous twin of batch q56's tf
     * pass: tokenize in-stream, count term occurrences and (approximate)
     * distinct docs per tumbling window, and emit terms that cross

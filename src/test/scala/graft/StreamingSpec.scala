@@ -240,6 +240,30 @@ class StreamingSpec extends SparkSpec {
     assert(w0.head.getAs[Long]("n") == 3 && w0.head.getAs[Long]("n_docs") == 2)
   }
 
+  test("sketchDedupStream drops shingle-set duplicates, md5-fallbacks short docs") {
+    implicit val sq = spark.sqlContext
+    def doc(id: Long, minute: Long, text: String) =
+      EventStream.Doc(id, new Timestamp((base + minute) * 60000L), text, "web")
+    val mem = MemoryStream[EventStream.Doc]
+    val q = EventStream.sketchDedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode("append").start()
+    mem.addData(
+      doc(1, 0, "a b c a b c"),
+      // same DISTINCT trigram set as doc 1 (boilerplate repetition),
+      // different bytes — exact dedup would miss it, the sketch must not
+      doc(2, 1, "a b c a b c a b c"),
+      doc(3, 2, "x y z w"),      // genuinely different: kept
+      doc(4, 3, "hi there"),     // too short to shingle: md5 fallback
+      doc(5, 4, "hi there"),     // exact dup of 4: dropped
+      doc(6, 5, "yo there"))     // short but distinct: kept
+    q.processAllAvailable()
+    val out = spark.table("sketch_out").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 3L, 4L, 6L),
+      out.mkString(";"))
+  }
+
   test("multimodal extractFeatures: fixed width, deterministic") {
     val ds = Seq(
       ops.Multimodal.Payload(1L, "hello world".getBytes),
