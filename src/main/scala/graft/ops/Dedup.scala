@@ -139,7 +139,9 @@ object Dedup {
     // persist once instead of re-shingling the corpus 4×
     val sh = Text.shingled(spark, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cands = minhashCandidates(sh, numHashes = 16, bands = 4)
+    // cands feeds the refinement join AND the final projection — persist,
+    // or the bucket self-join + groupBy runs twice
+    val cands = minhashCandidates(sh, numHashes = 16, bands = 4).cache()
     // exact-Jaccard refinement for CANDIDATES only — never all pairs
     val inter = cands.select(col("id1").as("jid1"), col("id2").as("jid2"))
       .join(sh.as("a"), col("jid1") === col("a.doc_id"))
