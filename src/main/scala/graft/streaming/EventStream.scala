@@ -168,6 +168,55 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("term"),
         col("n"), col("n_docs"))
 
+  case class Emb(vec_id: Long, ts: Timestamp, embedding: Array[Float])
+
+  case class CentroidOut(cell: Int, n: Long, centroid: Array[Double])
+
+  /** (Σ components, count) — running sufficient statistics per cell */
+  private type CellState = (Array[Double], Long)
+
+  /** Streaming IVF maintenance — the lambda-architecture complement of
+    * batch q48: cell ASSIGNMENT is a stateless nearest-centroid step
+    * against the trained centroids (a kB-sized table shipped in the
+    * closure, exactly like a broadcast — the index keeps serving while
+    * fresh vectors land), and per-cell running (Σ vector, count) state
+    * emits a refreshed mean centroid every batch — the mini-batch
+    * k-means update. Periodic full re-trains (q48's MLlib fit over the
+    * landed lake) remain a batch job; this keeps cells from drifting
+    * stale between them. State is O(cells × dim) — bounded by the
+    * index size, not the stream. Typed state ops are the one place the
+    * engine uses closures: streaming state transitions are inherently
+    * imperative (same as sessionize). */
+  def ivfUpdateStream(embs: Dataset[Emb],
+      centroids: Array[Array[Float]]): Dataset[CentroidOut] = {
+    import embs.sparkSession.implicits._
+    def nearest(v: Array[Float]): Int =
+      centroids.indices.minBy { i =>
+        val c = centroids(i)
+        var d = 0.0; var j = 0
+        while (j < c.length) {
+          val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1
+        }
+        d
+      }
+    embs
+      .groupByKey(e => nearest(e.embedding))
+      .flatMapGroupsWithState[CellState, CentroidOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (cell: Int, rows: Iterator[Emb], state: GroupState[CellState]) =>
+          val dim = centroids.head.length
+          val (sum, n0) = state.getOption.getOrElse((new Array[Double](dim), 0L))
+          var n = n0
+          rows.foreach { e =>
+            var j = 0
+            while (j < dim) { sum(j) += e.embedding(j); j += 1 }
+            n += 1
+          }
+          state.update((sum, n))
+          Iterator.single(CentroidOut(cell, n, sum.map(_ / n)))
+      }
+  }
+
   /** Event-time sessionization with custom state: a session closes when
     * 30 minutes pass without events (event-time timeout against the
     * watermark). State per user is O(1) — start/last/count/sum. */

@@ -264,6 +264,28 @@ class StreamingSpec extends SparkSpec {
       out.mkString(";"))
   }
 
+  test("ivfUpdateStream assigns to nearest cell and refreshes running centroids") {
+    implicit val sq = spark.sqlContext
+    val centroids = Array(Array(0f, 0f), Array(10f, 10f))
+    def emb(id: Long, x: Float, y: Float) =
+      EventStream.Emb(id, new Timestamp(base * 60000L + id), Array(x, y))
+    val mem = MemoryStream[EventStream.Emb]
+    val q = EventStream.ivfUpdateStream(mem.toDS(), centroids)
+      .writeStream.format("memory").queryName("ivf_out")
+      .outputMode("update").start()
+    mem.addData(emb(1, 1f, 1f), emb(2, 9f, 9f))
+    q.processAllAvailable()
+    mem.addData(emb(3, 3f, 3f)) // cell 0 again: running mean moves to (2,2)
+    q.processAllAvailable()
+    val out = spark.table("ivf_out").as[EventStream.CentroidOut].collect()
+    q.stop()
+    val cell0 = out.filter(_.cell == 0).sortBy(_.n)
+    assert(cell0.map(_.n).toSeq == Seq(1L, 2L), out.mkString(";"))
+    assert(cell0.last.centroid.toSeq == Seq(2.0, 2.0))
+    val cell1 = out.filter(_.cell == 1)
+    assert(cell1.map(_.n).toSeq == Seq(1L) && cell1.head.centroid.toSeq == Seq(9.0, 9.0))
+  }
+
   test("multimodal extractFeatures: fixed width, deterministic") {
     val ds = Seq(
       ops.Multimodal.Payload(1L, "hello world".getBytes),
