@@ -69,19 +69,28 @@ object Features {
       .select(col("user_id"), col("h"), col("c"), col("share"))
       .orderBy(col("user_id"), col("h"))
 
-  /** q13: mean intra-day gap between consecutive events per user, via a
-    * lag window (utils.py:23-56 time_gap). Gaps in whole epoch seconds so
-    * DuckDB's ns precision and Spark's µs agree. */
+  /** q13: mean AND variance of the intra-day gap between consecutive
+    * events per user, via a lag window (utils.py:23-56 time_gap +
+    * utils.py:59-72 time_gap_static, which emits both moments). Gaps are
+    * whole epoch seconds so DuckDB's ns precision and Spark's µs agree,
+    * and both moments derive from exact int64 sums (Σg, Σg²): the only
+    * float ops are the final divisions, spelled identically in the
+    * oracle, so the result is bit-identical before rounding. */
   def q13TimeGaps(spark: SparkSession, dir: String): DataFrame = {
     val w = Window
       .partitionBy(col("user_id"), col("ts").cast("date"))
       .orderBy(col("ts"), col("event_id"))
+    val n = count(col("gap"))
+    val m = sum(col("gap")) * lit(1.0) / n
     Tables.events(spark, dir)
       .withColumn("sec", unix_timestamp(col("ts")))
       .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
       .groupBy(col("user_id"))
-      .agg(Exact.r(sum(col("gap")) * lit(1.0) / count(col("gap")), 4).as("mean_gap"),
-        count(col("gap")).as("n_gaps"))
+      .agg(Exact.r(m, 4).as("mean_gap"),
+        Exact.r(greatest(
+          sum(col("gap") * col("gap")) * lit(1.0) / n - m * m, lit(0.0)), 4)
+          .as("var_gap"),
+        n.as("n_gaps"))
       .orderBy(col("user_id"))
   }
 
@@ -90,10 +99,15 @@ object Features {
     * connector_duplicate2). Set intersection as a self-join on
     * (user, type, week-7), never a driver-side set. */
   def q14RepeatRate(spark: SparkSession, dir: String): DataFrame = {
+    // uw feeds 4 plan references (both sides of the intersection join and
+    // both week-offset count branches); each branch acquires DIFFERENT
+    // join-derived isnotnull pushdowns, so ReuseExchange cannot dedupe
+    // them — without the cache the fact table is scanned+distinct'd 3×.
     val uw = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"),
         col("event_type"))
       .distinct()
+      .cache()
     val cnt = uw.groupBy(col("user_id"), col("wk")).agg(count(lit(1)).as("n"))
     val inter = uw.as("a")
       .join(uw.as("b"),
@@ -181,34 +195,58 @@ object Features {
     * user_id-keyed aggregation; the assembly is left-joins on the same
     * key, so at scale it is one co-partitioned shuffle per source. */
   def q19FeatureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    // SHARED SCAN: the base aggregates, the gap mean (q13's lag) and the
+    // recall rate (q15's later-purchase test) all come from ONE pass over
+    // `events`, under ONE window sort — both window columns share the
+    // same (partition=user_id, order=(ts,event_id)) spec, differing only
+    // in frame, so WindowExec evaluates them in a single Exchange+Sort:
+    //  - gap:   lag over the user ordering, counted only when the
+    //    previous event shares the calendar date — exactly q13's
+    //    (user_id, date) partitioning, without a second key;
+    //  - later purchase: running max of purchase ts over the FOLLOWING
+    //    frame; `mp_after > ts` ⟺ some purchase is strictly later —
+    //    exactly q15's unordered global-max test (equal ts filtered by
+    //    the strict >; later ts always lands in the following frame).
+    // The groupBy(user_id) then reuses the window's hash partitioning.
+    // Only repeat-rate keeps its own pass — it aggregates a DISTINCT
+    // (user, week, type) projection, a different grain. 4 scans → 2;
+    // PlanSpec pins the scan count.
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val rows = Tables.events(spark, dir)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("gap",
+        when(col("ts").cast("date") === lag(col("ts"), 1).over(byUser).cast("date"),
+          col("sec") - lag(col("sec"), 1).over(byUser)))
+      .withColumn("mp_after",
+        max(when(col("event_type") === "purchase", col("ts")))
+          .over(byUser.rowsBetween(1, Window.unboundedFollowing)))
     val hourCols = (0 until 24).map(h =>
       Exact.r(sum(when(hour(col("ts")) === h, 1L).otherwise(0L)) * lit(1.0) /
         count(lit(1)), 6).as(f"h$h%02d"))
     val aggCols = Seq(
       Exact.r(Exact.davg(col("value")), 6).as("mean_val"),
       Exact.r(Exact.dvarPop(col("value")), 6).as("var_val"),
-      countDistinct(col("event_type")).as("n_types")) ++ hourCols
-    val base = Tables.events(spark, dir)
+      countDistinct(col("event_type")).as("n_types"),
+      coalesce(Exact.r(sum(col("gap")) * lit(1.0) / count(col("gap")), 4), lit(0.0))
+        .as("mean_gap"),
+      coalesce(Exact.r(
+        sum(when(col("event_type") === "view" && col("mp_after") > col("ts"), 1)
+          .otherwise(0)) /
+          sum(when(col("event_type") === "view", 1).otherwise(0)), 6), lit(0.0))
+        .as("recall_rate")) ++ hourCols
+    val base = rows
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), aggCols: _*)
-    val gaps = q13TimeGaps(spark, dir)
-      .select(col("user_id"), col("mean_gap"))
-    val recall = q15RecallRate(spark, dir)
-      .select(col("user_id"), col("recall_rate"))
     // mean weekly contact-repeat Jaccard (6-dp values: exact decimal sum)
     val rep = q14RepeatRate(spark, dir)
       .groupBy(col("user_id"))
       .agg(Exact.r(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
         count(lit(1)), 6).as("repeat_rate"))
     base
-      .join(gaps, Seq("user_id"), "left")
-      .join(recall, Seq("user_id"), "left")
       .join(rep, Seq("user_id"), "left")
       .select(
         Seq(col("user_id"), col("n_events"), col("mean_val"), col("var_val"),
-          col("n_types"),
-          coalesce(col("mean_gap"), lit(0.0)).as("mean_gap"),
-          coalesce(col("recall_rate"), lit(0.0)).as("recall_rate"),
+          col("n_types"), col("mean_gap"), col("recall_rate"),
           coalesce(col("repeat_rate"), lit(0.0)).as("repeat_rate")) ++
           (0 until 24).map(h => col(f"h$h%02d")): _*)
       .orderBy(col("user_id"))
@@ -242,7 +280,10 @@ object Features {
         |  floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |   OVER (PARTITION BY user_id, ts::DATE ORDER BY ts, event_id) AS gap
         | FROM events)
-        |SELECT user_id, floor((sum(gap)*1.0/count(gap)) * 1e4 + 0.5) / 1e4 AS mean_gap, count(gap) AS n_gaps
+        |SELECT user_id, floor((sum(gap)*1.0/count(gap)) * 1e4 + 0.5) / 1e4 AS mean_gap,
+        | floor((greatest(sum(gap*gap)*1.0/count(gap)
+        |   - (sum(gap)*1.0/count(gap))*(sum(gap)*1.0/count(gap)), 0.0)) * 1e4 + 0.5) / 1e4 AS var_gap,
+        | count(gap) AS n_gaps
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_repeat_rate" ->
       """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk, event_type FROM events),

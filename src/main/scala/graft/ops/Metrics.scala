@@ -22,6 +22,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Metrics {
 
+  /** Below this row count an input is "small": it likely arrived in a
+    * partition or two, so the ML trainers widen it to a few tasks. Read
+    * from parquet footers (statistics-only), never from `.rdd`. */
+  private val smallInputRows = 4L * 1000 * 1000
+
   /** (vec_id, label∈{0,1}, score) from the embeddings table. */
   private def scored(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
@@ -132,16 +137,20 @@ object Metrics {
   def q29MllibPipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
-    // embeddings are narrow: when the input arrives in fewer than a
-    // handful of partitions (local small-SF reads), widen to 4 so each
-    // LBFGS iteration schedules a few tasks; an input that is already
-    // well-partitioned (any cluster-scale read) keeps its natural
-    // partitioning — no forced shuffle.
+    // embeddings are narrow: a small-SF read arrives in one partition, so
+    // widen to 4 so each LBFGS iteration schedules a few tasks; a
+    // cluster-scale input keeps its natural partitioning — no forced
+    // shuffle. Gated on the parquet-footer row count (statistics-only,
+    // like q22/q46) rather than `.rdd.getNumPartitions`, which forces
+    // plan materialization early.
     val base = Tables.embeddings(spark, dir).select(
       col("vec_id"),
       (col("label") === 0).cast("double").as("label"),
       array_to_vector(col("embedding")).as("features"))
-    val data = if (base.rdd.getNumPartitions < 4) base.repartition(4) else base
+    val data =
+      if (Tables.embeddings(spark, dir).count() < smallInputRows)
+        base.repartition(4)
+      else base
     val model = new LogisticRegression()
       .setMaxIter(8).setRegParam(0.01).setStandardization(true)
       .fit(data)
@@ -167,7 +176,10 @@ object Metrics {
       col("vec_id"),
       (col("label") === 0).cast("double").as("label"),
       array_to_vector(col("embedding")).as("features"))
-    val data = if (base.rdd.getNumPartitions < 4) base.repartition(4) else base
+    val data =
+      if (Tables.embeddings(spark, dir).count() < smallInputRows)
+        base.repartition(4)
+      else base
     val model = new MultilayerPerceptronClassifier()
       .setLayers(Array(64, 16, 2))
       .setSeed(42L).setMaxIter(40)

@@ -60,11 +60,21 @@ object Text {
     * pairs with Jaccard ≥ 0.5 over the kept-shingle sets survive. */
   def q31DedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val maxDf = 50
-    val sh = shingled(spark, dir)
-    val kept = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shingle"))))
+    // Cached: the shingling is the expensive part and feeds both the df
+    // aggregation and the semi-join below.
+    val sh = shingled(spark, dir).cache()
+    // Document frequency via hash aggregation + a semi-join on the SAME
+    // key the pairing join shuffles on — NOT `count(*) OVER (PARTITION BY
+    // shingle)`, which sort-shuffles the entire posting list just to drop
+    // the hot shingles. Map-side partial counts shrink the df table to
+    // one row per distinct shingle before its shuffle, and no sort runs
+    // anywhere. (A groupBy(collect_list) posting-list variant would save
+    // the semi-join but accumulates unbounded arrays for hot shingles
+    // BEFORE the df filter — a single-key OOM hazard at crawl scale.)
+    val ok = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    val kept = sh.join(ok, Seq("shingle"), "left_semi")
       .select(col("doc_id"), col("shingle"))
       .cache() // feeds sizing + both sides of the inverted-index join
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -181,9 +191,8 @@ object Text {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingledSql),
-        | kept AS (SELECT doc_id, shingle FROM
-        |   (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-        |   WHERE df <= 50),
+        | ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+        | kept AS (SELECT doc_id, shingle FROM sh WHERE shingle IN (SELECT shingle FROM ok)),
         | sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
         | inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
         |   FROM kept a JOIN kept b

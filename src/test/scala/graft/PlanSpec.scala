@@ -90,6 +90,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q19: feature assembly executes ≤2 physical events scans") {
+    // base aggregates + gap mean + recall rate fold into ONE scan (one
+    // window sort feeds them all); repeat-rate keeps its distinct-grain
+    // pass. The repeat subtree references `events` 4× LOGICALLY (Jaccard
+    // self-joins), but every reference shares one identical distinct
+    // exchange, which ReuseExchange collapses — so the deduped physical
+    // plan holds exactly 2 scans: shared-features + repeat. (AQE is
+    // toggled off for the check because AdaptiveSparkPlanExec hides the
+    // scan nodes until materialization.)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = ops.Features.q19FeatureMatrix(spark, sf).queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+      assert(scans.size <= 2, scans.map(_.simpleString(80)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q19: gap and recall windows share one sort (single 3-key SortExec)") {
+    // lag (preceding frame) and later-purchase max (following frame) are
+    // two WindowExecs but share partition=user_id, order=(ts,event_id) —
+    // exactly one SortExec with that 3-column ordering may exist; a
+    // second one means the shared-sort property regressed
+    import org.apache.spark.sql.execution.SortExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sorts = ops.Features.q19FeatureMatrix(spark, sf).queryExecution.executedPlan
+        .collect { case s: SortExec if s.sortOrder.size == 3 => s }
+      assert(sorts.size == 1, sorts.map(_.simpleString(80)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q31: df cap is a hash agg + semi-join — no window over the posting list") {
+    val p = plan(ops.Text.q31DedupNgramJaccard(spark, sf))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
   test("q35: buckets computed inline — no extra per-side self-join") {
     // one scan per side (query + corpus); the old shape re-joined the
     // embeddings table per side to attach buckets (4 scans total)
