@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale replication of a testdata directory: writes a
+  * K× larger copy built from K key-shifted replicas of every fact table
+  * (dimensions `region`/`nation` stay single — they are genuinely fixed
+  * cardinality). Used for the sf1-equivalent scale validation
+  * (SURVEY.md §7.18): the oracle gate and the bench run against the
+  * replica directory exactly as they do against the driver testdata.
+  *
+  * Replication is designed to preserve each operator's per-key work
+  * profile instead of adversarially inflating it — the way a truly
+  * larger dataset would behave:
+  *  - every entity key (custkey, orderkey, user_id, doc_id, vec_id, …)
+  *    shifts by `replica × 10⁷`, so replicas are disjoint and every
+  *    equi-join stays within its replica (the graph becomes K disjoint
+  *    copies, exactly like K new cohorts of users);
+  *  - document text gets a per-replica token SUFFIX on every word
+  *    (replica 0 keeps the original bytes): within-replica dup/near-dup
+  *    structure is preserved, but replicas share no shingles — document
+  *    frequency per shingle stays flat as the corpus grows, which is
+  *    how real crawl growth behaves (identical copies would instead
+  *    multiply every df by K and blow the pair join up K²);
+  *  - embeddings cyclically rotate by `replica` positions: norms and
+  *    all within-replica cosines are bit-preserved (so per-cell ANN
+  *    candidate counts scale linearly), while cross-replica similarity
+  *    decorrelates;
+  *  - `events.ts` is TIMESTAMP(NANOS) in the source, which Spark cannot
+  *    write back; the replica stores the raw nanos as plain INT64 —
+  *    [[Tables.events]] reads either encoding identically, and the
+  *    oracle harness rebuilds a timestamp view for DuckDB.
+  */
+object ScaleGen {
+
+  private val stride = 10L * 1000 * 1000
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, kStr) = args
+    val k = kStr.toInt
+    require(k >= 1 && k <= 100, "replication factor out of range")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      copy(spark, srcDir, outDir, "region")
+      copy(spark, srcDir, outDir, "nation")
+      write(outDir, "customer", replicate(Tables.customer(spark, srcDir), k, "c_custkey"))
+      write(outDir, "supplier", replicate(Tables.supplier(spark, srcDir), k, "s_suppkey"))
+      write(outDir, "part", replicate(Tables.part(spark, srcDir), k, "p_partkey"))
+      write(outDir, "orders",
+        replicate(Tables.orders(spark, srcDir), k, "o_orderkey", "o_custkey"))
+      write(outDir, "lineitem",
+        replicate(Tables.lineitem(spark, srcDir), k, "l_orderkey", "l_partkey", "l_suppkey"))
+      // events: raw read keeps ts as nanos-long (no truncation — the
+      // replica must preserve source precision end-to-end)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      write(outDir, "events",
+        replicate(Tables(spark, srcDir, "events"), k, "event_id", "user_id"))
+      write(outDir, "documents",
+        replicate(Tables.documents(spark, srcDir), k, "doc_id")
+          .withColumn("text",
+            when(col("_rep") === 0, col("text"))
+              .otherwise(concat(
+                regexp_replace(col("text"), lit(" "),
+                  concat(lit("_r"), col("_rep"), lit(" "))),
+                lit("_r"), col("_rep"))))
+          .withColumn("n_chars", length(col("text")).cast("long")))
+      write(outDir, "embeddings",
+        replicate(Tables.embeddings(spark, srcDir), k, "vec_id")
+          .withColumn("embedding",
+            when(col("_rep") === 0, col("embedding"))
+              .otherwise(concat(
+                slice(col("embedding"), col("_rep") + 1,
+                  size(col("embedding")) - col("_rep")),
+                slice(col("embedding"), lit(1), col("_rep"))))))
+      println(s"[scalegen] wrote ${k}x replica of $srcDir to $outDir")
+    } finally spark.stop()
+  }
+
+  /** K replicas with each listed key column shifted by replica·stride.
+    * Keeps a `_rep` column for table-specific transforms; [[write]]
+    * drops it. */
+  private def replicate(df: DataFrame, k: Int, keyCols: String*): DataFrame = {
+    val shifted = keyCols.foldLeft(
+      df.withColumn("_rep", explode(array((0 until k).map(lit): _*)))) {
+      (d, c) => d.withColumn(c, col(c) + col("_rep").cast("long") * stride)
+    }
+    shifted
+  }
+
+  private def write(outDir: String, name: String, df: DataFrame): Unit =
+    df.drop("_rep")
+      .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+  private def copy(spark: SparkSession, srcDir: String, outDir: String,
+      name: String): Unit =
+    write(outDir, name, Tables(spark, srcDir, name))
+}

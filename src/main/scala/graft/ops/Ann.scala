@@ -206,18 +206,40 @@ object Ann {
   def q48AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val nprobe = 3
-    val emb = Tables.embeddings(spark, dir)
-    val feats = emb.select(col("vec_id"), col("embedding"),
+    val feats = Tables.embeddings(spark, dir).select(col("vec_id"),
       array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(8).setSeed(42L).setMaxIter(10).fit(feats)
-    val assigned = model.transform(feats)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    // centroid table: tiny, broadcast everywhere
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq
+    ivfProbe(spark, dir,
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toIndexedSeq)
+  }
+
+  /** The serving half of the IVF index, decoupled from training: probe
+    * the corpus with an externally supplied centroid table — the MLlib
+    * batch fit (q48) and the streaming mini-batch refresh
+    * (streaming.EventStream.ivfUpdateStream) both hand their centroids
+    * to THIS function, which is exactly the lambda-architecture seam: a
+    * periodic full re-train and a continuous drift-correction update
+    * serve through one probe path. Cell assignment is nearest-centroid
+    * (what KMeans.transform computes), done as a broadcast crossJoin +
+    * per-vector argmin so it works for any centroid provenance; the
+    * corpus side then shuffles only by cell id. */
+  private[graft] def ivfProbe(spark: SparkSession, dir: String,
+      centroids: Seq[(Int, Array[Float])], nprobe: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
     val cdf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+    val sqdist = expr(
+      """aggregate(zip_with(embedding, centroid,
+        |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+        |            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        | CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    val assigned = emb.crossJoin(broadcast(cdf))
+      .withColumn("dist", sqdist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
     // queries probe their nprobe closest centroids (exact double dot —
     // ranking only, no oracle), then exact cosine within probed cells
     val q = prep(assigned.filter(col("vec_id") < 10), "qid", "qe", "qn")

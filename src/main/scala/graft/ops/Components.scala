@@ -168,6 +168,29 @@ object Components {
       .unionAll(e.select(col("dst").as("node"), col("dst").as("comp")).distinct())
   }
 
+  /** Strategy chooser. Hash-min + pointer-jump stays the default — its
+    * per-round cost is one join + one agg and it wins on every graph
+    * whose reduce keys fit a task (measured: SkewBench at 2·10⁵ edges,
+    * star/chain/hub-chain all favor hash-min locally; see SURVEY §7.18
+    * for numbers). Contraction takes over when the degree histogram
+    * shows a key that one reduce task cannot absorb: a vertex whose
+    * adjacency exceeds `hubDegreeLimit` (≈ rows beyond which a single
+    * groupBy key dominates a 128 MB-ish task) funnels its whole
+    * component through one partition every hash-min round, and no
+    * executor count fixes a single hot reducer — that is precisely the
+    * regime large-star/small-star keeps balanced. Max degree is the
+    * cheap observable proxy for the giant-component straggler: one
+    * map-side-combined aggregation over the edge list, paid once. */
+  private[graft] def connectedComponentsAuto(edges: DataFrame,
+      hubDegreeLimit: Long = 8L * 1000 * 1000, maxIter: Int = 30): DataFrame = {
+    val maxDeg = edges
+      .select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    if (maxDeg > hubDegreeLimit) connectedComponentsContract(edges, maxIter)
+    else connectedComponents(edges, maxIter)
+  }
+
   /** q47: components of the ≥3-common-neighbor LSN graph (q21's output
     * as the edge list) + per-component size — the "fraud ring" view.
     * Oracle-checked: DuckDB replays the fixpoint as a recursive-CTE

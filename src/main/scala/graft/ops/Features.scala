@@ -252,6 +252,88 @@ object Features {
       .orderBy(col("user_id"))
   }
 
+  /** q59: the COMPLETE slice_feature parity vector — every one of the
+    * reference's 32 slots (data_process.py:159-168: [indegree,
+    * outdegree, neighbor_degree, clustering coefficient, recall_rate,
+    * repeat_rate, mean_dur, var_dur] + 24 hour bins) materialized per
+    * user in ONE result, by joining the graph-family operators into the
+    * q19 events-native matrix on the shared user/customer key domain:
+    *  - slots 0-1 (±1-weight in/out degree) from q53's signed call-edge
+    *    list, rolled up across both adjacency sides exactly as the
+    *    reference counts `net[id].items()` weights;
+    *  - slot 2 (neighbor avg degree) from q22 — intended semantics, not
+    *    the reference's own-degree bug (see q22 note);
+    *  - slot 3 (clustering coefficient) from q23's capped triangle
+    *    count over the purchase graph;
+    *  - slots 4-31 are q19's columns (recall, repeat, mean/var, hours).
+    * Users absent from a graph get 0 — the reference's own fill for
+    * persons missing from a slice. Every join is a per-user-key
+    * left join onto an already-aggregated (node-sized) table, so the
+    * assembly adds co-partitioned merges, never another fact scan. */
+  def q59FullFeatureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val base = q19FeatureMatrix(spark, dir)
+    val sd = Graph.q53SignedDegrees(spark, dir)
+      .groupBy(col("node").as("user_id"))
+      .agg(sum(col("n_pos")).as("out_deg_signed"),
+        sum(col("n_neg")).as("in_deg_signed"))
+    val nad = Graph.q22NeighborAvgDegree(spark, dir)
+      .select(col("node").as("user_id"), col("nbr_avg_deg"))
+    val cc = Graph.q23Triangles(spark, dir)
+      .select(col("node").as("user_id"), col("clustering"))
+    base
+      .join(sd, Seq("user_id"), "left")
+      .join(nad, Seq("user_id"), "left")
+      .join(cc, Seq("user_id"), "left")
+      .withColumn("out_deg_signed", coalesce(col("out_deg_signed"), lit(0L)))
+      .withColumn("in_deg_signed", coalesce(col("in_deg_signed"), lit(0L)))
+      .withColumn("nbr_avg_deg", coalesce(col("nbr_avg_deg"), lit(0.0)))
+      .withColumn("clustering", coalesce(col("clustering"), lit(0.0)))
+      .orderBy(col("user_id"))
+  }
+
+  private val q19OracleSql: String = {
+    val hourSql = (0 until 24).map(h =>
+      f"floor((sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS h$h%02d")
+      .mkString(",\n  ")
+    s"""WITH base AS (SELECT user_id, count(*) AS n_events,
+      |  ${Exact.sql.r(Exact.sql.davg("value"), 6)} AS mean_val,
+      |  ${Exact.sql.r(Exact.sql.dvarPop("value"), 6)} AS var_val,
+      |  count(DISTINCT event_type) AS n_types,
+      |  $hourSql
+      | FROM events GROUP BY 1),
+      | g AS (SELECT user_id,
+      |  floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+      |   OVER (PARTITION BY user_id, ts::DATE ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      | gaps AS (SELECT user_id, floor((sum(gap)*1.0/count(gap)) * 1e4 + 0.5) / 1e4 AS mean_gap FROM g GROUP BY 1),
+      | r AS (SELECT user_id, ts, event_type,
+      |  max(CASE WHEN event_type='purchase' THEN ts END) OVER (PARTITION BY user_id) AS mp
+      |  FROM events),
+      | recall AS (SELECT user_id,
+      |  floor((sum(CASE WHEN mp > ts THEN 1 ELSE 0 END)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS recall_rate
+      |  FROM r WHERE event_type='view' GROUP BY 1),
+      | uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk, event_type FROM events),
+      | cnt AS (SELECT user_id, wk, count(*) AS n FROM uw GROUP BY 1,2),
+      | inter AS (SELECT a.user_id, a.wk, count(*) AS i FROM uw a
+      |   JOIN uw b ON a.user_id=b.user_id AND a.event_type=b.event_type AND b.wk = a.wk - 7
+      |   GROUP BY 1,2),
+      | jac AS (SELECT c.user_id, c.wk,
+      |   floor((coalesce(x.i,0)*1.0/(c.n + coalesce(p.n,0) - coalesce(x.i,0))) * 1e6 + 0.5) / 1e6 AS jaccard
+      |  FROM cnt c
+      |   LEFT JOIN cnt p ON p.user_id=c.user_id AND p.wk = c.wk - 7
+      |   LEFT JOIN inter x ON x.user_id=c.user_id AND x.wk=c.wk),
+      | rep AS (SELECT user_id,
+      |   floor((CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE)/count(*)) * 1e6 + 0.5) / 1e6 AS repeat_rate
+      |  FROM jac GROUP BY 1)
+      |SELECT b.*,
+      | coalesce(gaps.mean_gap, 0.0) AS mean_gap,
+      | coalesce(recall.recall_rate, 0.0) AS recall_rate,
+      | coalesce(rep.repeat_rate, 0.0) AS repeat_rate
+      |FROM base b LEFT JOIN gaps USING(user_id) LEFT JOIN recall USING(user_id)
+      | LEFT JOIN rep USING(user_id)
+      |ORDER BY user_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q10_windowed_stats" ->
       s"""SELECT user_id, scale, bucket,
@@ -320,48 +402,25 @@ object Features {
         |FROM customer
         |WHERE (((c_custkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80
         |ORDER BY 1""".stripMargin,
-    "q19_feature_matrix" -> {
-      val hourSql = (0 until 24).map(h =>
-        f"floor((sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS h$h%02d")
-        .mkString(",\n  ")
-      s"""WITH base AS (SELECT user_id, count(*) AS n_events,
-        |  ${Exact.sql.r(Exact.sql.davg("value"), 6)} AS mean_val,
-        |  ${Exact.sql.r(Exact.sql.dvarPop("value"), 6)} AS var_val,
-        |  count(DISTINCT event_type) AS n_types,
-        |  $hourSql
-        | FROM events GROUP BY 1),
-        | g AS (SELECT user_id,
-        |  floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
-        |   OVER (PARTITION BY user_id, ts::DATE ORDER BY ts, event_id) AS gap
-        |  FROM events),
-        | gaps AS (SELECT user_id, floor((sum(gap)*1.0/count(gap)) * 1e4 + 0.5) / 1e4 AS mean_gap FROM g GROUP BY 1),
-        | r AS (SELECT user_id, ts, event_type,
-        |  max(CASE WHEN event_type='purchase' THEN ts END) OVER (PARTITION BY user_id) AS mp
-        |  FROM events),
-        | recall AS (SELECT user_id,
-        |  floor((sum(CASE WHEN mp > ts THEN 1 ELSE 0 END)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS recall_rate
-        |  FROM r WHERE event_type='view' GROUP BY 1),
-        | uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk, event_type FROM events),
-        | cnt AS (SELECT user_id, wk, count(*) AS n FROM uw GROUP BY 1,2),
-        | inter AS (SELECT a.user_id, a.wk, count(*) AS i FROM uw a
-        |   JOIN uw b ON a.user_id=b.user_id AND a.event_type=b.event_type AND b.wk = a.wk - 7
-        |   GROUP BY 1,2),
-        | jac AS (SELECT c.user_id, c.wk,
-        |   floor((coalesce(x.i,0)*1.0/(c.n + coalesce(p.n,0) - coalesce(x.i,0))) * 1e6 + 0.5) / 1e6 AS jaccard
-        |  FROM cnt c
-        |   LEFT JOIN cnt p ON p.user_id=c.user_id AND p.wk = c.wk - 7
-        |   LEFT JOIN inter x ON x.user_id=c.user_id AND x.wk=c.wk),
-        | rep AS (SELECT user_id,
-        |   floor((CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE)/count(*)) * 1e6 + 0.5) / 1e6 AS repeat_rate
-        |  FROM jac GROUP BY 1)
-        |SELECT b.*, 
-        | coalesce(gaps.mean_gap, 0.0) AS mean_gap,
-        | coalesce(recall.recall_rate, 0.0) AS recall_rate,
-        | coalesce(rep.repeat_rate, 0.0) AS repeat_rate
-        |FROM base b LEFT JOIN gaps USING(user_id) LEFT JOIN recall USING(user_id)
-        | LEFT JOIN rep USING(user_id)
-        |ORDER BY user_id""".stripMargin
-    }
+    "q19_feature_matrix" -> q19OracleSql,
+    "q59_full_feature_matrix" ->
+      s"""SELECT b.*,
+        | coalesce(sd.out_deg_signed, 0) AS out_deg_signed,
+        | coalesce(sd.in_deg_signed, 0) AS in_deg_signed,
+        | coalesce(nad.nbr_avg_deg, 0.0) AS nbr_avg_deg,
+        | coalesce(cc.clustering, 0.0) AS clustering
+        |FROM ($q19OracleSql) b
+        | LEFT JOIN (SELECT node, CAST(sum(n_pos) AS BIGINT) AS out_deg_signed,
+        |     CAST(sum(n_neg) AS BIGINT) AS in_deg_signed
+        |   FROM (${Graph.oracles("q53_signed_degrees")}) GROUP BY node) sd
+        |  ON b.user_id = sd.node
+        | LEFT JOIN (SELECT node, nbr_avg_deg
+        |   FROM (${Graph.oracles("q22_neighbor_avg_degree")})) nad
+        |  ON b.user_id = nad.node
+        | LEFT JOIN (SELECT node, clustering
+        |   FROM (${Graph.oracles("q23_triangles")})) cc
+        |  ON b.user_id = cc.node
+        |ORDER BY b.user_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -374,6 +433,7 @@ object Features {
     "q16_area_change" -> (q16AreaChange _),
     "q17_zscore" -> (q17ZScore _),
     "q18_stratified_split" -> (q18StratifiedSplit _),
-    "q19_feature_matrix" -> (q19FeatureMatrix _)
+    "q19_feature_matrix" -> (q19FeatureMatrix _),
+    "q59_full_feature_matrix" -> (q59FullFeatureMatrix _)
   )
 }

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with a typed metadata struct; decode /
   * feature-extract run per-partition over batches of payload bytes.
   *
-  * The container has no image/audio codecs, so `fakeDecode` is a
-  * clearly-marked deterministic stand-in — the Spark-side contract
-  * (schema, batching, partition-local execution, fixed-width feature
-  * output) is the real, tested part; swapping in a JNI/FFmpeg decoder
-  * changes one function.
+  * Image decode is REAL: `javax.imageio` ships with the JDK, so
+  * PNG/JPEG/BMP/GIF payloads decode on the executors into
+  * width/height/channel-stat/luma-histogram features. Payloads no JDK
+  * codec understands fall back to `hashFeatures`, a clearly-marked
+  * deterministic stand-in — the seam a JNI/FFmpeg audio/video decoder
+  * would plug into without touching the Spark-side plumbing.
   */
 object Multimodal {
 
@@ -62,11 +63,77 @@ object Multimodal {
         |FROM documents ORDER BY 1""".stripMargin
   )
 
-  /** STUB DECODER — deterministic fake standing in for a real codec
-    * (no image/audio libs in this container). Emits a fixed-width
-    * feature vector derived from payload bytes; replace with a real
-    * decode + model forward pass without touching the plumbing. */
-  private[graft] def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+  /** Magic-byte kind sniff — the same classification q41 does in SQL,
+    * for the imperative decode path. */
+  private[graft] def sniffKind(p: Array[Byte]): String =
+    if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
+        (p(2) & 0xFF) == 0xFF) "jpeg"
+    else if (p.length >= 4 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' &&
+        p(2) == 'N' && p(3) == 'G') "png"
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    else if (p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8') "gif"
+    else if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F') "wav"
+    else "bin"
+
+  /** REAL image decode via the JDK's javax.imageio (PNG/JPEG/BMP/GIF —
+    * no external codec libraries needed). Emits a fixed 16-wide feature
+    * vector: [width, height, aspect, meanR, meanG, meanB, lumaMean,
+    * lumaStd, 8-bin luma histogram]. Pixels are sampled on a ≤64×64
+    * grid so a pathological 100-megapixel payload costs the same as a
+    * thumbnail — per-row work is bounded regardless of input. Returns
+    * None when no JDK reader accepts the bytes (caller falls back to
+    * [[hashFeatures]]). */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) None
+        else {
+          val gx = math.min(w, 64); val gy = math.min(h, 64)
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          var sl = 0.0; var sl2 = 0.0
+          val hist = new Array[Long](8)
+          var iy = 0
+          while (iy < gy) {
+            val y = iy * h / gy
+            var ix = 0
+            while (ix < gx) {
+              val x = ix * w / gx
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+              val luma = 0.299 * r + 0.587 * g + 0.114 * b
+              sr += r; sg += g; sb += b
+              sl += luma; sl2 += luma * luma
+              hist((luma / 32.0).toInt.min(7)) += 1
+              ix += 1
+            }
+            iy += 1
+          }
+          val n = (gx * gy).toDouble
+          val lumaMean = sl / n
+          val lumaVar = math.max(sl2 / n - lumaMean * lumaMean, 0.0)
+          val out = new Array[Float](16)
+          out(0) = w.toFloat; out(1) = h.toFloat
+          out(2) = (w.toDouble / h).toFloat
+          out(3) = (sr / n).toFloat; out(4) = (sg / n).toFloat; out(5) = (sb / n).toFloat
+          out(6) = lumaMean.toFloat; out(7) = math.sqrt(lumaVar).toFloat
+          var d = 0
+          while (d < 8) { out(8 + d) = (hist(d) / n).toFloat; d += 1 }
+          Some(out)
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** FALLBACK for payloads with no JDK codec (audio/video/unknown):
+    * deterministic fixed-width features from a rolling byte hash. This
+    * is the one remaining stand-in — swapping in an FFmpeg-class
+    * decoder replaces this function and nothing else. */
+  private[graft] def hashFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L // deterministic rolling hash over bytes
     var i = 0
@@ -84,13 +151,27 @@ object Multimodal {
   /** Partition-local feature extraction: batches stay on executors,
     * output is a fixed-width vector per payload — the Scala analog of a
     * pandas-batch UDF. `mapPartitions` is justified here (SURVEY.md §4):
-    * decode is genuinely imperative per-row work, not relational. */
+    * decode is genuinely imperative per-row work, not relational.
+    * Image kinds decode for real via [[decodeImage]]; everything else
+    * takes the [[hashFeatures]] fallback (kind suffixed "-raw" so
+    * downstream can tell decoded features from hashed ones). */
   def extractFeatures(payloads: Dataset[Payload], dim: Int = 16): Dataset[MediaFeature] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
       it.map { p =>
-        val f = fakeDecode(p.payload, dim)
-        MediaFeature(p.doc_id, "bin", p.payload.length.toLong, f)
+        val kind = sniffKind(p.payload)
+        val decoded =
+          if (kind == "png" || kind == "jpeg" || kind == "bmp" || kind == "gif")
+            decodeImage(p.payload)
+          else None
+        decoded match {
+          case Some(f) =>
+            MediaFeature(p.doc_id, kind, p.payload.length.toLong,
+              if (f.length == dim) f else java.util.Arrays.copyOf(f, dim))
+          case None =>
+            MediaFeature(p.doc_id, s"$kind-raw", p.payload.length.toLong,
+              hashFeatures(p.payload, dim))
+        }
       }
     }
   }

@@ -68,6 +68,20 @@ class ComponentsSpec extends SparkSpec {
     assert((1000L to 1040L).forall(got(_) == 1000L))
   }
 
+  test("auto strategy picks a correct algorithm at both ends of the heuristic") {
+    val edges = ((1L until 60L).map(i => (i, i + 1)) ++
+      (1L to 30L).map(i => (500L, 500L + i))).toDF("src", "dst")
+    val want = ops.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hubDegreeLimit high → hash-min path; limit 1 → every vertex looks
+    // like a hub → contraction path. Labels must agree either way.
+    for (limit <- Seq(Long.MaxValue, 1L)) {
+      val got = ops.Components.connectedComponentsAuto(edges, hubDegreeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"limit=$limit")
+    }
+  }
+
   test("q47 components: labels are component minima, sizes consistent") {
     val df = ops.Components.q47ConnectedComponents(spark, sf).cache()
     assert(df.filter(col("comp") > col("node")).count() == 0)

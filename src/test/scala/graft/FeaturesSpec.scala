@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Features
+import org.apache.spark.sql.functions.col
 
 class FeaturesSpec extends SparkSpec {
 
@@ -68,6 +69,18 @@ class FeaturesSpec extends SparkSpec {
       val frac = n.toDouble / byLabel(label)
       assert(frac > 0.5 && frac <= 1.0, s"label $label sampled frac $frac")
     }
+  }
+
+  test("q59 full matrix: q19 grain + all four graph slots, zero-filled") {
+    val q19 = Features.q19FeatureMatrix(spark, sf)
+    val full = Features.q59FullFeatureMatrix(spark, sf).cache()
+    assert(full.count() == q19.count())
+    for (c <- Seq("out_deg_signed", "in_deg_signed", "nbr_avg_deg", "clustering"))
+      assert(full.filter(col(c).isNull).count() == 0, c)
+    // at least one user carries a real (non-zero) graph feature
+    assert(full.filter(col("out_deg_signed") > 0).count() > 0)
+    assert(full.filter(col("nbr_avg_deg") > 0).count() > 0)
+    full.unpersist()
   }
 
   test("q19 feature matrix is one row per active user") {

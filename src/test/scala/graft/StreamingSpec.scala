@@ -286,6 +286,43 @@ class StreamingSpec extends SparkSpec {
     assert(cell1.map(_.n).toSeq == Seq(1L) && cell1.head.centroid.toSeq == Seq(9.0, 9.0))
   }
 
+  test("ivf handoff: stream-refreshed centroids serve the probe within the recall gate") {
+    // the full lambda loop: corpus vectors stream through
+    // ivfUpdateStream (seeded with 8 raw corpus vectors — a deliberately
+    // crude starting index), the refreshed per-cell means hand off to
+    // Ann.ivfProbe, and the probe must still clear the same recall gate
+    // the batch-trained q48 index is held to
+    implicit val sq = spark.sqlContext
+    val corpus = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val seeds = corpus.filter(_._1 >= 10).sortBy(_._1).take(8).map(_._2)
+    val mem = MemoryStream[EventStream.Emb]
+    val q = EventStream.ivfUpdateStream(mem.toDS(), seeds)
+      .writeStream.format("memory").queryName("ivf_handoff")
+      .outputMode("update").start()
+    mem.addData(corpus.map { case (id, e) =>
+      EventStream.Emb(id, new Timestamp(base * 60000L + id), e)
+    }.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val refreshed = spark.table("ivf_handoff").as[EventStream.CentroidOut]
+      .collect().groupBy(_.cell)
+      .map { case (cell, outs) => cell -> outs.maxBy(_.n).centroid.map(_.toFloat) }
+    q.stop()
+    // cells the stream never updated keep their seed centroid
+    val centroids = seeds.indices.map(i => (i, refreshed.getOrElse(i, seeds(i))))
+    val probe = ops.Ann.ivfProbe(spark, sf, centroids)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val exact = ops.Ann.q34AnnCosineTopk(spark, sf)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val recalls = exact.keys.toSeq.map { k =>
+      (probe.getOrElse(k, Set.empty[Long]) & exact(k)).size.toDouble / exact(k).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 after streaming refresh: $mean")
+  }
+
   test("multimodal extractFeatures: fixed width, deterministic") {
     val ds = Seq(
       ops.Multimodal.Payload(1L, "hello world".getBytes),
@@ -296,5 +333,39 @@ class StreamingSpec extends SparkSpec {
     assert(out.values.forall(_.features.length == 16))
     assert(out(1L).features.sameElements(out(2L).features))
     assert(!out(1L).features.sameElements(out(3L).features))
+    // non-image payloads take the hash fallback and say so
+    assert(out.values.forall(_.kind == "bin-raw"))
+  }
+
+  /** In-memory PNG of solid `argb` at `w`×`h` via the JDK encoder. */
+  private def pngBytes(w: Int, h: Int, argb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, argb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal extractFeatures: REAL png decode via javax.imageio") {
+    val red = pngBytes(20, 10, 0xFF0000)       // solid red, 2:1 aspect
+    val white = pngBytes(100, 100, 0xFFFFFF)   // solid white, >64 grid sampling
+    val ds = Seq(
+      ops.Multimodal.Payload(1L, red),
+      ops.Multimodal.Payload(2L, white)).toDS()
+    val out = ops.Multimodal.extractFeatures(ds, dim = 16).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).kind == "png" && out(2L).kind == "png")
+    val fr = out(1L).features
+    assert(fr(0) == 20f && fr(1) == 10f && fr(2) == 2.0f)        // w, h, aspect
+    assert(fr(3) == 255f && fr(4) == 0f && fr(5) == 0f)          // mean RGB = red
+    assert(math.abs(fr(6) - 0.299 * 255) < 0.5)                  // luma mean
+    assert(fr(7) == 0f)                                          // solid → zero std
+    val fw = out(2L).features
+    assert(fw(0) == 100f && fw(1) == 100f)
+    assert(fw(3) == 255f && fw(4) == 255f && fw(5) == 255f)
+    assert(fw(15) == 1.0f)                                       // all luma in top bin
+    // q41's SQL kind sniff agrees with the imperative sniff on real bytes
+    assert(ops.Multimodal.sniffKind(red) == "png")
   }
 }

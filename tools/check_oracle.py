@@ -28,8 +28,23 @@ def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not os.path.exists(p):
+            continue
+        # ScaleGen replicas are Spark-written directories; driver testdata
+        # is a single file per table.
+        src = (f"read_parquet('{p}/**/*.parquet')" if os.path.isdir(p)
+               else f"read_parquet('{p}')")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        if t == "events":
+            ts_type = dict((r[0], r[1]) for r in
+                           con.execute("DESCRIBE events").fetchall())["ts"]
+            if ts_type == "BIGINT":
+                # replica encoding: raw nanos as INT64 (Spark cannot write
+                # TIMESTAMP(NANOS)); rebuild the µs-truncated timestamp the
+                # same way Tables.events does
+                con.execute("DROP VIEW events")
+                con.execute(f"CREATE VIEW events AS SELECT * REPLACE "
+                            f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
 
