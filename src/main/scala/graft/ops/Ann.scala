@@ -305,8 +305,12 @@ object Ann {
         |ORDER BY qid, rk""".stripMargin
     },
     "q36_dedup_embedding" -> {
+      // Pair WITHIN (label, cell) blocks BEFORE any per-component work —
+      // the unblocked spelling (all-pairs dots, filter after) is n²·dim
+      // intermediate rows and never finishes past sf0.1; this mirrors
+      // the Spark plan's block-first shape, so oracle cost scales with
+      // candidate pairs, not the corpus square.
       s"""WITH qt AS (SELECT * FROM embeddings),
-        | ct AS (SELECT * FROM embeddings),
         | st AS (SELECT * FROM embeddings WHERE vec_id < 8),
         | lab AS (SELECT vec_id, label FROM embeddings),
         | ${cosineSql("qt", "st", "_s")},
@@ -314,15 +318,26 @@ object Ann {
         |   SELECT qid, cid,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
         |   FROM cosres_s) WHERE rk = 1),
-        | ${cosineSql("qt", "ct")}
-        |SELECT qid AS id1, cid AS id2, la.label AS label, cos
-        |FROM cosres
-        | JOIN lab la ON la.vec_id = qid
-        | JOIN lab lb ON lb.vec_id = cid
-        | JOIN cells ca ON ca.vid = qid
-        | JOIN cells cb ON cb.vid = cid
-        |WHERE qid < cid AND la.label = lb.label AND ca.cell = cb.cell
-        |  AND cos >= 0.4
+        | pairs AS (SELECT ca.vid AS qid, cb.vid AS cid
+        |   FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vid < cb.vid
+        |   JOIN lab la ON la.vec_id = ca.vid
+        |   JOIN lab lb ON lb.vec_id = cb.vid AND la.label = lb.label),
+        | comp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |   CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS x
+        |  FROM qt),
+        | nrm AS (SELECT vec_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS n FROM comp GROUP BY 1),
+        | dots AS (SELECT p.qid, p.cid, CAST(sum(a.x * b.x) AS DOUBLE) AS dot
+        |   FROM pairs p
+        |   JOIN comp a ON a.vec_id = p.qid
+        |   JOIN comp b ON b.vec_id = p.cid AND b.pos = a.pos
+        |   GROUP BY 1, 2)
+        |SELECT d.qid AS id1, d.cid AS id2, la.label AS label,
+        | round(d.dot / (na.n * nb.n), 6) AS cos
+        |FROM dots d
+        | JOIN nrm na ON na.vec_id = d.qid
+        | JOIN nrm nb ON nb.vec_id = d.cid
+        | JOIN lab la ON la.vec_id = d.qid
+        |WHERE round(d.dot / (na.n * nb.n), 6) >= 0.4
         |ORDER BY 1, 2""".stripMargin
     }
   )

@@ -63,18 +63,23 @@ object Text {
     // Cached: the shingling is the expensive part and feeds both the df
     // aggregation and the semi-join below.
     val sh = shingled(spark, dir).cache()
-    // Document frequency via hash aggregation + a semi-join on the SAME
-    // key the pairing join shuffles on — NOT `count(*) OVER (PARTITION BY
-    // shingle)`, which sort-shuffles the entire posting list just to drop
-    // the hot shingles. Map-side partial counts shrink the df table to
-    // one row per distinct shingle before its shuffle, and no sort runs
-    // anywhere. (A groupBy(collect_list) posting-list variant would save
-    // the semi-join but accumulates unbounded arrays for hot shingles
-    // BEFORE the df filter — a single-key OOM hazard at crawl scale.)
-    val ok = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+    // Document frequency via hash aggregation + an ANTI-join against the
+    // hot-shingle list — NOT `count(*) OVER (PARTITION BY shingle)`,
+    // which sort-shuffles the entire posting list just to drop the hot
+    // shingles. Map-side partial counts shrink the df table to one row
+    // per distinct shingle before its shuffle, no sort runs anywhere,
+    // and the exclusion side (df > maxDf — boilerplate, the tiny head
+    // of the df distribution) is what joins back, so AQE broadcasts it
+    // and the posting list itself never shuffles for the cap; a
+    // pathological corpus with a huge hot head degrades to a shuffle
+    // join, not an error. (A groupBy(collect_list) posting-list variant
+    // would save this join but accumulates unbounded arrays for hot
+    // shingles BEFORE the df filter — a single-key OOM hazard at crawl
+    // scale.)
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
       .select(col("shingle"))
-    val kept = sh.join(ok, Seq("shingle"), "left_semi")
+    val kept = sh.join(hot, Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
       .cache() // feeds sizing + both sides of the inverted-index join
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -191,8 +196,9 @@ object Text {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingledSql),
-        | ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
-        | kept AS (SELECT doc_id, shingle FROM sh WHERE shingle IN (SELECT shingle FROM ok)),
+        | hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+        | kept AS (SELECT doc_id, shingle FROM sh
+        |   WHERE shingle NOT IN (SELECT shingle FROM hot)),
         | sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
         | inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
         |   FROM kept a JOIN kept b

@@ -124,10 +124,10 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
-  test("q31: df cap is a hash agg + semi-join — no window over the posting list") {
+  test("q31: df cap is a hash agg + anti-join — no window over the posting list") {
     val p = plan(ops.Text.q31DedupNgramJaccard(spark, sf))
     assert(!p.contains("Window"), p.take(3000))
-    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
   }
 
   test("q35: buckets computed inline — no extra per-side self-join") {
