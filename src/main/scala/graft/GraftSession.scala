@@ -19,8 +19,8 @@ object GraftSession {
 
   def local(cores: Int): SparkSession = build(s"local[$cores]", cores)
 
-  def build(master: String, shufflePartitions: Int): SparkSession =
-    SparkSession.builder()
+  def build(master: String, shufflePartitions: Int): SparkSession = {
+    val base = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
@@ -34,5 +34,16 @@ object GraftSession {
       // (Tables.events truncates to µs); set once here, not per-read
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Tuning-sweep overrides (SURVEY §7.19): semicolon-separated k=v
+    // pairs, applied last so a sweep can flip AQE/partition settings
+    // without a code edit, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false;spark.sql.shuffle.partitions=128"
+    val tuned = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(base) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
+    tuned.getOrCreate()
+  }
 }

@@ -86,7 +86,107 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Word 8-gram shingles, distinct per doc — the decontamination grain
+    * (3-grams collide on common phrases; 8+ tokens of verbatim overlap
+    * is the standard benchmark-leak test). */
+  private val grams8Expr =
+    """flatten(transform(array(split(text, ' ')),
+      | t -> CASE WHEN size(t) >= 8 THEN
+      |   array_distinct(transform(sequence(1, size(t) - 7),
+      |     i -> concat_ws(' ', slice(t, i, 8))))
+      |  ELSE array() END))""".stripMargin
+
+  private val grams8Sql =
+    """SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+      |      i -> array_to_string(t[i:i+7], ' ')))) AS g8
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+
+  /** q60: benchmark decontamination — flag every corpus document that
+    * shares at least one verbatim word-8-gram with the held-out
+    * "benchmark" subset (stand-in: doc_id ≡ 0 mod 23, a fixed ~4%
+    * slice — in production this side is the actual eval-suite text).
+    * The pre-training step every serious pipeline runs: training on
+    * benchmark text invalidates the benchmark.
+    *
+    * Scale: the benchmark gram set is tiny next to the corpus (eval
+    * suites are MBs, corpora are TBs) — AQE broadcasts it and the
+    * corpus grams stream past in their one scan; the semi-join count
+    * never shuffles the corpus side. At extreme scale the broadcast
+    * degrades to a shuffle join keyed on the gram — or a Bloom-filter
+    * pushdown, same plan shape. */
+  def q60Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(grams8Expr)).as("g8"))
+      .cache() // feeds benchmark set, corpus sizes and the hit join
+    val benchGrams = g.filter(col("doc_id") % 23 === 0)
+      .select(col("g8")).distinct()
+    val corpus = g.filter(col("doc_id") % 23 =!= 0)
+    val hits = corpus.join(benchGrams, Seq("g8"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 23 =!= 0)
+      .select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q61: within-document repetition ratio — the Gopher-class quality
+    * rule (excessively duplicated n-grams ⇒ boilerplate/spam): share of
+    * a doc's trigram instances that are repeats of an earlier trigram,
+    * flagged past 0.3. A pure per-row projection over codegen'd array
+    * HOFs — ZERO shuffles at any scale; both gram counts come from the
+    * one token array already bound as a lambda variable. */
+  def q61RepetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_total",
+        greatest(size(split(col("text"), " ")) - 2, lit(0)).cast("long"))
+      .withColumn("n_distinct", size(expr(Text.shinglesExpr)).cast("long"))
+      .select(col("doc_id"), col("n_total"), col("n_distinct"),
+        when(col("n_total") > 0,
+          Exact.r(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_total"), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .withColumn("flagged", col("rep_ratio") > 0.3)
+      .orderBy(col("doc_id"))
+
   val oracles: Map[String, String] = Map(
+    "q60_decontaminate" ->
+      s"""WITH g AS ($grams8Sql),
+        | bg AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 23 = 0),
+        | corpus AS (SELECT * FROM g WHERE doc_id % 23 <> 0),
+        | hits AS (SELECT doc_id, count(*) AS n_hits FROM corpus
+        |   WHERE g8 IN (SELECT g8 FROM bg) GROUP BY 1),
+        | sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(sizes.n_grams, 0) AS n_grams,
+        | coalesce(hits.n_hits, 0) AS n_hits,
+        | coalesce(hits.n_hits, 0) > 0 AS contaminated
+        |FROM documents d
+        | LEFT JOIN sizes ON d.doc_id = sizes.doc_id
+        | LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |WHERE d.doc_id % 23 <> 0
+        |ORDER BY 1""".stripMargin,
+    "q61_repetition_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | c AS (SELECT doc_id,
+        |   greatest(len(t) - 2, 0)::BIGINT AS n_total,
+        |   len(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))))::BIGINT AS n_distinct
+        |  FROM t)
+        |SELECT doc_id, n_total, n_distinct,
+        | CASE WHEN n_total > 0
+        |   THEN floor((1.0 - n_distinct * 1.0 / n_total) * 1e6 + 0.5) / 1e6
+        |   ELSE 0.0 END AS rep_ratio,
+        | (CASE WHEN n_total > 0
+        |   THEN floor((1.0 - n_distinct * 1.0 / n_total) * 1e6 + 0.5) / 1e6
+        |   ELSE 0.0 END) > 0.3 AS flagged
+        |FROM c ORDER BY 1""".stripMargin,
     "q56_tfidf_topterms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
@@ -152,6 +252,8 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_tfidf_topterms" -> (q56TfidfTopTerms _),
-    "q57_corpus_pipeline" -> (q57CorpusPipeline _)
+    "q57_corpus_pipeline" -> (q57CorpusPipeline _),
+    "q60_decontaminate" -> (q60Decontaminate _),
+    "q61_repetition_ratio" -> (q61RepetitionRatio _)
   )
 }

@@ -43,4 +43,30 @@ class CorpusSpec extends SparkSpec {
         s"source ${r.getString(0)} kept more docs than exist")
     }
   }
+
+  test("q60 decontamination: benchmark docs excluded, flags are hit-consistent") {
+    val rows = ops.Corpus.q60Decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // no benchmark doc leaks into the audited corpus
+    assert(rows.forall(_.getAs[Long]("doc_id") % 23 != 0))
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Boolean]("contaminated") == (hits > 0))
+    }
+  }
+
+  test("q61 repetition ratio: bounds, zero for short docs, flags thresholded") {
+    val rows = ops.Corpus.q61RepetitionRatio(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0, r)
+      assert(r.getAs[Long]("n_distinct") <= math.max(r.getAs[Long]("n_total"), 0L))
+      if (r.getAs[Long]("n_total") == 0) assert(ratio == 0.0)
+      assert(r.getAs[Boolean]("flagged") == (ratio > 0.3))
+    }
+    // the synthetic corpus repeats boilerplate: some doc must repeat a trigram
+    assert(rows.exists(_.getAs[Double]("rep_ratio") > 0.0))
+  }
 }
