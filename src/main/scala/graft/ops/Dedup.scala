@@ -131,35 +131,41 @@ object Dedup {
        |   JOIN sizes s2 ON c.id2 = s2.doc_id)""".stripMargin
   }
 
+  /** Unsorted q32 core — shared by q32 (adds the output sort) and q55
+    * (feeds connected components, where a sort would be wasted work). */
+  private def minhashRefined(spark: SparkSession, dir: String): DataFrame = {
+    // sh feeds the signature build and the per-doc set materialization —
+    // persist once instead of re-shingling the corpus per consumer
+    val sh = Text.shingled(spark, dir).cache()
+    val cands = minhashCandidates(sh, numHashes = 16, bands = 4)
+    // exact-Jaccard refinement for CANDIDATES only — never all pairs.
+    // One groupBy materializes each doc's (already-distinct) shingle
+    // set as an array; the candidate pairs (tiny vs the posting list)
+    // join that table twice by id and intersect the arrays locally.
+    // This replaces the previous shape — re-joining the full posting
+    // list per pair side and re-counting sizes in a third aggregation —
+    // with ONE shuffle of sh; a band-collision pair sharing zero
+    // shingles gets inter = 0 from the empty intersection (no left
+    // join needed), and |set| = size(arr) makes the sizing free.
+    val docsets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shs"))
+    cands
+      .join(docsets.as("a"), col("id1") === col("a.doc_id"))
+      .join(docsets.as("b"), col("id2") === col("b.doc_id"))
+      .select(col("id1"), col("id2"), col("n_bands"),
+        size(array_intersect(col("a.shs"), col("b.shs"))).cast("long").as("inter"),
+        size(col("a.shs")).cast("long").as("sz1"),
+        size(col("b.shs")).cast("long").as("sz2"))
+      .select(col("id1"), col("id2"), col("n_bands"),
+        Exact.r(col("inter") * lit(1.0) /
+          (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+  }
+
   /** q32: MinHash(16 hashes) + LSH(4 bands × 4 rows) candidate pairs
     * over word-trigram shingles, refined with the exact Jaccard of the
     * colliding docs (the verify step real pipelines run post-LSH). */
-  def q32DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // sh feeds the signature build, both refinement joins and sizing —
-    // persist once instead of re-shingling the corpus 4×
-    val sh = Text.shingled(spark, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // cands feeds the refinement join AND the final projection — persist,
-    // or the bucket self-join + groupBy runs twice
-    val cands = minhashCandidates(sh, numHashes = 16, bands = 4).cache()
-    // exact-Jaccard refinement for CANDIDATES only — never all pairs
-    val inter = cands.select(col("id1").as("jid1"), col("id2").as("jid2"))
-      .join(sh.as("a"), col("jid1") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("jid2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("jid1"), col("jid2"))
-      .agg(count(lit(1)).as("inter"))
-    cands
-      .join(inter,
-        col("id1") === col("jid1") && col("id2") === col("jid2"), "left")
-      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
-      .select(col("id1"), col("id2"), col("n_bands"),
-        Exact.r(coalesce(col("inter"), lit(0L)) * lit(1.0) /
-          (col("s1.sz") + col("s2.sz") - coalesce(col("inter"), lit(0L))), 6)
-          .as("jaccard"))
-      .orderBy(col("id1"), col("id2"))
-  }
+  def q32DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashRefined(spark, dir).orderBy(col("id1"), col("id2"))
 
   /** SimHash bit width and banding: 60 bits (15 md5 hex digits — the
     * most that stays positive in int64), 4 bands × 15 bits; any pair
@@ -251,7 +257,7 @@ object Dedup {
     * recursive-CTE transitive closure. DedupSpec pins
     * one-keeper-per-cluster and keeper = min(doc_id). */
   def q55DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q32DedupMinhash(spark, dir)
+    val pairs = minhashRefined(spark, dir)
       .filter(col("jaccard") >= 0.5)
       .select(col("id1").as("src"), col("id2").as("dst"))
     Components.connectedComponents(pairs)

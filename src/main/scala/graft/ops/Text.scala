@@ -81,12 +81,24 @@ object Text {
       .select(col("shingle"))
     val kept = sh.join(hot, Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
-      .cache() // feeds sizing + both sides of the inverted-index join
+      .cache() // feeds sizing + the posting-list aggregation
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = kept.as("a")
-      .join(kept.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    // Posting list per shingle, AFTER the cap — so collect_list is
+    // bounded at maxDf ids per key (the cap is exactly what makes this
+    // safe; collect_list before it is the hot-key OOM hazard the
+    // anti-join exists to prevent). Pairs then explode locally inside
+    // one task — ONE hash shuffle of the posting list total, where the
+    // previous self-join shuffled it once per side and sort-merged.
+    // Shingles are array_distinct'd per doc, so y > x enumerates each
+    // unordered doc pair exactly once (≤ maxDf²/2 structs per row).
+    val posting = kept.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val inter = posting.select(explode(expr(
+        """flatten(transform(ds, x ->
+          | transform(filter(ds, y -> y > x),
+          |   y -> struct(x AS id1, y AS id2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
