@@ -66,14 +66,18 @@ object ScaleGen {
                   concat(lit("_r"), col("_rep"), lit(" "))),
                 lit("_r"), col("_rep"))))
           .withColumn("n_chars", length(col("text")).cast("long")))
+      // rotation offset wraps at the vector dim: _rep itself would send
+      // `size - _rep` negative once k exceeds the dim (slice errors)
       write(outDir, "embeddings",
         replicate(Tables.embeddings(spark, srcDir), k, "vec_id")
+          .withColumn("_rot", pmod(col("_rep"), size(col("embedding"))))
           .withColumn("embedding",
-            when(col("_rep") === 0, col("embedding"))
+            when(col("_rot") === 0, col("embedding"))
               .otherwise(concat(
-                slice(col("embedding"), col("_rep") + 1,
-                  size(col("embedding")) - col("_rep")),
-                slice(col("embedding"), lit(1), col("_rep"))))))
+                slice(col("embedding"), col("_rot") + 1,
+                  size(col("embedding")) - col("_rot")),
+                slice(col("embedding"), lit(1), col("_rot")))))
+          .drop("_rot"))
       println(s"[scalegen] wrote ${k}x replica of $srcDir to $outDir")
     } finally spark.stop()
   }
