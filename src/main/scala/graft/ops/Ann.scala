@@ -159,29 +159,80 @@ object Ann {
     * whose max pairwise cosine is ~0.5 — a 0.9 "near-dup" bar would
     * make the check vacuously empty.)
     *
-    * The cell is a deterministic coarse quantizer: 8 fixed seed vectors
-    * (vec_id < 8, a kB-sized broadcast) and nearest-seed-by-cosine
-    * assignment using the same exact scaled-integer cosine as the pair
-    * scoring — so the DuckDB oracle replicates the cells bit-for-bit
-    * (MLlib k-means centroids, q48, can't be oracled; at 100 TB you'd
-    * swap the seed table for q48's learned centroids — identical plan).
+    * The cell is a deterministic coarse quantizer: max(8, ⌈√n⌉) seed
+    * vectors (the lowest vec_ids — a kB-to-MB broadcast) and
+    * nearest-seed-by-cosine assignment using the same exact
+    * scaled-integer cosine as the pair scoring — so the DuckDB oracle
+    * replicates the cells bit-for-bit, with the SAME ⌈√count⌉ spelled
+    * as a scalar subquery (IEEE sqrt is correctly rounded in both
+    * engines). √n is the IVF sizing rule: assignment costs n·√n
+    * cosines and within-cell pairing ~n²/√n — both n^1.5, where a
+    * FIXED cell count left pairing quadratic (measured 19× at a 10×
+    * scale-up, the one superlinear query in the sf10 sweep). (MLlib
+    * k-means centroids, q48, can't be oracled; at 100 TB you'd swap
+    * the seed table for q48's learned centroids — identical plan.)
     *
     * Scale: candidates shuffle on the (label, cell) equi-key — a plain
     * hash-partitioned join, NO corpus broadcast, and per-block pair
-    * counts bounded by the cell granularity (k cells ⇒ n²/k candidate
-    * pairs; grow k with n). PlanSpec pins the no-broadcast shape. */
+    * counts bounded by the cell granularity. Cell assignment is an
+    * argmax AGGREGATION (max of (cos, -sid) structs, map-side
+    * combined), not a rank window — the n×√n scored rows collapse to
+    * n before any shuffle. PlanSpec pins the no-broadcast shape. */
   def q36DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // parquet-footer row count (statistics-only, same gate pattern as
+    // q22/q46) sizes the quantizer with the data
+    val nSeeds = math.max(8L,
+      math.ceil(math.sqrt(emb.count().toDouble)).toLong)
     val lab = emb.select(col("vec_id"), col("label"))
-    val seeds = prep(emb.filter(col("vec_id") < 8), "sid", "sv", "sn")
-    val cells = prep(emb, "vid", "v", "n")
-      .crossJoin(broadcast(seeds))
-      .select(col("vid"), col("sid"), cosine("v", "sv", "n", "sn").as("scos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vid")).orderBy(col("scos").desc, col("sid"))))
-      .filter(col("rk") === 1)
-      .select(col("vid"), col("sid").as("cell"))
-      .persist()
+    // The seed side is ≤ ~√n rows: collect it once (bounded like
+    // Ranking's per-bucket offsets — ~240 kB at n = 200k; at 100 TB
+    // this table is exactly how q48 ships its learned centroids) and
+    // run assignment as a tight per-partition argmax kernel: n·√n
+    // primitive-long dot products and ZERO intermediate rows. The
+    // declarative spellings both lose by orders of magnitude here: a
+    // broadcast crossJoin materializes n·√n join rows each dragging
+    // both 64-element arrays (~1 kB of row copy each — measured 174 s
+    // at n = 200k), and a transform() over an inlined seed literal
+    // evaluates interpreted (HOFs don't codegen — worse still). This
+    // is the justified-imperative seam mapPartitions exists for
+    // (SURVEY §4), the same kernel shape as the streaming IVF
+    // update's nearest(). Argmax compares the UNROUNDED cosine —
+    // exact int64 dot / IEEE norms, bit-identical in Spark, this
+    // kernel, and DuckDB — so no engine-specific round() enters the
+    // cell decision; ties break toward the smallest seed id.
+    val seeds = prep(emb.filter(col("vec_id") < nSeeds), "sid", "sv", "sn")
+      .collect()
+      .map(r => (r.getAs[Long]("sid"), r.getAs[Seq[Long]]("sv").toArray,
+        r.getAs[Double]("sn")))
+      .sortBy(_._1)
+    val cells = {
+      import emb.sparkSession.implicits._
+      prep(emb, "vid", "v", "n").select(col("vid"), col("v"), col("n"))
+        .as[(Long, Array[Long], Double)]
+        .mapPartitions { it =>
+          it.map { case (vid, v, n) =>
+            var bestCos = Double.NegativeInfinity
+            var bestSid = Long.MaxValue
+            var k = 0
+            while (k < seeds.length) {
+              val (sid, sv, sn) = seeds(k)
+              var dot = 0L
+              var i = 0
+              val m = math.min(v.length, sv.length)
+              while (i < m) { dot += v(i) * sv(i); i += 1 }
+              val cos = dot.toDouble / (n * sn)
+              if (cos > bestCos || (cos == bestCos && sid < bestSid)) {
+                bestCos = cos; bestSid = sid
+              }
+              k += 1
+            }
+            (vid, bestSid)
+          }
+        }
+        .toDF("vid", "cell")
+        .persist()
+    }
     val a = prep(emb, "id1", "v1", "n1")
       .join(lab.withColumnRenamed("vec_id", "id1"), "id1")
       .join(cells.toDF("id1", "cell"), "id1")
@@ -311,13 +362,17 @@ object Ann {
       // the Spark plan's block-first shape, so oracle cost scales with
       // candidate pairs, not the corpus square.
       s"""WITH qt AS (SELECT * FROM embeddings),
-        | st AS (SELECT * FROM embeddings WHERE vec_id < 8),
+        | st AS (SELECT * FROM embeddings WHERE vec_id <
+        |   (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
+        |      FROM embeddings)),
         | lab AS (SELECT vec_id, label FROM embeddings),
         | ${cosineSql("qt", "st", "_s")},
         | cells AS (SELECT qid AS vid, cid AS cell FROM (
         |   SELECT qid, cid,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-        |   FROM cosres_s) WHERE rk = 1),
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot / (sqrt(nq_s.n2) * sqrt(nc_s.n2)) DESC, cid) AS rk
+        |   FROM dots_s JOIN nq_s USING (qid) JOIN nc_s USING (cid))
+        |  WHERE rk = 1),
         | pairs AS (SELECT ca.vid AS qid, cb.vid AS cid
         |   FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vid < cb.vid
         |   JOIN lab la ON la.vec_id = ca.vid
