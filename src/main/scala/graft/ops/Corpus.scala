@@ -155,7 +155,59 @@ object Corpus {
       .withColumn("flagged", col("rep_ratio") > 0.3)
       .orderBy(col("doc_id"))
 
+  /** Context length for the q62 packing plan — the chunk width a
+    * pretraining data loader fills. */
+  private val ctxLen = 2048L
+
+  /** q62: concat-and-chunk packing plan — THE data-loader step of LLM
+    * pretraining: documents are concatenated in a deterministic order
+    * (doc_id) and cut into fixed `ctxLen`-token chunks; each doc's
+    * global token offset decides which chunk(s) it lands in and
+    * whether the cut splits it. Emitted per doc: start offset, first
+    * chunk id, chunks spanned, and the split flag (the fraction of
+    * split docs is the statistic packing papers report).
+    *
+    * Scale: the global running token sum is NOT a single-partition
+    * window — it is [[Ranking]]'s two-pass exclusive-offset primitive
+    * (range-bucket by doc_id, ≤1024-row per-bucket totals folded on
+    * the driver, then a bucket-partitioned parallel window), the same
+    * scale-safe global ordering q27/q28 use. Bit-identical to the
+    * naive window; PlanSpec pins the absence of any SinglePartition
+    * exchange. Chunk arithmetic is exact integer DIV in both engines. */
+  def q62PackChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val bucketed = Ranking.withRangeBucket(toks, "doc_id", descending = false)
+    val off = Ranking.exclusiveOffsets(bucketed,
+      Map("tok" -> sum(col("n_tok"))))("tok")
+    val w = Window.partitionBy(col("_b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("start_off", off + sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        expr(s"start_off DIV $ctxLen").as("chunk_id"),
+        expr(s"((start_off + n_tok - 1) DIV $ctxLen) - (start_off DIV $ctxLen) + 1")
+          .as("n_chunks"),
+        expr(s"(start_off DIV $ctxLen) != ((start_off + n_tok - 1) DIV $ctxLen)")
+          .as("split_doc"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q62_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+        |   len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+        | o AS (SELECT doc_id, n_tok,
+        |   CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+        |    AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT doc_id, n_tok, start_off,
+        | start_off // $ctxLen AS chunk_id,
+        | ((start_off + n_tok - 1) // $ctxLen) - (start_off // $ctxLen) + 1 AS n_chunks,
+        | (start_off // $ctxLen) != ((start_off + n_tok - 1) // $ctxLen) AS split_doc
+        |FROM o ORDER BY doc_id""".stripMargin,
     "q60_decontaminate" ->
       s"""WITH g AS ($grams8Sql),
         | bg AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 23 = 0),
@@ -254,6 +306,7 @@ object Corpus {
     "q56_tfidf_topterms" -> (q56TfidfTopTerms _),
     "q57_corpus_pipeline" -> (q57CorpusPipeline _),
     "q60_decontaminate" -> (q60Decontaminate _),
-    "q61_repetition_ratio" -> (q61RepetitionRatio _)
+    "q61_repetition_ratio" -> (q61RepetitionRatio _),
+    "q62_pack_chunks" -> (q62PackChunks _)
   )
 }

@@ -149,13 +149,17 @@ object Features {
 
   /** q16: area-change analog — distinct `props.k` values seen per user
     * per week (utils.py:156-162 area_change2), exercising JSON
-    * extraction inside the scan. */
+    * extraction inside the scan. Emits both the count AND the sorted
+    * area list itself (utils.py:165-171's `areas` variant returns the
+    * list) — joined to one string so the hash compare is
+    * order-deterministic in both engines. */
   def q16AreaChange(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"),
         get_json_object(col("props"), "$.k").as("area"))
       .groupBy(col("user_id"), col("wk"))
-      .agg(countDistinct(col("area")).as("n_areas"))
+      .agg(countDistinct(col("area")).as("n_areas"),
+        array_join(array_sort(collect_set(col("area"))), ",").as("areas"))
       .orderBy(col("user_id"), col("wk"))
 
   /** q17: global z-score normalization (utils.py:273-279 normalize).
@@ -389,7 +393,8 @@ object Features {
         |FROM t WHERE event_type='view' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_area_change" ->
       """SELECT user_id, date_trunc('week', ts)::DATE AS wk,
-        | count(DISTINCT json_extract_string(props,'$.k')) AS n_areas
+        | count(DISTINCT json_extract_string(props,'$.k')) AS n_areas,
+        | array_to_string(list_sort(list(DISTINCT json_extract_string(props,'$.k'))), ',') AS areas
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q17_zscore" ->
       s"""SELECT c_custkey,

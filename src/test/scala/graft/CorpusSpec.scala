@@ -69,4 +69,22 @@ class CorpusSpec extends SparkSpec {
     // the synthetic corpus repeats boilerplate: some doc must repeat a trigram
     assert(rows.exists(_.getAs[Double]("rep_ratio") > 0.0))
   }
+
+  test("q62 packing: offsets are the exact running sum, chunk spans consistent") {
+    val rows = ops.Corpus.q62PackChunks(spark, sf).collect()
+    // output is doc_id-ordered; each start_off must equal the running sum
+    var run = 0L
+    rows.foreach { r =>
+      val (nTok, startOff) = (r.getLong(1), r.getLong(2))
+      assert(startOff == run, s"doc ${r.getLong(0)}: off $startOff != running $run")
+      val chunkId = r.getLong(3)
+      val nChunks = r.getLong(4)
+      val lastChunk = (startOff + nTok - 1) / 2048
+      assert(chunkId == startOff / 2048)
+      assert(nChunks == lastChunk - chunkId + 1)
+      assert(r.getBoolean(5) == (nChunks > 1))
+      run += nTok
+    }
+    assert(rows.nonEmpty)
+  }
 }

@@ -79,6 +79,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q62: running token offset is bucket-partitioned, never a global window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = ops.Corpus.q62PackChunks(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w))
+  }
+
   test("q05/q34: rank-filter plans as per-partition WindowGroupLimit") {
     assert(plan(ops.Relational.q05WindowRank(spark, sf)).contains("WindowGroupLimit"))
     assert(plan(ops.Ann.q34AnnCosineTopk(spark, sf)).contains("WindowGroupLimit"))
