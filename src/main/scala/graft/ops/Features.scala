@@ -280,9 +280,14 @@ object Features {
       .groupBy(col("node").as("user_id"))
       .agg(sum(col("n_pos")).as("out_deg_signed"),
         sum(col("n_neg")).as("in_deg_signed"))
-    val nad = Graph.q22NeighborAvgDegree(spark, dir)
+    // ONE orders⋈lineitem pass feeds both graph constituents (q22's
+    // full edge list and q23's heavy-line subgraph derive from the
+    // same cached base — MEMORY_AND_DISK, so at scale it spills
+    // rather than re-running the fact join)
+    val fact = Graph.factBase(spark, dir).cache()
+    val nad = Graph.q22On(spark, dir, Graph.edgesFrom(fact))
       .select(col("node").as("user_id"), col("nbr_avg_deg"))
-    val cc = Graph.q23Triangles(spark, dir)
+    val cc = Graph.q23On(spark, dir, Graph.hotEdgesFrom(fact))
       .select(col("node").as("user_id"), col("clustering"))
     base
       .join(sd, Seq("user_id"), "left")

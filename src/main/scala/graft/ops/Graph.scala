@@ -25,6 +25,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Graph {
 
+  /** One orders⋈lineitem pass carrying everything the graph family
+    * derives its edge lists from — q59 caches THIS and feeds both the
+    * full-graph (q22) and heavy-line (q23) constituents from it, so
+    * the fact join runs once per assembly instead of once per
+    * operator. (Standalone q23 keeps its own build: the l_quantity
+    * filter then pushes into the parquet scan.) */
+  private[ops] def factBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"),
+        col("l_quantity"))
+
+  private[ops] def edgesFrom(base: DataFrame): DataFrame =
+    base.select(col("src"), col("dst")).distinct()
+
+  private[ops] def hotEdgesFrom(base: DataFrame): DataFrame =
+    base.filter(col("l_quantity") >= 45)
+      .select(col("src"), col("dst")).distinct()
+
   /** Distinct directed edges (src=customer, dst=supplier). */
   private def edges(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -136,7 +155,11 @@ object Graph {
     * graph. The reference's loop (data_process.py:140-144) accidentally
     * averages the node's own degree; we implement the intended
     * neighbor-degree mean. Integer sum / count keeps the oracle exact. */
-  def q22NeighborAvgDegree(spark: SparkSession, dir: String): DataFrame = {
+  def q22NeighborAvgDegree(spark: SparkSession, dir: String): DataFrame =
+    q22On(spark, dir, edges(spark, dir))
+
+  private[ops] def q22On(spark: SparkSession, dir: String,
+      e: DataFrame): DataFrame = {
     // Symmetrize in ONE pass: dedup the directed pairs first (map-side
     // combine shrinks the joined rows before the shuffle), then explode
     // both directions from that small set. One join pass, two small
@@ -144,7 +167,7 @@ object Graph {
     // orders⋈lineitem join once per branch. The second distinct stays:
     // customer and supplier keys share a numeric range, so a reverse
     // directed pair can exist.
-    val und = symmetrized(edges(spark, dir), "src", "dst")
+    val und = symmetrized(e, "src", "dst")
       .distinct().cache() // feeds both the degree agg and the neighbor join
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     // deg is one row per NODE — orders of magnitude under the edge list;
@@ -169,8 +192,12 @@ object Graph {
   /** q23: per-vertex triangle count → local clustering coefficient
     * (nx.clustering, data_process.py:147). Canonical a<b<c two-hop join
     * counts each triangle once; 2T/(d(d-1)) with integer-exact T, d. */
-  def q23Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val und = symmetrized(hotEdges(spark, dir), "src", "dst")
+  def q23Triangles(spark: SparkSession, dir: String): DataFrame =
+    q23On(spark, dir, hotEdges(spark, dir))
+
+  private[ops] def q23On(spark: SparkSession, dir: String,
+      e: DataFrame): DataFrame = {
+    val und = symmetrized(e, "src", "dst")
       .filter(col("src") =!= col("dst")).distinct().cache()
     // canon appears three times in the triangle join — persist, or the
     // edge build runs 3×; hub out-adjacency is degree-capped BEFORE the
