@@ -33,6 +33,7 @@ object Bench {
     }
     val results = queries.map { case (name, fn) =>
       spark.catalog.clearCache() // drop operator-internal persists, OUTSIDE the timed window
+      System.gc() // old-gen garbage from the PREVIOUS query must not tax this one's timing
       val t0 = System.nanoTime()
       // a failed query must not masquerade as a fast one — flag it loudly
       try materialize(fn(spark, sfDir)) catch {

@@ -34,8 +34,16 @@ object Components {
     // build time means each round shuffles only the label table
     // (node-sized) into sym's partitioning — the edge list (the big
     // side at 100 TB) never moves again.
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetrize by exploding both directions from ONE pass over the
+    // input (the union-of-reversed-plan shape evaluates the upstream
+    // edge build — e.g. q47's LSN self-join — once per branch; exchange
+    // reuse cannot dedupe the two branches because their projections
+    // differ).
+    val sym = edges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .distinct()
       .repartition(col("dst"))
       .cache()

@@ -94,11 +94,19 @@ object Text {
     val posting = kept.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val inter = posting.select(explode(expr(
-        """flatten(transform(ds, x ->
-          | transform(filter(ds, y -> y > x),
-          |   y -> struct(x AS id1, y AS id2))))""".stripMargin)).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    // Pair enumeration as two chained generators (posexplode + slice +
+    // explode) — all codegen'd operators, where the nested
+    // transform/filter/flatten HOF spelling evaluates interpreted
+    // per posting row (the q36 lesson: HOFs don't codegen). Positional
+    // enumeration emits each unordered pair once (ids are distinct
+    // within a posting list); least/greatest canonicalizes since
+    // collect_list order is nondeterministic.
+    val inter = posting
+      .select(posexplode(col("ds")).as(Seq("i", "x")), col("ds"))
+      .select(col("x"), explode(slice(col("ds"), col("i") + lit(2),
+        greatest(size(col("ds")) - col("i") - lit(1), lit(0)))).as("y"))
+      .groupBy(least(col("x"), col("y")).as("id1"),
+        greatest(col("x"), col("y")).as("id2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
