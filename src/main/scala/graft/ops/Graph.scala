@@ -37,12 +37,17 @@ object Graph {
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"),
         col("l_quantity"))
 
+  /** RAW (non-distinct) edge rows: q22On/q23On symmetrize and THEN
+    * dedup, so a distinct here would be a wasted extra shuffle of the
+    * fact rows — symmetrize-raw → one distinct does the same work in
+    * one pass. (q20 keeps its own distinct edges(): its conditional
+    * counts rely on pair uniqueness per direction.) */
   private[ops] def edgesFrom(base: DataFrame): DataFrame =
-    base.select(col("src"), col("dst")).distinct()
+    base.select(col("src"), col("dst"))
 
   private[ops] def hotEdgesFrom(base: DataFrame): DataFrame =
     base.filter(col("l_quantity") >= 45)
-      .select(col("src"), col("dst")).distinct()
+      .select(col("src"), col("dst"))
 
   /** Distinct directed edges (src=customer, dst=supplier). */
   private def edges(spark: SparkSession, dir: String): DataFrame =
@@ -156,15 +161,16 @@ object Graph {
     * averages the node's own degree; we implement the intended
     * neighbor-degree mean. Integer sum / count keeps the oracle exact. */
   def q22NeighborAvgDegree(spark: SparkSession, dir: String): DataFrame =
-    q22On(spark, dir, edges(spark, dir))
+    q22On(spark, dir, edgesFrom(factBase(spark, dir)))
 
   private[ops] def q22On(spark: SparkSession, dir: String,
       e: DataFrame): DataFrame = {
-    // Symmetrize in ONE pass: dedup the directed pairs first (map-side
-    // combine shrinks the joined rows before the shuffle), then explode
-    // both directions from that small set. One join pass, two small
-    // shuffles — vs the union-of-two-subplans shape, which runs the
-    // orders⋈lineitem join once per branch. The second distinct stays:
+    // Symmetrize in ONE pass: explode both directions from the raw
+    // joined rows, then ONE distinct — the map-side partial dedup of
+    // that distinct shrinks the doubled rows before their only shuffle.
+    // (Distinct-then-symmetrize-then-distinct pays a second full
+    // shuffle; union-of-two-subplans runs the orders⋈lineitem join once
+    // per branch.) The distinct must run on the symmetrized set:
     // customer and supplier keys share a numeric range, so a reverse
     // directed pair can exist.
     val und = symmetrized(e, "src", "dst")
@@ -193,7 +199,7 @@ object Graph {
     * (nx.clustering, data_process.py:147). Canonical a<b<c two-hop join
     * counts each triangle once; 2T/(d(d-1)) with integer-exact T, d. */
   def q23Triangles(spark: SparkSession, dir: String): DataFrame =
-    q23On(spark, dir, hotEdges(spark, dir))
+    q23On(spark, dir, hotEdgesFrom(factBase(spark, dir)))
 
   private[ops] def q23On(spark: SparkSession, dir: String,
       e: DataFrame): DataFrame = {
