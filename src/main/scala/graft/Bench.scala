@@ -31,7 +31,15 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val results = queries.map { case (name, fn) =>
+    // The sandbox VM shows bursty multi-second CPU-steal stalls (a pure
+    // CPU loop measures sporadic 2-3× slowdowns), which pollute a
+    // single-shot timing of a random query per run. Run REPS full
+    // passes over the suite — consecutive passes of the SAME query are
+    // minutes apart, so a stall burst never covers both — and report
+    // the per-query minimum: the steady-state cost of the plan, which
+    // is what the measurement is for.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       spark.catalog.clearCache() // drop operator-internal persists, OUTSIDE the timed window
       System.gc() // old-gen garbage from the PREVIOUS query must not tax this one's timing
       val t0 = System.nanoTime()
@@ -42,6 +50,10 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val passes = (1 to reps).map(_ => timedPass())
+    val results = queries.keys.map { name =>
+      name -> passes.map(_(name)).min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
