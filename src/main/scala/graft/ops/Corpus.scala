@@ -194,7 +194,68 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Words per "line" for q63 — the synthetic docs carry no newlines,
+    * so a fixed 10-word window stands in for the line/paragraph grain. */
+  private val lineLen = 10
+
+  /** q63: LINE-level dedup — the sub-document grain between exact
+    * doc dedup (q30) and near-dup (q32): a line whose verbatim text
+    * recurs more than twice across the corpus is boilerplate
+    * (headers, navigation, license blocks) and is dropped from every
+    * document; per doc we emit total/boilerplate line counts, the
+    * token count surviving the cut, and the boilerplate ratio. This is
+    * the CCNet/C4 paragraph-hash pass every crawl pipeline runs before
+    * doc-level near-dup.
+    *
+    * Scale: two hash shuffles total — line-instance counts (map-side
+    * partial agg collapses repeats before the shuffle), and the
+    * per-doc rollup on doc_id. The hot-line table (df > 2 — the tiny
+    * boilerplate head of the df distribution) joins back small, so AQE
+    * broadcasts it; the line table itself never shuffles for the
+    * membership test. Same bounded-head pattern as q31's df cap and
+    * q60's benchmark-gram set. */
+  def q63LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / $lineLen.0) as int) - 1),
+           | i -> concat_ws(' ', slice(w, i * $lineLen + 1, $lineLen)))"""
+          .stripMargin)).as("line"))
+      .cache() // feeds the df aggregation AND the per-doc rollup
+    val hot = lines.groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 2)
+      .select(col("line"), lit(1).as("boiler"))
+    lines.join(hot, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(col("boiler")), lit(0)).cast("long").as("n_boiler"),
+        coalesce(sum(when(col("boiler").isNull,
+          size(split(col("line"), " ")).cast("long")).otherwise(0L)), lit(0L))
+          .as("n_kept_tokens"))
+      .withColumn("boiler_ratio",
+        Exact.r(col("n_boiler") * lit(1.0) / col("n_lines"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q63_line_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | l AS (SELECT doc_id, unnest(list_transform(
+        |     range(0, cast(ceil(len(w) / $lineLen.0) AS int)),
+        |     i -> array_to_string(w[i*$lineLen+1 : i*$lineLen+$lineLen], ' '))) AS line
+        |   FROM w),
+        | hot AS (SELECT line FROM l GROUP BY 1 HAVING count(*) > 2),
+        | fl AS (SELECT doc_id, line,
+        |   line IN (SELECT line FROM hot) AS boiler FROM l)
+        |SELECT doc_id,
+        | count(*)::BIGINT AS n_lines,
+        | CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        | CAST(sum(CASE WHEN boiler THEN 0
+        |   ELSE len(string_split(line, ' ')) END) AS BIGINT) AS n_kept_tokens,
+        | floor((sum(CASE WHEN boiler THEN 1 ELSE 0 END) * 1.0 / count(*))
+        |   * 1e6 + 0.5) / 1e6 AS boiler_ratio
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q62_pack_chunks" ->
       s"""WITH t AS (SELECT doc_id,
         |   len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
@@ -307,6 +368,7 @@ object Corpus {
     "q57_corpus_pipeline" -> (q57CorpusPipeline _),
     "q60_decontaminate" -> (q60Decontaminate _),
     "q61_repetition_ratio" -> (q61RepetitionRatio _),
-    "q62_pack_chunks" -> (q62PackChunks _)
+    "q62_pack_chunks" -> (q62PackChunks _),
+    "q63_line_dedup" -> (q63LineDedup _)
   )
 }

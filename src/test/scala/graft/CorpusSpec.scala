@@ -87,4 +87,31 @@ class CorpusSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("q63 line dedup: one row per doc, counts consistent, boiler total matches hot-line mass") {
+    val rows = ops.Corpus.q63LineDedup(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (nLines, nBoiler) = (r.getAs[Long]("n_lines"), r.getAs[Long]("n_boiler"))
+      assert(nLines > 0, r)
+      assert(nBoiler >= 0 && nBoiler <= nLines, r)
+      // a kept line carries at most lineLen tokens
+      assert(r.getAs[Long]("n_kept_tokens") <= (nLines - nBoiler) * 10, r)
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0, r)
+    }
+    // cross-check the flagged mass independently: total boiler instances
+    // must equal the sum of df over lines with df > 2
+    val lines = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        """transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1),
+          | i -> concat_ws(' ', slice(w, i * 10 + 1, 10)))""".stripMargin)).as("line"))
+    val hotMass = lines.groupBy("line").count()
+      .filter(col("count") > 2)
+      .agg(coalesce(sum("count"), lit(0L))).as[Long].head()
+    assert(rows.map(_.getAs[Long]("n_boiler")).sum == hotMass)
+    // the synthetic corpus contains duplicated boilerplate: some line must repeat
+    assert(hotMass > 0, "test corpus has no repeated lines — invariant check is vacuous")
+  }
 }
