@@ -89,7 +89,7 @@ object Corpus {
   /** Word 8-gram shingles, distinct per doc — the decontamination grain
     * (3-grams collide on common phrases; 8+ tokens of verbatim overlap
     * is the standard benchmark-leak test). */
-  private val grams8Expr =
+  private[graft] val grams8Expr =
     """flatten(transform(array(split(text, ' ')),
       | t -> CASE WHEN size(t) >= 8 THEN
       |   array_distinct(transform(sequence(1, size(t) - 7),

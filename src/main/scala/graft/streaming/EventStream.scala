@@ -147,6 +147,26 @@ object EventStream {
       .dropDuplicatesWithinWatermark(Seq("sig"))
       .drop("sig")
 
+  /** Streaming decontamination gate — the continuous twin of batch
+    * q60: as documents arrive, flag any that share a verbatim
+    * word-8-gram with the (static) benchmark slice. The benchmark gram
+    * table is the small side by construction (eval suites are MBs,
+    * crawls are TBs), so the stream–static semi-join is STATELESS —
+    * each micro-batch joins against the broadcast static relation, no
+    * streaming state at all; the only state is the watermark-bounded
+    * doc_id dedup that collapses a contaminated doc's multiple gram
+    * hits to one audit row. Emits ONLY contaminated docs (the audit
+    * stream a lake monitor alerts on); the full per-doc gram census
+    * stays batch (q60). */
+  def decontaminateStream(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"),
+        explode(expr(graft.ops.Corpus.grams8Expr)).as("g8"))
+      .join(benchGrams, Seq("g8"), "left_semi")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+      .select(col("doc_id"), col("ts"))
+
   /** Streaming trending terms — the continuous twin of batch q56's tf
     * pass: tokenize in-stream, count term occurrences and (approximate)
     * distinct docs per tumbling window, and emit terms that cross

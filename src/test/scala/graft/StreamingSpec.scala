@@ -218,6 +218,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Double]("quality") >= 0.5)
   }
 
+  test("decontaminateStream flags exactly the docs sharing an 8-gram with the benchmark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val leak = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val benchGrams = Seq(leak).toDF("g8")
+    def doc(id: Long, minute: Long, text: String) =
+      EventStream.Doc(id, new Timestamp((base + minute) * 60000L), text, "web")
+    val mem = MemoryStream[EventStream.Doc]
+    val q = EventStream.decontaminateStream(mem.toDF(), benchGrams)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    mem.addData(
+      doc(1, 0, s"intro words then $leak and a tail"), // contaminated
+      doc(2, 1, "totally original content with eight distinct words here"),
+      doc(3, 2, s"$leak"),                             // contaminated, exact
+      doc(4, 3, "short doc"))                          // too short to gram
+    q.processAllAvailable()
+    val out = spark.table("decon_out").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 3L),
+      out.mkString(";"))
+  }
+
   test("trendingTerms emits only above-threshold terms of finalized windows") {
     implicit val sq = spark.sqlContext
     def doc(id: Long, minute: Long, text: String) =
