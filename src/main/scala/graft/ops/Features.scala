@@ -280,14 +280,17 @@ object Features {
       .groupBy(col("node").as("user_id"))
       .agg(sum(col("n_pos")).as("out_deg_signed"),
         sum(col("n_neg")).as("in_deg_signed"))
-    // ONE orders⋈lineitem pass feeds both graph constituents (q22's
-    // full edge list and q23's heavy-line subgraph derive from the
-    // same cached base — MEMORY_AND_DISK, so at scale it spills
-    // rather than re-running the fact join)
-    val fact = Graph.factBase(spark, dir).cache()
-    val nad = Graph.q22On(spark, dir, Graph.edgesFrom(fact))
+    // ONE orders⋈lineitem pass AND one symmetrize+dedup shuffle feed
+    // both graph constituents: the flagged undirected pair set carries
+    // q22's full graph and q23's heavy-line subgraph (hot = 1) in the
+    // same cached table (MEMORY_AND_DISK — at scale it spills rather
+    // than re-running the fact join).
+    val undAll = Graph.undWithHot(Graph.factBase(spark, dir)).cache()
+    val nad = Graph.q22FromUnd(spark, dir, undAll.select(col("src"), col("dst")))
       .select(col("node").as("user_id"), col("nbr_avg_deg"))
-    val cc = Graph.q23On(spark, dir, Graph.hotEdgesFrom(fact))
+    val cc = Graph.q23FromUnd(undAll
+        .filter(col("hot") === 1 && col("src") =!= col("dst"))
+        .select(col("src"), col("dst")))
       .select(col("node").as("user_id"), col("clustering"))
     base
       .join(sd, Seq("user_id"), "left")

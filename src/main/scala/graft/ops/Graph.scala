@@ -49,6 +49,22 @@ object Graph {
     base.filter(col("l_quantity") >= 45)
       .select(col("src"), col("dst"))
 
+  /** ONE symmetrize+dedup pass over the raw fact pairs serving BOTH
+    * graph grains: the full undirected pair set (q22's graph) with a
+    * per-pair `hot` flag marking pairs backed by a heavy line in either
+    * direction (q23's subgraph = `hot = 1` minus self-loops). q59 pays
+    * this single shuffle of the fact rows where separate q22/q23 builds
+    * would each symmetrize+dedup their own copy. */
+  private[ops] def undWithHot(base: DataFrame): DataFrame = {
+    val hot = (col("l_quantity") >= 45).cast("int").as("hot")
+    base
+      .select(explode(array(
+        struct(col("src"), col("dst"), hot),
+        struct(col("dst").as("src"), col("src").as("dst"), hot))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.hot"))
+      .groupBy(col("src"), col("dst")).agg(max(col("hot")).as("hot"))
+  }
+
   /** Distinct directed edges (src=customer, dst=supplier). */
   private def edges(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -164,7 +180,7 @@ object Graph {
     q22On(spark, dir, edgesFrom(factBase(spark, dir)))
 
   private[ops] def q22On(spark: SparkSession, dir: String,
-      e: DataFrame): DataFrame = {
+      e: DataFrame): DataFrame =
     // Symmetrize in ONE pass: explode both directions from the raw
     // joined rows, then ONE distinct — the map-side partial dedup of
     // that distinct shrinks the doubled rows before their only shuffle.
@@ -173,8 +189,13 @@ object Graph {
     // per branch.) The distinct must run on the symmetrized set:
     // customer and supplier keys share a numeric range, so a reverse
     // directed pair can exist.
-    val und = symmetrized(e, "src", "dst")
-      .distinct().cache() // feeds both the degree agg and the neighbor join
+    q22FromUnd(spark, dir, symmetrized(e, "src", "dst")
+      .distinct().cache()) // feeds both the degree agg and the neighbor join
+
+  /** q22 core over an ALREADY symmetrized+deduped (and cached) pair
+    * set — q59 shares one such build between q22 and q23. */
+  private[ops] def q22FromUnd(spark: SparkSession, dir: String,
+      und: DataFrame): DataFrame = {
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     // deg is one row per NODE — orders of magnitude under the edge list;
     // broadcasting it keeps und partitioned in place. The hint is
@@ -202,9 +223,13 @@ object Graph {
     q23On(spark, dir, hotEdgesFrom(factBase(spark, dir)))
 
   private[ops] def q23On(spark: SparkSession, dir: String,
-      e: DataFrame): DataFrame = {
-    val und = symmetrized(e, "src", "dst")
-      .filter(col("src") =!= col("dst")).distinct().cache()
+      e: DataFrame): DataFrame =
+    q23FromUnd(symmetrized(e, "src", "dst")
+      .filter(col("src") =!= col("dst")).distinct().cache())
+
+  /** q23 core over an ALREADY symmetrized+deduped, self-loop-free
+    * (and cached) pair set — q59 shares one such build with q22. */
+  private[ops] def q23FromUnd(und: DataFrame): DataFrame = {
     // canon appears three times in the triangle join — persist, or the
     // edge build runs 3×; hub out-adjacency is degree-capped BEFORE the
     // two-hop pairing (bounds candidates at cap² per vertex — adjCap);
