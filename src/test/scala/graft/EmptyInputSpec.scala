@@ -28,7 +28,8 @@ class EmptyInputSpec extends SparkSpec {
     "q01_agg", "q13_time_gaps", "q21_common_neighbors", "q24_degree_sampling_prob",
     "q27_roc_auc", "q32_dedup_minhash", "q34_ann_cosine_topk", "q42_sessionize",
     "q47_connected_components", "q56_tfidf_topterms", "q57_corpus_pipeline",
-    "q36_dedup_embedding", "q62_pack_chunks")
+    "q36_dedup_embedding", "q62_pack_chunks", "q63_line_dedup",
+    "q59_full_feature_matrix")
 
   reps.foreach { name =>
     test(s"$name runs on an all-empty scale factor") {

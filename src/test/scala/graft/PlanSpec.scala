@@ -117,6 +117,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("q59: ONE lineitem scan feeds both graph constituents") {
+    // q22's full graph and q23's heavy-line subgraph both derive from
+    // the single flagged symmetrize+dedup pass (undWithHot) over one
+    // orders⋈lineitem build — a second lineitem scan means the shared
+    // pass regressed into per-constituent edge builds. (events scans
+    // stay bounded by the q19 pin above; filter-pushdown differences
+    // CAN split cached-plan reuse there, so only lineitem is pinned.)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = ops.Features.q59FullFeatureMatrix(spark, sf)
+        .queryExecution.executedPlan
+      // count lineitem file scans OUTSIDE cached subtrees (cached reads
+      // are exactly the sharing we want) — walk including IMR children
+      def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p.collect {
+          case s: FileSourceScanExec => Seq(s)
+          case im: InMemoryTableScanExec =>
+            fileScans(im.relation.cachedPlan)
+        }.flatten
+      val lineitemScans = fileScans(plan)
+        .filter(_.relation.location.inputFiles.exists(_.contains("lineitem")))
+      // one scan inside the shared cached undWithHot build; dedup by
+      // cached-subtree identity: all occurrences must be the SAME scan
+      assert(lineitemScans.map(_.id).distinct.size <= 1,
+        lineitemScans.map(_.simpleString(80)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("q19: gap and recall windows share one sort (single 3-key SortExec)") {
     // lag (preceding frame) and later-purchase max (following frame) are
     // two WindowExecs but share partition=user_id, order=(ts,event_id) —
