@@ -26,11 +26,13 @@ import org.apache.spark.sql.expressions.Window
 object Graph {
 
   /** One orders⋈lineitem pass carrying everything the graph family
-    * derives its edge lists from — q59 caches THIS and feeds both the
-    * full-graph (q22) and heavy-line (q23) constituents from it, so
-    * the fact join runs once per assembly instead of once per
-    * operator. (Standalone q23 keeps its own build: the l_quantity
-    * filter then pushes into the parquet scan.) */
+    * derives its edge lists from — q59 symmetrizes THIS once (see
+    * [[undWithHot]]) to feed both the full-graph (q22) and heavy-line
+    * (q23) constituents, so the fact join runs once per assembly
+    * instead of once per operator. Standalone q23 filters it through
+    * [[hotEdgesFrom]] — the l_quantity predicate still pushes through
+    * the join into the lineitem parquet scan (Catalyst one-side
+    * pushdown), so carrying the column costs nothing when filtered. */
   private[ops] def factBase(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
