@@ -344,6 +344,51 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** q64: the PARAMETERIZED node-sampling probability of the variant
+    * Amazon/Yelp pipelines (new_utlis_2.py:50-65 / new_utlis_3.py —
+    * node_probability(g1, g2, g3, idx_train, y_train, w1, w2)): degree
+    * is the THREE relation graphs' in-degrees summed and clamped at 1
+    * (q45's total), raised to w1 = 0.75; the class normalizer is the
+    * TRAIN-split fraud rate raised to w2 = 0.5 (fraud nodes divide by
+    * rate^w2, normal nodes by 1 − rate^w2 — the reference's
+    * norm_rate = 1 − fraud_rate^w2 spelling); probabilities normalize
+    * to sum 1 over the train nodes, exactly the reference's
+    * node_prob/np.sum(node_prob). q24 covers the single-exponent
+    * single-graph form (new_utlis_1.py); this closes the two-exponent
+    * multi-graph variant. Both exponents are spelled in correctly-
+    * rounded IEEE sqrt (d^0.75 = sqrt(d·sqrt(d)), r^0.5 = sqrt(r)) so
+    * every score is bit-identical in both engines, and scores quantize
+    * to DECIMAL(28,10) before the global sum so the normalizer is
+    * order-independent (q24's determinism toolkit). */
+  def q64MultiRelationSamplingProb(spark: SparkSession, dir: String): DataFrame = {
+    val deg = q45MultiRelationDegrees(spark, dir)
+      .select(col("node"), col("total_deg"))
+    // suppliers are the labeled node domain of the relation graphs
+    // (dst side); absent nodes clamp to degree 1 like the reference's
+    // in_degrees().clamp(min=1)
+    val joined = Tables.supplier(spark, dir)
+      .filter(Exact.lcgTrain80("s_suppkey"))
+      .select(col("s_suppkey"),
+        (col("s_acctbal") < 0).cast("int").as("label"))
+      .join(deg, col("s_suppkey") === col("node"), "left")
+      .select(col("s_suppkey"), col("label"),
+        greatest(coalesce(col("total_deg"), lit(1L)), lit(1L)).as("deg"))
+      .cache() // feeds the rate agg and the scored projection
+    val rate = joined.agg((sum(col("label")) * lit(1.0) / count(lit(1))).as("fr"))
+    val scored = joined.crossJoin(broadcast(rate))
+      .withColumn("sc",
+        (sqrt(col("deg") * sqrt(col("deg"))) /
+          when(col("label") === 1, sqrt(col("fr")))
+            .otherwise(lit(1.0) - sqrt(col("fr"))))
+          .cast("decimal(28,10)"))
+      .persist() // dual consumer: normalizer agg + final projection
+    val total = scored.agg(sum(col("sc")).as("tot"))
+    scored.crossJoin(broadcast(total))
+      .select(col("s_suppkey"), col("label"), col("deg"),
+        Exact.r(col("sc").cast("double") / col("tot").cast("double"), 8).as("prob"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** q46: degree-weighted edge sampling probability
     * (new_utlis_1.py:66-97 edge_probability): for edges whose BOTH
     * endpoints are in the train split, p ∝ deg(src)^w · deg(dst)^w,
@@ -529,6 +574,32 @@ object Graph {
         |SELECT src, dst, edge_class,
         | floor((CAST(sc AS DOUBLE) / CAST((SELECT sum(sc) FROM sc) AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS prob
         |FROM sc ORDER BY 1, 2""".stripMargin,
+    "q64_multi_relation_sampling_prob" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1
+        |       WHEN o_orderpriority = '3-MEDIUM' THEN 2
+        |       ELSE 3 END AS rel
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        | dg AS (SELECT dst AS node,
+        |   greatest(count(DISTINCT CASE WHEN rel = 1 THEN src END)
+        |     + count(DISTINCT CASE WHEN rel = 2 THEN src END)
+        |     + count(DISTINCT CASE WHEN rel = 3 THEN src END), 1) AS total_deg
+        |  FROM e GROUP BY 1),
+        | lab AS (SELECT s_suppkey,
+        |   CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS label,
+        |   greatest(coalesce(total_deg, 1), 1) AS deg
+        |  FROM supplier LEFT JOIN dg ON s_suppkey = node
+        |  WHERE (((s_suppkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80),
+        | r AS (SELECT sum(label)*1.0/count(*) AS fr FROM lab),
+        | s AS (SELECT s_suppkey, label, deg,
+        |   CAST(sqrt(deg * sqrt(deg)) /
+        |     (CASE WHEN label = 1 THEN sqrt(fr) ELSE 1.0 - sqrt(fr) END)
+        |    AS DECIMAL(28,10)) AS sc
+        |  FROM lab CROSS JOIN r)
+        |SELECT s_suppkey, label, deg,
+        | floor((CAST(sc AS DOUBLE) /
+        |   CAST((SELECT sum(sc) FROM s) AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS prob
+        |FROM s ORDER BY 1""".stripMargin,
     "q45_multi_relation_degrees" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst,
         |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1
@@ -562,6 +633,7 @@ object Graph {
     "q43_col_normalize_adj" -> (q43ColNormalizeAdj _),
     "q45_multi_relation_degrees" -> (q45MultiRelationDegrees _),
     "q46_edge_sampling_prob" -> (q46EdgeSamplingProb _),
-    "q53_signed_degrees" -> (q53SignedDegrees _)
+    "q53_signed_degrees" -> (q53SignedDegrees _),
+    "q64_multi_relation_sampling_prob" -> (q64MultiRelationSamplingProb _)
   )
 }

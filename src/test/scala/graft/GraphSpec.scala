@@ -36,6 +36,23 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(tot - 1.0) < 1e-4, s"prob sum $tot")
   }
 
+  test("q64 two-exponent probs: sum to 1, train-only, degree-monotone within class") {
+    val df = ops.Graph.q64MultiRelationSamplingProb(spark, sf).collect()
+    val tot = df.map(_.getAs[Double]("prob")).sum
+    assert(math.abs(tot - 1.0) < 1e-4, s"prob sum $tot")
+    // train split only: strictly fewer rows than suppliers
+    val nSup = Tables.supplier(spark, sf).count()
+    assert(df.length < nSup && df.length > 0)
+    // within a class, prob is monotone in degree (deg^0.75 numerator,
+    // shared class denominator)
+    for (cls <- Seq(0, 1)) {
+      val byDeg = df.filter(_.getAs[Int]("label") == cls)
+        .sortBy(_.getAs[Long]("deg"))
+      val probs = byDeg.map(_.getAs[Double]("prob")).toSeq
+      assert(probs == probs.sorted, s"class $cls probs not degree-monotone")
+    }
+  }
+
   test("adjacency cap bounds pair blowup under a synthetic hub vertex") {
     import spark.implicits._
     val cap = 16
