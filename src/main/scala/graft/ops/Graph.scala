@@ -436,6 +436,64 @@ object Graph {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** q65: CLASS-BALANCED edge sampling probability — the
+    * edge_probability(g1, idx_train, labels, w1, w2) variant
+    * (new_utlis_2.py:66-114 / new_utlis_3.py): q46's degree product
+    * deg(src)^w1·deg(dst)^w1 is additionally divided by its edge
+    * CLASS rate — the three class counts (Y01 mixed, T11 fraud-fraud,
+    * T00 normal-normal) each raised to w2 = 0.5 and normalized in the
+    * reference's exact Y01+T11+T00 accumulation order — so
+    * under-represented edge classes are up-sampled. w1 = 0.75 via
+    * sqrt(d·sqrt(d)), w2 via sqrt — correctly-rounded IEEE ops, and
+    * the division chain (rate = cls^w2/den, then base/rate) is spelled
+    * operation-for-operation identically in the oracle, so the
+    * per-edge doubles are bit-equal before DECIMAL quantization. */
+  def q65EdgeClassBalancedProb(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).cache()
+    val broadcastNodeLimit = 50L * 1000 * 1000
+    def gated(df: DataFrame, bound: Long): DataFrame =
+      if (bound <= broadcastNodeLimit) broadcast(df) else df
+    val outDeg = gated(e.groupBy(col("src")).agg(count(lit(1)).as("sd")),
+      Tables.customer(spark, dir).count())
+    val inDeg = gated(e.groupBy(col("dst")).agg(count(lit(1)).as("dd")),
+      Tables.supplier(spark, dir).count())
+    val lab = Tables.customer(spark, dir).select(col("c_custkey"),
+      (col("c_acctbal") < 0).cast("int").as("src_label"),
+      Exact.lcgTrain80("c_custkey").as("src_train"))
+    val slab = Tables.supplier(spark, dir).select(col("s_suppkey"),
+      (col("s_acctbal") < 0).cast("int").as("dst_label"),
+      Exact.lcgTrain80("s_suppkey").as("dst_train"))
+    val base = e
+      .join(outDeg, "src").join(inDeg, "dst")
+      .join(lab, col("src") === col("c_custkey"))
+      .join(broadcast(slab), col("dst") === col("s_suppkey"))
+      .filter(col("src_train") && col("dst_train"))
+      .select(col("src"), col("dst"),
+        when(col("src_label") =!= col("dst_label"), 0)
+          .when(col("src_label") === 1, 1).otherwise(2).as("edge_class"),
+        (sqrt(col("sd") * sqrt(col("sd"))) * sqrt(col("dd") * sqrt(col("dd"))))
+          .as("base"))
+      .persist() // class-count agg + scored projection
+    val counts = base.agg(
+      sum(when(col("edge_class") === 0, 1L).otherwise(0L)).as("y01"),
+      sum(when(col("edge_class") === 1, 1L).otherwise(0L)).as("t11"),
+      sum(when(col("edge_class") === 2, 1L).otherwise(0L)).as("t00"))
+    val scored = base.crossJoin(broadcast(counts))
+      .withColumn("den",
+        sqrt(col("y01")) + sqrt(col("t11")) + sqrt(col("t00")))
+      .withColumn("rate",
+        when(col("edge_class") === 0, sqrt(col("y01")))
+          .when(col("edge_class") === 1, sqrt(col("t11")))
+          .otherwise(sqrt(col("t00"))) / col("den"))
+      .withColumn("sc", (col("base") / col("rate")).cast("decimal(28,10)"))
+      .persist() // normalizer agg + final projection
+    val total = scored.agg(sum(col("sc")).as("tot"))
+    scored.crossJoin(broadcast(total))
+      .select(col("src"), col("dst"), col("edge_class"),
+        Exact.r(col("sc").cast("double") / col("tot").cast("double"), 8).as("prob"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** q53: signed call-type edge weights (data_process.py:99-104: calltype
     * 1 ⇒ weight +1, calltype 2 ⇒ weight −1, other calltypes ⇒ no edge;
     * nx.Graph.add_edge OVERWRITES, so the LAST processed event in file
@@ -574,6 +632,39 @@ object Graph {
         |SELECT src, dst, edge_class,
         | floor((CAST(sc AS DOUBLE) / CAST((SELECT sum(sc) FROM sc) AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS prob
         |FROM sc ORDER BY 1, 2""".stripMargin,
+    "q65_edge_class_balanced_prob" ->
+      s"""WITH e AS ($edgesSql),
+        | od AS (SELECT src, count(*) AS sd FROM e GROUP BY 1),
+        | idg AS (SELECT dst, count(*) AS dd FROM e GROUP BY 1),
+        | lab AS (SELECT c_custkey,
+        |   CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS src_label,
+        |   (((c_custkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80 AS src_train
+        |  FROM customer),
+        | slab AS (SELECT s_suppkey,
+        |   CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS dst_label,
+        |   (((s_suppkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80 AS dst_train
+        |  FROM supplier),
+        | b AS (SELECT src, dst,
+        |   CASE WHEN src_label <> dst_label THEN 0
+        |        WHEN src_label = 1 THEN 1 ELSE 2 END AS edge_class,
+        |   sqrt(sd * sqrt(sd)) * sqrt(dd * sqrt(dd)) AS base
+        |  FROM e JOIN od USING (src) JOIN idg USING (dst)
+        |   JOIN lab ON src = c_custkey JOIN slab ON dst = s_suppkey
+        |  WHERE src_train AND dst_train),
+        | c AS (SELECT
+        |   CAST(sum(CASE WHEN edge_class = 0 THEN 1 ELSE 0 END) AS BIGINT) AS y01,
+        |   CAST(sum(CASE WHEN edge_class = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t11,
+        |   CAST(sum(CASE WHEN edge_class = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t00
+        |  FROM b),
+        | sc AS (SELECT src, dst, edge_class,
+        |   CAST(base / ((CASE WHEN edge_class = 0 THEN sqrt(y01)
+        |                      WHEN edge_class = 1 THEN sqrt(t11)
+        |                      ELSE sqrt(t00) END)
+        |     / (sqrt(y01) + sqrt(t11) + sqrt(t00))) AS DECIMAL(28,10)) AS sc
+        |  FROM b CROSS JOIN c)
+        |SELECT src, dst, edge_class,
+        | floor((CAST(sc AS DOUBLE) / CAST((SELECT sum(sc) FROM sc) AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS prob
+        |FROM sc ORDER BY 1, 2""".stripMargin,
     "q64_multi_relation_sampling_prob" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst,
         |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1
@@ -634,6 +725,7 @@ object Graph {
     "q45_multi_relation_degrees" -> (q45MultiRelationDegrees _),
     "q46_edge_sampling_prob" -> (q46EdgeSamplingProb _),
     "q53_signed_degrees" -> (q53SignedDegrees _),
-    "q64_multi_relation_sampling_prob" -> (q64MultiRelationSamplingProb _)
+    "q64_multi_relation_sampling_prob" -> (q64MultiRelationSamplingProb _),
+    "q65_edge_class_balanced_prob" -> (q65EdgeClassBalancedProb _)
   )
 }

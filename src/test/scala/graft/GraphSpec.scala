@@ -53,6 +53,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q65 class-balanced edge probs: sum to 1, rarer classes boosted vs raw degree product") {
+    val rows = ops.Graph.q65EdgeClassBalancedProb(spark, sf).collect()
+    val tot = rows.map(_.getAs[Double]("prob")).sum
+    assert(math.abs(tot - 1.0) < 1e-4, s"prob sum $tot")
+    assert(rows.forall(_.getAs[Double]("prob") > 0.0))
+    // the class-rate division means each class's probability mass is the
+    // raw-degree-product mass boosted by 1/rate_class — so the per-edge
+    // AVERAGE boost (q65 prob / q46 prob) must be strictly ordered
+    // inversely to class frequency
+    val q46 = ops.Graph.q46EdgeSamplingProb(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("prob")).toMap
+    val boostByClass = rows.groupBy(_.getAs[Int]("edge_class")).map {
+      case (c, rs) =>
+        val boosts = rs.flatMap { r =>
+          val p46 = q46.get((r.getLong(0), r.getLong(1)))
+          p46.filter(_ > 0).map(r.getAs[Double]("prob") / _)
+        }
+        c -> (boosts.sum / boosts.length, rs.length)
+    }
+    val byFreq = boostByClass.toSeq.sortBy(_._2._2) // ascending class size
+    val boosts = byFreq.map(_._2._1)
+    assert(boosts == boosts.sorted.reverse,
+      s"boost not inversely ordered to class size: $byFreq")
+  }
+
   test("adjacency cap bounds pair blowup under a synthetic hub vertex") {
     import spark.implicits._
     val cap = 16
