@@ -494,6 +494,48 @@ object Graph {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** q66: one symmetric-normalized GCN message-passing round — the
+    * propagation primitive of the reference's DualChannelLayer
+    * (src/layers.py:80-102: norm = g·d(row)^-0.5·d(col)^-0.5 with the
+    * highlow=1 gate g ≡ 1, message = norm·x_j, aggr='add'), i.e.
+    * h' = D^-1/2 · A · D^-1/2 · h, as a DISTRIBUTED SpMV: the
+    * symmetrized edge list joins the (broadcast-gated) degree table on
+    * both endpoints, each edge contributes d_i^-0.5·d_j^-0.5·h_j, and
+    * one groupBy(i) sums the messages. Propagated features: the
+    * neighbor's degree (h1) and the constant 1 (h2 — the normalized
+    * neighbor count), both self-derived from the graph so the op needs
+    * no label join. Per-edge messages quantize to DECIMAL(28,12)
+    * BEFORE the sum — float addition is order-dependent and a shuffle
+    * reorders freely, so the exact-decimal accumulation is what makes
+    * a distributed SpMV bit-reproducible (and oracle-checkable).
+    * At 100 TB this is the shape GNN systems actually run on Spark:
+    * edges co-partitioned by destination, node vectors broadcast or
+    * shuffle-joined, one aggregation per layer. */
+  def q66GcnPropagate(spark: SparkSession, dir: String): DataFrame = {
+    val und = symmetrized(
+        factBase(spark, dir).select(col("src"), col("dst")), "src", "dst")
+      .distinct().cache() // degree agg + the message join
+    val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val broadcastNodeLimit = 50L * 1000 * 1000
+    val nodeBound = Tables.customer(spark, dir).count() +
+      Tables.supplier(spark, dir).count()
+    def gated(df: DataFrame): DataFrame =
+      if (nodeBound <= broadcastNodeLimit) broadcast(df) else df
+    val di = gated(deg.select(col("n").as("src"), col("d").as("di")))
+    val dj = gated(deg.select(col("n").as("dst"), col("d").as("dj")))
+    und.join(di, "src").join(dj, "dst")
+      .select(col("src"),
+        ((lit(1.0) / sqrt(col("di"))) * (lit(1.0) / sqrt(col("dj"))) *
+          col("dj")).cast("decimal(28,12)").as("m_deg"),
+        ((lit(1.0) / sqrt(col("di"))) * (lit(1.0) / sqrt(col("dj"))))
+          .cast("decimal(28,12)").as("m_one"))
+      .groupBy(col("src").as("node"))
+      .agg(
+        Exact.r(sum(col("m_deg")).cast("double"), 6).as("h_deg"),
+        Exact.r(sum(col("m_one")).cast("double"), 6).as("h_cnt"))
+      .orderBy(col("node"))
+  }
+
   /** q53: signed call-type edge weights (data_process.py:99-104: calltype
     * 1 ⇒ weight +1, calltype 2 ⇒ weight −1, other calltypes ⇒ no edge;
     * nx.Graph.add_edge OVERWRITES, so the LAST processed event in file
@@ -632,6 +674,18 @@ object Graph {
         |SELECT src, dst, edge_class,
         | floor((CAST(sc AS DOUBLE) / CAST((SELECT sum(sc) FROM sc) AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS prob
         |FROM sc ORDER BY 1, 2""".stripMargin,
+    "q66_gcn_propagate" ->
+      s"""WITH e0 AS ($edgesSql),
+        | und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        | dg AS (SELECT src AS n, count(*) AS d FROM und GROUP BY 1),
+        | m AS (SELECT u.src,
+        |   CAST((1.0 / sqrt(di.d)) * (1.0 / sqrt(dj.d)) * dj.d AS DECIMAL(28,12)) AS m_deg,
+        |   CAST((1.0 / sqrt(di.d)) * (1.0 / sqrt(dj.d)) AS DECIMAL(28,12)) AS m_one
+        |  FROM und u JOIN dg di ON u.src = di.n JOIN dg dj ON u.dst = dj.n)
+        |SELECT src AS node,
+        | floor(CAST(sum(m_deg) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_deg,
+        | floor(CAST(sum(m_one) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_cnt
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q65_edge_class_balanced_prob" ->
       s"""WITH e AS ($edgesSql),
         | od AS (SELECT src, count(*) AS sd FROM e GROUP BY 1),
@@ -726,6 +780,7 @@ object Graph {
     "q46_edge_sampling_prob" -> (q46EdgeSamplingProb _),
     "q53_signed_degrees" -> (q53SignedDegrees _),
     "q64_multi_relation_sampling_prob" -> (q64MultiRelationSamplingProb _),
-    "q65_edge_class_balanced_prob" -> (q65EdgeClassBalancedProb _)
+    "q65_edge_class_balanced_prob" -> (q65EdgeClassBalancedProb _),
+    "q66_gcn_propagate" -> (q66GcnPropagate _)
   )
 }

@@ -78,6 +78,34 @@ class GraphSpec extends SparkSpec {
       s"boost not inversely ordered to class size: $byFreq")
   }
 
+  test("q66 GCN propagation matches an independent driver-side SpMV") {
+    val out = ops.Graph.q66GcnPropagate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // independent recompute: symmetrized distinct purchase pairs
+    val und = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val nodes = und.map(_._1).distinct
+    assert(out.keySet == nodes.toSet)
+    nodes.foreach { i =>
+      val nbrs = und.filter(_._1 == i).map(_._2)
+      val hDeg = nbrs.map(j =>
+        BigDecimal(1.0 / math.sqrt(deg(i)) * (1.0 / math.sqrt(deg(j))) * deg(j))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      val hCnt = nbrs.map(j =>
+        BigDecimal(1.0 / math.sqrt(deg(i)) * (1.0 / math.sqrt(deg(j))))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(out(i)._1 == r6(hDeg.toDouble), s"node $i h_deg")
+      assert(out(i)._2 == r6(hCnt.toDouble), s"node $i h_cnt")
+      // symmetric normalization bound: h_cnt ≤ sqrt(deg)
+      assert(out(i)._2 <= math.sqrt(deg(i).toDouble) + 1e-9)
+    }
+  }
+
   test("adjacency cap bounds pair blowup under a synthetic hub vertex") {
     import spark.implicits._
     val cap = 16
