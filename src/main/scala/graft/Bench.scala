@@ -39,6 +39,13 @@ object Bench {
     // the per-query minimum: the steady-state cost of the plan, which
     // is what the measurement is for.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // Wall-clock guard: a repeat pass only starts while total bench
+    // time is under budget, so the stall-robust protocol can never
+    // more-than-double the caller's expected runtime at a larger SF —
+    // it degrades gracefully to single-shot.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toDouble
+    val benchStart = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
     def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       spark.catalog.clearCache() // drop operator-internal persists, OUTSIDE the timed window
       System.gc() // old-gen garbage from the PREVIOUS query must not tax this one's timing
@@ -50,7 +57,9 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val passes = (1 to reps).map(_ => timedPass())
+    val passes = (1 to reps).flatMap { i =>
+      if (i == 1 || elapsed() < budgetSec) Some(timedPass()) else None
+    }
     val results = queries.keys.map { name =>
       name -> passes.map(_(name)).min
     }.toMap
