@@ -46,22 +46,29 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toDouble
     val benchStart = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
-    def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
+    // (time, succeeded): a failed rep must never win the min — a
+    // transient failure measures time-to-crash, not plan cost
+    def timedPass(): Map[String, (Double, Boolean)] = queries.map { case (name, fn) =>
       spark.catalog.clearCache() // drop operator-internal persists, OUTSIDE the timed window
       System.gc() // old-gen garbage from the PREVIOUS query must not tax this one's timing
       val t0 = System.nanoTime()
       // a failed query must not masquerade as a fast one — flag it loudly
-      try materialize(fn(spark, sfDir)) catch {
+      val ok = try { materialize(fn(spark, sfDir)); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
     val passes = (1 to reps).flatMap { i =>
       if (i == 1 || elapsed() < budgetSec) Some(timedPass()) else None
     }
     val results = queries.keys.map { name =>
-      name -> passes.map(_(name)).min
+      val runs = passes.map(_(name))
+      val good = runs.filter(_._2)
+      // all reps failed → report the SLOWEST failing run so the number
+      // reads as a problem, never as a fast success
+      name -> (if (good.nonEmpty) good.map(_._1).min else runs.map(_._1).max)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

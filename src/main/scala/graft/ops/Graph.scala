@@ -396,44 +396,62 @@ object Graph {
     * 0 on label disagreement (the reference's homo/hetero edge split).
     * deg^0.75 via sqrt(d·sqrt(d)), normalizer via exact decimal sum —
     * the same determinism toolkit as q24. */
-  def q46EdgeSamplingProb(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared scaffold of the edge-sampling family (q46/q65): the
+    * distinct edge list joined with per-endpoint degrees and
+    * train-split labels, filtered to train-only edges, carrying the
+    * reference's edge class and the degree product
+    * deg(src)^0.75·deg(dst)^0.75 (as `base`, double). The degree
+    * tables are one row per NODE; joined back to e they'd default to
+    * sort-merge (their InMemoryRelation lineage gives AQE no size
+    * estimate), shuffling the edge list twice — broadcast them,
+    * size-GATED on parquet-footer counts like q22, since a per-node
+    * broadcast is a driver killer past ~50M nodes. The supplier LABEL
+    * table scales with the same cardinality as inDeg, so it goes
+    * through the SAME gate. */
+  private def trainEdgeBase(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).cache() // degree aggs + the edge join itself
-    // The degree tables are one row per NODE; joined back to e they'd
-    // default to sort-merge (their InMemoryRelation lineage gives AQE no
-    // size estimate), shuffling the edge list twice. Broadcast them —
-    // size-GATED on parquet-footer counts like q22, since a per-node
-    // broadcast is a driver killer past ~50M nodes.
     val broadcastNodeLimit = 50L * 1000 * 1000
+    val custBound = Tables.customer(spark, dir).count()
+    val suppBound = Tables.supplier(spark, dir).count()
     def gated(df: DataFrame, bound: Long): DataFrame =
       if (bound <= broadcastNodeLimit) broadcast(df) else df
-    val outDeg = gated(e.groupBy(col("src")).agg(count(lit(1)).as("sd")),
-      Tables.customer(spark, dir).count())
-    val inDeg = gated(e.groupBy(col("dst")).agg(count(lit(1)).as("dd")),
-      Tables.supplier(spark, dir).count())
+    val outDeg = gated(e.groupBy(col("src")).agg(count(lit(1)).as("sd")), custBound)
+    val inDeg = gated(e.groupBy(col("dst")).agg(count(lit(1)).as("dd")), suppBound)
     val lab = Tables.customer(spark, dir).select(col("c_custkey"),
       (col("c_acctbal") < 0).cast("int").as("src_label"),
       Exact.lcgTrain80("c_custkey").as("src_train"))
     val slab = Tables.supplier(spark, dir).select(col("s_suppkey"),
       (col("s_acctbal") < 0).cast("int").as("dst_label"),
       Exact.lcgTrain80("s_suppkey").as("dst_train"))
-    val scored = e
-      .join(outDeg, "src").join(inDeg, "dst")
+    e.join(outDeg, "src").join(inDeg, "dst")
       .join(lab, col("src") === col("c_custkey"))
-      .join(broadcast(slab), col("dst") === col("s_suppkey"))
+      .join(gated(slab, suppBound), col("dst") === col("s_suppkey"))
       .filter(col("src_train") && col("dst_train"))
       .select(col("src"), col("dst"),
         when(col("src_label") =!= col("dst_label"), 0)
           .when(col("src_label") === 1, 1).otherwise(2).as("edge_class"),
         (sqrt(col("sd") * sqrt(col("sd"))) * sqrt(col("dd") * sqrt(col("dd"))))
-          .cast("decimal(28,10)").as("sc"))
-      // dual consumer (normalizer agg + final projection): persist, or
-      // the 4-way join above runs twice
-      .persist()
+          .as("base"))
+  }
+
+  /** Shared normalizer: quantized scores → probabilities summing to 1
+    * (1-row broadcast total, never a single-partition window). */
+  private def normalizeProb(scored: DataFrame): DataFrame = {
     val total = scored.agg(sum(col("sc")).as("tot"))
     scored.crossJoin(broadcast(total))
       .select(col("src"), col("dst"), col("edge_class"),
         Exact.r(col("sc").cast("double") / col("tot").cast("double"), 8).as("prob"))
       .orderBy(col("src"), col("dst"))
+  }
+
+  def q46EdgeSamplingProb(spark: SparkSession, dir: String): DataFrame = {
+    val scored = trainEdgeBase(spark, dir)
+      .withColumn("sc", col("base").cast("decimal(28,10)"))
+      .drop("base")
+      // dual consumer (normalizer agg + final projection): persist, or
+      // the 4-way join above runs twice
+      .persist()
+    normalizeProb(scored)
   }
 
   /** q65: CLASS-BALANCED edge sampling probability — the
@@ -449,30 +467,7 @@ object Graph {
     * operation-for-operation identically in the oracle, so the
     * per-edge doubles are bit-equal before DECIMAL quantization. */
   def q65EdgeClassBalancedProb(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).cache()
-    val broadcastNodeLimit = 50L * 1000 * 1000
-    def gated(df: DataFrame, bound: Long): DataFrame =
-      if (bound <= broadcastNodeLimit) broadcast(df) else df
-    val outDeg = gated(e.groupBy(col("src")).agg(count(lit(1)).as("sd")),
-      Tables.customer(spark, dir).count())
-    val inDeg = gated(e.groupBy(col("dst")).agg(count(lit(1)).as("dd")),
-      Tables.supplier(spark, dir).count())
-    val lab = Tables.customer(spark, dir).select(col("c_custkey"),
-      (col("c_acctbal") < 0).cast("int").as("src_label"),
-      Exact.lcgTrain80("c_custkey").as("src_train"))
-    val slab = Tables.supplier(spark, dir).select(col("s_suppkey"),
-      (col("s_acctbal") < 0).cast("int").as("dst_label"),
-      Exact.lcgTrain80("s_suppkey").as("dst_train"))
-    val base = e
-      .join(outDeg, "src").join(inDeg, "dst")
-      .join(lab, col("src") === col("c_custkey"))
-      .join(broadcast(slab), col("dst") === col("s_suppkey"))
-      .filter(col("src_train") && col("dst_train"))
-      .select(col("src"), col("dst"),
-        when(col("src_label") =!= col("dst_label"), 0)
-          .when(col("src_label") === 1, 1).otherwise(2).as("edge_class"),
-        (sqrt(col("sd") * sqrt(col("sd"))) * sqrt(col("dd") * sqrt(col("dd"))))
-          .as("base"))
+    val base = trainEdgeBase(spark, dir)
       .persist() // class-count agg + scored projection
     val counts = base.agg(
       sum(when(col("edge_class") === 0, 1L).otherwise(0L)).as("y01"),
@@ -487,11 +482,7 @@ object Graph {
           .otherwise(sqrt(col("t00"))) / col("den"))
       .withColumn("sc", (col("base") / col("rate")).cast("decimal(28,10)"))
       .persist() // normalizer agg + final projection
-    val total = scored.agg(sum(col("sc")).as("tot"))
-    scored.crossJoin(broadcast(total))
-      .select(col("src"), col("dst"), col("edge_class"),
-        Exact.r(col("sc").cast("double") / col("tot").cast("double"), 8).as("prob"))
-      .orderBy(col("src"), col("dst"))
+    normalizeProb(scored)
   }
 
   /** q66: one symmetric-normalized GCN message-passing round — the

@@ -30,7 +30,7 @@ class EmptyInputSpec extends SparkSpec {
     "q47_connected_components", "q56_tfidf_topterms", "q57_corpus_pipeline",
     "q36_dedup_embedding", "q62_pack_chunks", "q63_line_dedup",
     "q59_full_feature_matrix", "q66_gcn_propagate",
-    "q65_edge_class_balanced_prob")
+    "q65_edge_class_balanced_prob", "q64_multi_relation_sampling_prob")
 
   reps.foreach { name =>
     test(s"$name runs on an all-empty scale factor") {
