@@ -55,8 +55,17 @@ object ScaleGen {
       // events: raw read keeps ts as nanos-long (no truncation — the
       // replica must preserve source precision end-to-end)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // props carries the peer/area id consumed by q16/q53/q59 — shift
+      // it with the same replica stride as the explicit key columns or
+      // every replica's call edges would point at the base replica's
+      // peers (a k-fold hub blowup instead of k disjoint cohorts)
       write(outDir, "events",
-        replicate(Tables(spark, srcDir, "events"), k, "event_id", "user_id"))
+        replicate(Tables(spark, srcDir, "events"), k, "event_id", "user_id")
+          .withColumn("props",
+            concat(lit("{\"k\": "),
+              (get_json_object(col("props"), "$.k").cast("long")
+                + col("_rep").cast("long") * stride).cast("string"),
+              lit("}"))))
       write(outDir, "documents",
         replicate(Tables.documents(spark, srcDir), k, "doc_id")
           .withColumn("text",
@@ -84,8 +93,18 @@ object ScaleGen {
 
   /** K replicas with each listed key column shifted by replica·stride.
     * Keeps a `_rep` column for table-specific transforms; [[write]]
-    * drops it. */
+    * drops it. Every key column must fit below the stride — a source
+    * whose keys already exceed it (a bigger SF, or a previous ScaleGen
+    * output) would silently collide replica r's shifted keys with
+    * replica 0's native ones, corrupting every join in the benchmark,
+    * so that is a loud error, not a wrong answer. */
   private def replicate(df: DataFrame, k: Int, keyCols: String*): DataFrame = {
+    keyCols.foreach { c =>
+      val mx = Option(df.agg(max(col(c))).head().get(0))
+        .map(_.toString.toLong).getOrElse(0L)
+      require(mx < stride,
+        s"key column $c max $mx >= replica stride $stride — keys would collide")
+    }
     val shifted = keyCols.foldLeft(
       df.withColumn("_rep", explode(array((0 until k).map(lit): _*)))) {
       (d, c) => d.withColumn(c, col(c) + col("_rep").cast("long") * stride)

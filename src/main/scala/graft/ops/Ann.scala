@@ -174,10 +174,11 @@ object Ann {
     *
     * Scale: candidates shuffle on the (label, cell) equi-key — a plain
     * hash-partitioned join, NO corpus broadcast, and per-block pair
-    * counts bounded by the cell granularity. Cell assignment is an
-    * argmax AGGREGATION (max of (cos, -sid) structs, map-side
-    * combined), not a rank window — the n×√n scored rows collapse to
-    * n before any shuffle. PlanSpec pins the no-broadcast shape. */
+    * counts bounded by the cell granularity. Cell assignment is a
+    * per-partition argmax KERNEL over the driver-collected ≤√n-row
+    * seed table (see the inline note below) — n·√n primitive dot
+    * products, zero intermediate rows, no shuffle until the candidate
+    * join. PlanSpec pins the no-broadcast shape. */
   def q36DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // parquet-footer row count (statistics-only, same gate pattern as

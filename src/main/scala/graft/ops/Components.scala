@@ -194,7 +194,8 @@ object Components {
     val maxDeg = edges
       .select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      .agg(max(col("d"))).head().getLong(0)
+      .agg(coalesce(max(col("d")), lit(0L))) // empty edge list → 0, not a NULL NPE
+      .head().getLong(0)
     if (maxDeg > hubDegreeLimit) connectedComponentsContract(edges, maxIter)
     else connectedComponents(edges, maxIter)
   }

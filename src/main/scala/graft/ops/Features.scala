@@ -159,7 +159,12 @@ object Features {
         get_json_object(col("props"), "$.k").as("area"))
       .groupBy(col("user_id"), col("wk"))
       .agg(countDistinct(col("area")).as("n_areas"),
-        array_join(array_sort(collect_set(col("area"))), ",").as("areas"))
+        // an all-NULL group must yield NULL, not "": DuckDB's
+        // list(DISTINCT) aggregate returns NULL there while collect_set
+        // returns an empty array — count(area)=0 detects the case
+        when(count(col("area")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(array_sort(collect_set(col("area"))), ","))
+          .as("areas"))
       .orderBy(col("user_id"), col("wk"))
 
   /** q17: global z-score normalization (utils.py:273-279 normalize).

@@ -22,10 +22,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Metrics {
 
-  /** Below this row count an input is "small": it likely arrived in a
-    * partition or two, so the ML trainers widen it to a few tasks. Read
-    * from parquet footers (statistics-only), never from `.rdd`. */
-  private val smallInputRows = 4L * 1000 * 1000
+  /** Below this row count an input is "small": at ~300 B/row a 128 MB
+    * parquet split holds ~400k rows, so under this bound the scan
+    * arrives in at most a split or two and repartition(4) only ever
+    * WIDENS the trainers' parallelism. (A larger bound would narrow a
+    * well-partitioned multi-split input down to 4 tasks.) Read from
+    * parquet footers (statistics-only), never from `.rdd`. */
+  private val smallInputRows = 500L * 1000
 
   /** (vec_id, label∈{0,1}, score) from the embeddings table. */
   private def scored(spark: SparkSession, dir: String): DataFrame =

@@ -102,11 +102,15 @@ class PlanSpec extends SparkSpec {
     // base aggregates + gap mean + recall rate fold into ONE scan (one
     // window sort feeds them all); repeat-rate keeps its distinct-grain
     // pass. The repeat subtree references `events` 4× LOGICALLY (Jaccard
-    // self-joins), but every reference shares one identical distinct
-    // exchange, which ReuseExchange collapses — so the deduped physical
-    // plan holds exactly 2 scans: shared-features + repeat. (AQE is
-    // toggled off for the check because AdaptiveSparkPlanExec hides the
-    // scan nodes until materialization.)
+    // self-joins) — its 4 branches acquire DIFFERENT pushed filters, so
+    // ReuseExchange cannot dedupe them (see q14's comment); what holds
+    // this invariant is the .cache() on the distinct projection, whose
+    // InMemoryRelation hides its internal scan from executedPlan. The
+    // physical plan therefore holds ≤2 file scans: shared-features +
+    // the repeat cache build. Removing that cache re-scans the fact
+    // table per branch and fails this test. (AQE is toggled off for
+    // the check because AdaptiveSparkPlanExec hides the scan nodes
+    // until materialization.)
     import org.apache.spark.sql.execution.FileSourceScanExec
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
