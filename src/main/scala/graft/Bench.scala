@@ -11,6 +11,12 @@ object Bench {
     // unset and measures everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd key would silently bench nothing — fail loudly instead
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val queries = only match {
       case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
       case None => SparkEntry.queries
@@ -70,10 +76,16 @@ object Bench {
       // reads as a problem, never as a fast success
       name -> (if (good.nonEmpty) good.map(_._1).min else runs.map(_._1).max)
     }.toMap
+    // stderr alone is invisible to a JSON consumer: an all-reps-failed
+    // query folds its time-to-crash into the totals indistinguishably
+    // from a success, so the failure list rides in the JSON line too
+    val failed = queries.keys
+      .filter(name => passes.forall(p => !p(name)._2)).toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

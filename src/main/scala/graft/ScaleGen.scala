@@ -58,9 +58,23 @@ object ScaleGen {
       // props carries the peer/area id consumed by q16/q53/q59 — shift
       // it with the same replica stride as the explicit key columns or
       // every replica's call edges would point at the base replica's
-      // peers (a k-fold hub blowup instead of k disjoint cohorts)
+      // peers (a k-fold hub blowup instead of k disjoint cohorts).
+      // The rewrite rebuilds props as {"k": N}: a row whose props lacks
+      // k would null the whole column and any extra JSON field would be
+      // silently dropped, so props.k passes the SAME loud stride guard
+      // as the explicit key columns before the rewrite runs.
+      val srcEvents = Tables(spark, srcDir, "events")
+      val kStats = srcEvents.agg(
+        max(get_json_object(col("props"), "$.k").cast("long")),
+        count(lit(1)),
+        count(get_json_object(col("props"), "$.k").cast("long"))).head()
+      require(!kStats.isNullAt(0) && kStats.getLong(0) < stride,
+        s"events props.k max ${kStats.get(0)} >= replica stride $stride — keys would collide")
+      require(kStats.getLong(1) == kStats.getLong(2),
+        s"${kStats.getLong(1) - kStats.getLong(2)} events rows lack a numeric props.k — " +
+          "the {\"k\": N} props rewrite would null them; extend the rewrite first")
       write(outDir, "events",
-        replicate(Tables(spark, srcDir, "events"), k, "event_id", "user_id")
+        replicate(srcEvents, k, "event_id", "user_id")
           .withColumn("props",
             concat(lit("{\"k\": "),
               (get_json_object(col("props"), "$.k").cast("long")

@@ -14,6 +14,13 @@ object Verify {
     // the driver leaves it unset and dumps everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd key would silently filter the run to nothing — an empty
+    // oracle_sql.json reads as an empty-but-valid gate, so fail loudly
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val queries = only match {
       case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
       case None => SparkEntry.queries

@@ -88,4 +88,29 @@ class FeaturesSpec extends SparkSpec {
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(rows.length == users)
   }
+
+  test("q16 yields NULL areas (not \"\") for an all-NULL area group") {
+    // No current SF carries a NULL props.k, so the NULL branch is dead
+    // code against the oracle gate — pin it here on synthetic data.
+    // DuckDB's list(DISTINCT) returns NULL for an all-NULL group and
+    // drops NULLs from a mixed one (verified against duckdb directly);
+    // collect_set would return [] — the `when(count(area) = 0)` guard is
+    // what keeps the two engines hash-equal if NULL areas ever appear.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q16-null").toString
+    val ns = 1704067200L * 1000000000L // 2024-01-01 in parquet nanos
+    Seq(
+      (1L, ns, 10L, "view", "{}"),             // no props.k at all
+      (2L, ns + 2000000000L, 10L, "view", "{\"x\": 1}"), // k absent, other key present
+      (3L, ns, 20L, "view", "{\"k\": 7}"),     // mixed group: one real area...
+      (4L, ns + 2000000000L, 20L, "view", "{}")) // ...and one NULL
+      .toDF("event_id", "ts", "user_id", "event_type", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Features.q16AreaChange(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(10L).getLong(2) == 0L, "all-NULL group: n_areas must be 0")
+    assert(rows(10L).isNullAt(3), "all-NULL group: areas must be NULL, not \"\"")
+    assert(rows(20L).getLong(2) == 1L, "mixed group counts only non-NULL areas")
+    assert(rows(20L).getString(3) == "7", "mixed group drops NULLs from the list")
+  }
 }
