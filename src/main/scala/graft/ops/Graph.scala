@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -502,10 +502,36 @@ object Graph {
     * At 100 TB this is the shape GNN systems actually run on Spark:
     * edges co-partitioned by destination, node vectors broadcast or
     * shuffle-joined, one aggregation per layer. */
-  def q66GcnPropagate(spark: SparkSession, dir: String): DataFrame = {
+  def q66GcnPropagate(spark: SparkSession, dir: String): DataFrame =
+    gcnRounds(spark, dir, rounds = 1)
+
+  /** q67: MULTI-round propagation — the reference stacks layer_num = 2
+    * DualChannelLayers (src/layers.py:108-116, model.py builds two), so
+    * the propagation primitive must CHAIN: h² = Â·(Â·h⁰) with
+    * Â = D^-1/2·A·D^-1/2. Round k's input is round k−1's output
+    * QUANTIZED at 1e-6 (the same [[Exact.r]] every operator emits):
+    * 6-dp doubles of this magnitude are exactly representable, so the
+    * double product norm·h is bit-identical in both engines and the
+    * oracle chains the round-1 CTE through the same adjacency join —
+    * round 2 stays hash-checkable, not approximately-equal. */
+  def q67GcnPropagate2(spark: SparkSession, dir: String): DataFrame =
+    gcnRounds(spark, dir, rounds = 2)
+
+  /** The parameterized propagation loop behind q66/q67 (reference
+    * layer_num, src/layers.py:108-116). The edge list and the degree
+    * sides build ONCE and every round reuses them (`und` cached, di/dj
+    * broadcast-gated); between rounds the node-sized h table
+    * localCheckpoints (CC-style) so round k's plan joins a materialized
+    * table instead of re-embedding k−1 copies of the whole join tree —
+    * the standard shape of iterative GNN propagation on Spark: per
+    * round, one co-partitioned join + one aggregation over edges that
+    * never move again. */
+  private[ops] def gcnRounds(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val und = symmetrized(
         factBase(spark, dir).select(col("src"), col("dst")), "src", "dst")
-      .distinct().cache() // degree agg + the message join
+      .distinct().cache() // degree agg + one message join per round
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     val broadcastNodeLimit = 50L * 1000 * 1000
     val nodeBound = Tables.customer(spark, dir).count() +
@@ -514,17 +540,28 @@ object Graph {
       if (nodeBound <= broadcastNodeLimit) broadcast(df) else df
     val di = gated(deg.select(col("n").as("src"), col("d").as("di")))
     val dj = gated(deg.select(col("n").as("dst"), col("d").as("dj")))
-    und.join(di, "src").join(dj, "dst")
-      .select(col("src"),
-        ((lit(1.0) / sqrt(col("di"))) * (lit(1.0) / sqrt(col("dj"))) *
-          col("dj")).cast("decimal(28,12)").as("m_deg"),
-        ((lit(1.0) / sqrt(col("di"))) * (lit(1.0) / sqrt(col("dj"))))
-          .cast("decimal(28,12)").as("m_one"))
-      .groupBy(col("src").as("node"))
-      .agg(
-        Exact.r(sum(col("m_deg")).cast("double"), 6).as("h_deg"),
-        Exact.r(sum(col("m_one")).cast("double"), 6).as("h_cnt"))
-      .orderBy(col("node"))
+    val norm = (lit(1.0) / sqrt(col("di"))) * (lit(1.0) / sqrt(col("dj")))
+    def propagate(hDeg: Column, hCnt: Column, prev: Option[DataFrame]): DataFrame =
+      prev.fold(und.join(di, "src").join(dj, "dst"))(p =>
+          und.join(di, "src").join(dj, "dst").join(p, "dst"))
+        .select(col("src"),
+          (norm * hDeg).cast("decimal(28,12)").as("m_deg"),
+          (norm * hCnt).cast("decimal(28,12)").as("m_one"))
+        .groupBy(col("src").as("node"))
+        .agg(
+          Exact.r(sum(col("m_deg")).cast("double"), 6).as("h_deg"),
+          Exact.r(sum(col("m_one")).cast("double"), 6).as("h_cnt"))
+    // round 1: initial features h⁰ = (neighbor degree, 1), self-derived
+    var h = propagate(col("dj"), lit(1.0), None)
+    for (_ <- 2 to rounds) {
+      // node-sized: checkpoint to cut lineage, then the same gate as
+      // the degree tables (it has exactly their cardinality)
+      val prev = gated(h.localCheckpoint(true)
+        .select(col("node").as("dst"),
+          col("h_deg").as("p_deg"), col("h_cnt").as("p_cnt")))
+      h = propagate(col("p_deg"), col("p_cnt"), Some(prev))
+    }
+    h.orderBy(col("node"))
   }
 
   /** q53: signed call-type edge weights (data_process.py:99-104: calltype
@@ -677,6 +714,30 @@ object Graph {
         | floor(CAST(sum(m_deg) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_deg,
         | floor(CAST(sum(m_one) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_cnt
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // chains q66's round-1 CTE (h1, 1e-6-quantized like the Spark side)
+    // through the SAME normalized-adjacency join — round 2 stays a full
+    // hash oracle, not an approximate compare
+    "q67_gcn_propagate2" ->
+      s"""WITH e0 AS ($edgesSql),
+        | und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        | dg AS (SELECT src AS n, count(*) AS d FROM und GROUP BY 1),
+        | m1 AS (SELECT u.src,
+        |   CAST((1.0 / sqrt(di.d)) * (1.0 / sqrt(dj.d)) * dj.d AS DECIMAL(28,12)) AS m_deg,
+        |   CAST((1.0 / sqrt(di.d)) * (1.0 / sqrt(dj.d)) AS DECIMAL(28,12)) AS m_one
+        |  FROM und u JOIN dg di ON u.src = di.n JOIN dg dj ON u.dst = dj.n),
+        | h1 AS (SELECT src AS node,
+        |   floor(CAST(sum(m_deg) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_deg,
+        |   floor(CAST(sum(m_one) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_cnt
+        |  FROM m1 GROUP BY 1),
+        | m2 AS (SELECT u.src,
+        |   CAST((1.0 / sqrt(di.d)) * (1.0 / sqrt(dj.d)) * h.h_deg AS DECIMAL(28,12)) AS m_deg,
+        |   CAST((1.0 / sqrt(di.d)) * (1.0 / sqrt(dj.d)) * h.h_cnt AS DECIMAL(28,12)) AS m_one
+        |  FROM und u JOIN dg di ON u.src = di.n JOIN dg dj ON u.dst = dj.n
+        |   JOIN h1 h ON u.dst = h.node)
+        |SELECT src AS node,
+        | floor(CAST(sum(m_deg) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_deg,
+        | floor(CAST(sum(m_one) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_cnt
+        |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q65_edge_class_balanced_prob" ->
       s"""WITH e AS ($edgesSql),
         | od AS (SELECT src, count(*) AS sd FROM e GROUP BY 1),
@@ -772,6 +833,7 @@ object Graph {
     "q53_signed_degrees" -> (q53SignedDegrees _),
     "q64_multi_relation_sampling_prob" -> (q64MultiRelationSamplingProb _),
     "q65_edge_class_balanced_prob" -> (q65EdgeClassBalancedProb _),
-    "q66_gcn_propagate" -> (q66GcnPropagate _)
+    "q66_gcn_propagate" -> (q66GcnPropagate _),
+    "q67_gcn_propagate2" -> (q67GcnPropagate2 _)
   )
 }

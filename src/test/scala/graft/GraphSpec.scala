@@ -106,6 +106,39 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q67 two-round GCN chains round 1 through the same SpMV (driver cross-check)") {
+    val out = ops.Graph.q67GcnPropagate2(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val und = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val deg = adj.map { case (n, js) => n -> js.length.toLong }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // round 1 with the 1e-6 quantization the engine emits between rounds
+    val h1 = adj.map { case (i, js) =>
+      i -> (
+        r6(js.map(j => q12(
+          1.0 / math.sqrt(deg(i)) * (1.0 / math.sqrt(deg(j))) * deg(j))).sum.toDouble),
+        r6(js.map(j => q12(
+          1.0 / math.sqrt(deg(i)) * (1.0 / math.sqrt(deg(j))))).sum.toDouble))
+    }
+    assert(out.keySet == adj.keySet)
+    adj.foreach { case (i, js) =>
+      val hDeg = r6(js.map(j => q12(
+        1.0 / math.sqrt(deg(i)) * (1.0 / math.sqrt(deg(j))) * h1(j)._1)).sum.toDouble)
+      val hCnt = r6(js.map(j => q12(
+        1.0 / math.sqrt(deg(i)) * (1.0 / math.sqrt(deg(j))) * h1(j)._2)).sum.toDouble)
+      assert(out(i)._1 == hDeg, s"node $i h_deg round 2")
+      assert(out(i)._2 == hCnt, s"node $i h_cnt round 2")
+    }
+    // smoothing sanity: two rounds keep the symmetric-normalization bound
+    out.values.foreach { case (_, hc) => assert(hc >= 0.0) }
+  }
+
   test("adjacency cap bounds pair blowup under a synthetic hub vertex") {
     import spark.implicits._
     val cap = 16
