@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -45,38 +45,52 @@ object Metrics {
     * precision/recall/F1 (new_utlis_1.py:38-42, average="macro").
     * Threshold 0: pred = score > 0. All outputs are ratios of exact
     * integer counts, so the oracle matches bit-for-bit. */
-  def q26ConfusionMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val p = scored(spark, dir)
-      .withColumn("pred", (col("score") > 0).cast("int"))
+  def q26ConfusionMetrics(spark: SparkSession, dir: String): DataFrame =
+    confusionFrom(scored(spark, dir)
+      .withColumn("pred", (col("score") > 0).cast("int")))
+
+  /** The q26 metric core over ANY (y, pred) frame — the oracled operator
+    * and [[graft.pipeline.FraudPipeline]]'s held-out evaluation are the
+    * same code path, so the flagship reports exactly the numbers the
+    * correctness gate checks. */
+  private[graft] def confusionFrom(p: DataFrame): DataFrame = {
+    // sklearn's zero_division=0 semantics: a class with no predicted (or
+    // no true) members contributes 0, not a crash — under ANSI mode a
+    // degenerate fold (e.g. a model predicting nothing positive) would
+    // otherwise DIVIDE_BY_ZERO. The guard never fires on the oracled
+    // q26 input (both classes present on every SF), so the non-zero
+    // branch keeps the exact division spelling the oracle hashes.
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(num / den)
     val c = p.agg(
       sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
       sum(when(col("y") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
       sum(when(col("y") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"),
       sum(when(col("y") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"))
     c.select(col("tp"), col("fp"), col("tn"), col("fn"),
-        Exact.r((col("tp") + col("tn")) * lit(1.0) /
-          (col("tp") + col("fp") + col("tn") + col("fn")), 6).as("accuracy"),
-        Exact.r(col("tp") * lit(1.0) / (col("tp") + col("fp")), 6).as("precision_pos"),
-        Exact.r(col("tp") * lit(1.0) / (col("tp") + col("fn")), 6).as("recall_pos"),
-        Exact.r(col("tn") * lit(1.0) / (col("tn") + col("fn")), 6).as("precision_neg"),
-        Exact.r(col("tn") * lit(1.0) / (col("tn") + col("fp")), 6).as("recall_neg"))
+        Exact.r(ratio((col("tp") + col("tn")) * lit(1.0),
+          col("tp") + col("fp") + col("tn") + col("fn")), 6).as("accuracy"),
+        Exact.r(ratio(col("tp") * lit(1.0), col("tp") + col("fp")), 6).as("precision_pos"),
+        Exact.r(ratio(col("tp") * lit(1.0), col("tp") + col("fn")), 6).as("recall_pos"),
+        Exact.r(ratio(col("tn") * lit(1.0), col("tn") + col("fn")), 6).as("precision_neg"),
+        Exact.r(ratio(col("tn") * lit(1.0), col("tn") + col("fp")), 6).as("recall_neg"))
       .withColumn("macro_precision",
-        Exact.r((col("tp") * lit(1.0) / (col("tp") + col("fp"))
-          + col("tn") * lit(1.0) / (col("tn") + col("fn"))) / 2, 6))
+        Exact.r((ratio(col("tp") * lit(1.0), col("tp") + col("fp"))
+          + ratio(col("tn") * lit(1.0), col("tn") + col("fn"))) / 2, 6))
       .withColumn("macro_recall",
-        Exact.r((col("tp") * lit(1.0) / (col("tp") + col("fn"))
-          + col("tn") * lit(1.0) / (col("tn") + col("fp"))) / 2, 6))
+        Exact.r((ratio(col("tp") * lit(1.0), col("tp") + col("fn"))
+          + ratio(col("tn") * lit(1.0), col("tn") + col("fp"))) / 2, 6))
       .withColumn("f1_pos",
-        Exact.r(col("tp") * lit(2.0) /
-          (col("tp") * 2 + col("fp") + col("fn")), 6))
+        Exact.r(ratio(col("tp") * lit(2.0),
+          col("tp") * 2 + col("fp") + col("fn")), 6))
       .withColumn("f1_neg",
-        Exact.r(col("tn") * lit(2.0) /
-          (col("tn") * 2 + col("fn") + col("fp")), 6))
+        Exact.r(ratio(col("tn") * lit(2.0),
+          col("tn") * 2 + col("fn") + col("fp")), 6))
       // the reference's headline f1_score(average="macro"),
       // new_utlis_1.py:42: unweighted mean of the per-class F1s
       .withColumn("macro_f1",
-        Exact.r((col("tp") * lit(2.0) / (col("tp") * 2 + col("fp") + col("fn"))
-          + col("tn") * lit(2.0) / (col("tn") * 2 + col("fn") + col("fp"))) / 2, 6))
+        Exact.r((ratio(col("tp") * lit(2.0), col("tp") * 2 + col("fp") + col("fn"))
+          + ratio(col("tn") * lit(2.0), col("tn") * 2 + col("fn") + col("fp"))) / 2, 6))
   }
 
   /** q27: ROC AUC as the Mann–Whitney U rank statistic —
@@ -88,8 +102,13 @@ object Metrics {
     * (one shuffle), then the prefix count comes from [[Ranking]]'s
     * two-pass range-bucketed window — no single-partition global sort
     * anywhere in the plan (pinned by PlanSpec). */
-  def q27RocAuc(spark: SparkSession, dir: String): DataFrame = {
-    val g = scored(spark, dir)
+  def q27RocAuc(spark: SparkSession, dir: String): DataFrame =
+    rocAucFrom(scored(spark, dir))
+
+  /** The q27 rank-statistic core over ANY (y, score) frame — shared with
+    * the FraudPipeline flagship (see [[confusionFrom]]). */
+  private[graft] def rocAucFrom(sc: DataFrame): DataFrame = {
+    val g = sc
       .groupBy(col("score"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).cast("long").as("pos"))
     val bk = Ranking.withRangeBucket(g, "score", descending = false).persist()
@@ -113,16 +132,21 @@ object Metrics {
   /** q28: average precision (sklearn AP = Σ (R_k − R_{k−1})·P_k over the
     * score-desc ranking, vec_id tiebreak). Per-rank terms quantize to
     * DECIMAL(28,12) so the global sum is order-independent. */
-  def q28AvgPrecision(spark: SparkSession, dir: String): DataFrame = {
+  def q28AvgPrecision(spark: SparkSession, dir: String): DataFrame =
+    avgPrecisionFrom(scored(spark, dir), "vec_id")
+
+  /** The q28 AP core over ANY (idCol, y, score) frame, `idCol` breaking
+    * rank ties — shared with the FraudPipeline flagship. */
+  private[graft] def avgPrecisionFrom(sc: DataFrame, idCol: String): DataFrame = {
     // Scale-safe global row_number/prefix-sum: range-bucket on score
     // (descending-monotone), window PARTITIONED by bucket, add the
     // bucket's exclusive row/positive offsets — bit-identical to the
     // single-partition window it replaces (see Ranking).
-    val bk = Ranking.withRangeBucket(scored(spark, dir), "score", descending = true)
+    val bk = Ranking.withRangeBucket(sc, "score", descending = true)
       .persist()
     val off = Ranking.exclusiveOffsets(bk, Map(
       "rows" -> count(lit(1)), "pos" -> sum(col("y")).cast("long")))
-    val w = Window.partitionBy(col("_b")).orderBy(col("score").desc, col("vec_id"))
+    val w = Window.partitionBy(col("_b")).orderBy(col("score").desc, col(idCol))
     val t = bk
       .withColumn("k", row_number().over(w).cast("long") + off("rows"))
       .withColumn("cum_pos", sum(col("y")).over(w) + off("pos"))

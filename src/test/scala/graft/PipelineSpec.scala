@@ -2,21 +2,52 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** End-to-end pipeline: features → split → train → held-out metrics. */
+/** End-to-end pipeline: 32-slot features → split → train → the full
+  * held-out test_model metric suite (reference new_utlis_1.py:35-50). */
 class PipelineSpec extends SparkSpec {
 
-  test("FraudPipeline runs end-to-end with a coherent held-out fold") {
-    val r = pipeline.FraudPipeline.run(spark, sf)
+  test("FraudPipeline trains on the full q59 matrix and emits the test_model suite") {
+    // sf0.001's held-out fold is 3 users, all one class — ROC AUC is
+    // undefined there (sklearn's roc_auc_score raises on it too); sf0.01
+    // is the smallest SF whose fold carries both classes (25 neg / 4 pos)
+    val r = pipeline.FraudPipeline.run(spark, "/root/testdata/sf0.01")
     val nUsers = r.features.count()
     assert(nUsers > 0)
-    assert(r.features.columns.length == 32) // user_id + 31 features
+    // user_id + q19's 31 events-native features + the 4 graph slots
+    assert(r.features.columns.length == 36, r.features.columns.mkString(","))
+    for (slot <- Seq("out_deg_signed", "in_deg_signed", "nbr_avg_deg", "clustering"))
+      assert(r.features.columns.contains(slot), slot)
+
     val m = r.metrics.head()
-    val total = m.getLong(0) + m.getLong(1) + m.getLong(2) + m.getLong(3)
-    // held-out fold ≈ 20% of labeled users
+    val tp = m.getAs[Long]("tp"); val fp = m.getAs[Long]("fp")
+    val tn = m.getAs[Long]("tn"); val fn = m.getAs[Long]("fn")
+    val total = tp + fp + tn + fn
+    // held-out fold ≈ 20% of labeled users, scored exactly once each
     assert(total == r.scored.count())
     assert(total > 0 && total < nUsers)
+
+    // the complete reference metric row: every number present, in range,
+    // and arithmetically consistent with the confusion counts
     val acc = m.getAs[Double]("accuracy")
-    assert(acc >= 0.0 && acc <= 1.0)
+    assert(acc == math.floor((tp + tn) * 1.0 / total * 1e6 + 0.5) / 1e6)
+    for (c <- Seq("accuracy", "macro_precision", "macro_recall", "macro_f1",
+        "f1_pos", "f1_neg", "auc", "avg_precision")) {
+      val v = m.getAs[Double](c)
+      assert(!v.isNaN && v >= 0.0 && v <= 1.0, s"$c = $v")
+    }
+
+    // ranking metrics come from the same scored frame: AUC must agree
+    // with a direct Mann-Whitney recompute over the collected fold
+    val rows = r.scored.select("y", "score").collect()
+      .map(x => (x.getInt(0), x.getDouble(1)))
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty, "held-out fold must contain both classes")
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val aucDirect = wins / (pos.length.toDouble * neg.length)
+    assert(math.abs(m.getAs[Double]("auc") - aucDirect) < 1e-5,
+      s"auc ${m.getAs[Double]("auc")} vs direct $aucDirect")
   }
 
   test("pipeline split is reproducible") {
