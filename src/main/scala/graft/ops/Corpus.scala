@@ -116,20 +116,32 @@ object Corpus {
     * degrades to a shuffle join keyed on the gram — or a Bloom-filter
     * pushdown, same plan shape. */
   def q60Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
+    // NO corpus-sized cache: the benchmark slice and the corpus slice
+    // each explode their OWN scan (disjoint doc_id filters — one full
+    // explode of the corpus total, split across two projection-only
+    // passes), and gram sizes + benchmark hits fold into ONE aggregation
+    // over a membership left-join instead of two reads of a cached gram
+    // table. At 100 TB the exploded grams are ~8× corpus tokens — a
+    // cache would spill its way through the job; this shape never
+    // materializes them anywhere.
+    val benchGrams = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 23 === 0)
+      .select(explode(expr(grams8Expr)).as("g8")).distinct()
+      .withColumn("hit", lit(1L))
+    val corpus = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 23 =!= 0)
       .select(col("doc_id"), explode(expr(grams8Expr)).as("g8"))
-      .cache() // feeds benchmark set, corpus sizes and the hit join
-    val benchGrams = g.filter(col("doc_id") % 23 === 0)
-      .select(col("g8")).distinct()
-    val corpus = g.filter(col("doc_id") % 23 =!= 0)
-    val hits = corpus.join(benchGrams, Seq("g8"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // bench g8 is distinct ⇒ the left join preserves corpus row counts;
+    // AQE broadcasts the (small — eval suites are MBs) bench side and
+    // degrades to a shuffle join keyed on the gram past that
+    val stats = corpus.join(benchGrams, Seq("g8"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 23 =!= 0)
       .select(col("doc_id"))
-      .join(sizes, Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
@@ -215,13 +227,21 @@ object Corpus {
     * membership test. Same bounded-head pattern as q31's df cap and
     * q60's benchmark-gram set. */
   def q63LineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val lines = Tables.documents(spark, dir)
+    val linesBase = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, cast(ceil(size(w) / $lineLen.0) as int) - 1),
            | i -> concat_ws(' ', slice(w, i * $lineLen + 1, $lineLen)))"""
           .stripMargin)).as("line"))
-      .cache() // feeds the df aggregation AND the per-doc rollup
+    // The line table feeds the df aggregation AND the per-doc rollup,
+    // but it is ~1× corpus size — an unconditional cache would
+    // spill-thrash at 100 TB. Footer-count gate (statistics-only, like
+    // q22/q29's broadcast gates): cache while the corpus is modest,
+    // recompute the projection-only explode (one extra scan) past it.
+    val cacheDocLimit = 10L * 1000 * 1000
+    val lines =
+      if (Tables.documents(spark, dir).count() <= cacheDocLimit) linesBase.cache()
+      else linesBase
     val hot = lines.groupBy(col("line")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 2)
       .select(col("line"), lit(1).as("boiler"))
