@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL: `javax.imageio` ships with the JDK, so
   * PNG/JPEG/BMP/GIF payloads decode on the executors into
-  * width/height/channel-stat/luma-histogram features. Payloads no JDK
-  * codec understands fall back to `hashFeatures`, a clearly-marked
-  * deterministic stand-in — the seam a JNI/FFmpeg audio/video decoder
-  * would plug into without touching the Spark-side plumbing.
+  * width/height/channel-stat/luma-histogram features. Audio decode is
+  * REAL for RIFF/WAVE PCM: the header+samples parse needs no library
+  * (see [[decodeWav]]). Payloads with no decoder here (video, non-PCM
+  * audio) fall back to `hashFeatures`, a clearly-marked deterministic
+  * stand-in — the seam a JNI/FFmpeg decoder would plug into without
+  * touching the Spark-side plumbing.
   */
 object Multimodal {
 
@@ -129,7 +131,72 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** FALLBACK for payloads with no JDK codec (audio/video/unknown):
+  /** REAL audio decode for RIFF/WAVE PCM — a WAV file is a RIFF header
+    * plus chunks, parseable with no library at all: the "fmt " chunk
+    * carries sample rate / channel count / bit depth, the "data" chunk
+    * the PCM samples (8-bit unsigned or 16-bit signed LE). Emits the
+    * fixed 16-wide vector [sampleRate, channels, bitsPerSample, frames,
+    * durationSec, rms, peak, meanAbs, 8-bin |amplitude| histogram],
+    * amplitudes normalized to [-1, 1]. Samples are read on a bounded
+    * stride grid (≤ 65536 points) — the same per-row cost bound as
+    * [[decodeImage]]'s 64×64 grid, so an hour-long payload costs the
+    * same as a clip. Returns None for non-PCM encodings or malformed
+    * chunks (caller falls back to [[hashFeatures]]). */
+  private[graft] def decodeWav(payload: Array[Byte]): Option[Array[Float]] = {
+    try {
+      def ascii(o: Int) = new String(payload, o, 4, "US-ASCII")
+      def u16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+      def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+      if (payload.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+        return None
+      var off = 12
+      var audioFmt = -1; var channels = 0; var rate = 0L; var bits = 0
+      var dataOff = -1; var dataLen = 0L
+      while (off + 8 <= payload.length && (audioFmt < 0 || dataOff < 0)) {
+        val id = ascii(off); val sz = u32(off + 4)
+        if (id == "fmt " && sz >= 16) {
+          audioFmt = u16(off + 8); channels = u16(off + 10)
+          rate = u32(off + 12); bits = u16(off + 22)
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      // PCM only (format 1), sane geometry, both required chunks present
+      if (audioFmt != 1 || dataOff < 0 || channels <= 0 || rate <= 0 ||
+          (bits != 8 && bits != 16)) return None
+      val bytesPer = bits / 8
+      val avail = math.min(dataLen, (payload.length - dataOff).toLong)
+      val nSamples = avail / bytesPer
+      if (nSamples <= 0) return None
+      val stride = math.max(1L, nSamples / 65536L)
+      var i = 0L; var n = 0L
+      var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
+      val hist = new Array[Long](8)
+      while (i < nSamples) {
+        val o = dataOff + (i * bytesPer).toInt
+        val a =
+          if (bits == 16) ((payload(o) & 0xFF) | (payload(o + 1) << 8)).toShort / 32768.0
+          else ((payload(o) & 0xFF) - 128) / 128.0
+        val abs = math.abs(a)
+        sumSq += a * a; sumAbs += abs
+        if (abs > peak) peak = abs
+        hist(math.min((abs * 8).toInt, 7)) += 1
+        n += 1; i += stride
+      }
+      val frames = nSamples / channels
+      val out = new Array[Float](16)
+      out(0) = rate.toFloat; out(1) = channels.toFloat; out(2) = bits.toFloat
+      out(3) = frames.toFloat
+      out(4) = (frames.toDouble / rate).toFloat
+      out(5) = math.sqrt(sumSq / n).toFloat
+      out(6) = peak.toFloat
+      out(7) = (sumAbs / n).toFloat
+      var d = 0
+      while (d < 8) { out(8 + d) = (hist(d).toDouble / n).toFloat; d += 1 }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** FALLBACK for payloads with no JDK codec (video/unknown):
     * deterministic fixed-width features from a rolling byte hash. This
     * is the one remaining stand-in — swapping in an FFmpeg-class
     * decoder replaces this function and nothing else. */
@@ -152,9 +219,10 @@ object Multimodal {
     * output is a fixed-width vector per payload — the Scala analog of a
     * pandas-batch UDF. `mapPartitions` is justified here (SURVEY.md §4):
     * decode is genuinely imperative per-row work, not relational.
-    * Image kinds decode for real via [[decodeImage]]; everything else
-    * takes the [[hashFeatures]] fallback (kind suffixed "-raw" so
-    * downstream can tell decoded features from hashed ones). */
+    * Image kinds decode for real via [[decodeImage]], WAV audio via
+    * [[decodeWav]]; everything else takes the [[hashFeatures]] fallback
+    * (kind suffixed "-raw" so downstream can tell decoded features from
+    * hashed ones). */
   def extractFeatures(payloads: Dataset[Payload], dim: Int = 16): Dataset[MediaFeature] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
@@ -163,6 +231,7 @@ object Multimodal {
         val decoded =
           if (kind == "png" || kind == "jpeg" || kind == "bmp" || kind == "gif")
             decodeImage(p.payload)
+          else if (kind == "wav") decodeWav(p.payload)
           else None
         decoded match {
           case Some(f) =>

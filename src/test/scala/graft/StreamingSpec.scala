@@ -391,4 +391,48 @@ class StreamingSpec extends SparkSpec {
     // q41's SQL kind sniff agrees with the imperative sniff on real bytes
     assert(ops.Multimodal.sniffKind(red) == "png")
   }
+
+  /** Minimal RIFF/WAVE PCM bytes: 16-bit LE, `channels` interleaved. */
+  private def wavBytes(rate: Int, channels: Int, samples: Array[Short],
+      audioFmt: Short = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(audioFmt).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("multimodal extractFeatures: REAL wav decode (RIFF header + PCM samples)") {
+    // square wave at exactly half amplitude: 16384/32768 = 0.5, so
+    // rms = peak = mean|a| = 0.5 EXACTLY — no tolerance needed
+    val sq = Array.tabulate(4000)(i => if (i % 2 == 0) 16384 else -16384)
+      .map(_.toShort)
+    val mono = wavBytes(8000, 1, sq)              // 4000 frames / 8 kHz = 0.5 s
+    val stereo = wavBytes(8000, 2, sq)            // 2000 frames       = 0.25 s
+    val nonPcm = wavBytes(8000, 1, sq, audioFmt = 3) // IEEE-float tag → fallback
+    val ds = Seq(
+      ops.Multimodal.Payload(1L, mono),
+      ops.Multimodal.Payload(2L, stereo),
+      ops.Multimodal.Payload(3L, nonPcm)).toDS()
+    val out = ops.Multimodal.extractFeatures(ds, dim = 16).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).kind == "wav" && out(2L).kind == "wav")
+    val fm = out(1L).features
+    assert(fm(0) == 8000f && fm(1) == 1f && fm(2) == 16f)  // rate, channels, bits
+    assert(fm(3) == 4000f && fm(4) == 0.5f)                // frames, duration
+    assert(fm(5) == 0.5f && fm(6) == 0.5f && fm(7) == 0.5f) // rms, peak, mean|a|
+    assert(fm(12) == 1.0f)                    // every |a| = 0.5 lands in bin 4
+    val fs = out(2L).features
+    assert(fs(1) == 2f && fs(3) == 2000f && fs(4) == 0.25f) // stereo halves frames
+    assert(fs(5) == 0.5f && fs(6) == 0.5f)   // amplitude stats are channel-blind
+    // non-PCM RIFF sniffs as wav but has no decoder here → loud fallback
+    assert(out(3L).kind == "wav-raw")
+    assert(ops.Multimodal.sniffKind(mono) == "wav")
+  }
 }
