@@ -109,6 +109,76 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L), out.mkString(";"))
   }
 
+  test("sessionize recovers open-session state across a stop/restart from checkpoint") {
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ckp = Files.createTempDirectory("graft_sess_ckp").toString
+    def start() = EventStream.sessionize(mem.toDS())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckp)
+      .outputMode("append").start()
+    // batch 1: user 1 opens a session [0,10] — still OPEN in state
+    val q1 = start()
+    mem.addData(ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0))
+    q1.processAllAvailable()
+    q1.stop() // "crash" with an open session in the state store
+    // arrives while the query is down: within the open session's gap,
+    // so the RESTARTED query must merge it into the recovered state —
+    // a lost state store would emit two sessions ([0,10] and [20,20])
+    mem.addData(ev(3, 20, 1, 3.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    // watermark pushers: close user 1's session, then user 2's
+    mem.addData(ev(4, 1000, 2, 1.0))
+    q2.processAllAvailable()
+    mem.addData(ev(5, 3000, 2, 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val sessions = spark.read.parquet(out).as[EventStream.SessionOut].collect()
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.length == 1,
+      s"expected ONE merged session across the restart, got ${u1.mkString(";")}")
+    assert(u1.head.session_start == base * 60000L &&
+      u1.head.session_end == (base + 20) * 60000L &&
+      u1.head.n_events == 3 && u1.head.total_value == 6.0, u1.head.toString)
+    // and nothing duplicated: user 2's closed session landed exactly once
+    val u2 = sessions.filter(_.user_id == 2)
+    assert(u2.length == 1 && u2.head.n_events == 1, u2.mkString(";"))
+  }
+
+  test("sketchDedup's seen-signature state survives a stop/restart from checkpoint") {
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventStream.Doc]
+    val out = Files.createTempDirectory("graft_sketch_out").toString
+    val ckp = Files.createTempDirectory("graft_sketch_ckp").toString
+    def doc(id: Long, minute: Long, text: String) =
+      EventStream.Doc(id, new Timestamp((base + minute) * 60000L), text, "web")
+    def start() = EventStream.sketchDedupStream(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckp)
+      .outputMode("append").start()
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textC = "an entirely different document with its own distinct shingle set"
+    val q1 = start()
+    mem.addData(doc(1, 0, textA))
+    q1.processAllAvailable()
+    q1.stop() // "crash" with doc 1's signature in the dedup state store
+    // a shingle-set duplicate of doc 1 and one fresh doc arrive while
+    // the query is down; the restart must suppress the duplicate from
+    // RECOVERED state — a lost store would emit doc 2 as new
+    mem.addData(doc(2, 5, textA), doc(3, 6, textC))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L),
+      s"expected the post-restart duplicate suppressed, got $ids")
+  }
+
   test("sessionize tolerates out-of-order events within the watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
