@@ -57,6 +57,26 @@ object Corpus {
     * (source tokens / kept tokens) — the sampling weights a training
     * run consumes. */
   def q57CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val kept = q57Kept(spark, dir)
+    // agg feeds the total and the final projection — cache, not recompute
+    val agg = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .cache()
+    val tot = agg.agg(sum(col("n_tokens")).as("tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Exact.r(col("n_tokens") * lit(1.0) / col("tot"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  /** The per-document KEEP-LIST behind q57 — the artifact a curation
+    * run actually ships to training: every document surviving the
+    * language gate, quality gate, exact-dedup canonicalization and
+    * near-dup survivor pass, with its source / token count / quality.
+    * [[graft.sources.Lake.writeCuratedLake]] persists this (and q62's
+    * packing plan) bucketed on doc_id so downstream per-doc joins are
+    * exchange-free. */
+  private[graft] def q57Kept(spark: SparkSession, dir: String): DataFrame = {
     // language + quality gates share ONE scan and ONE tokenization —
     // the same gate expressions q37/q38 are built from, projected
     // together instead of materializing two operators and joining them
@@ -70,20 +90,12 @@ object Corpus {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
     val nd = Dedup.q55DedupClusters(spark, dir).select(col("doc_id"), col("keep"))
-    val kept = gated
+    gated
       .join(exKeep, "h")
       .join(nd, Seq("doc_id"), "left")
       .filter(col("lang_pred") === "en" && col("quality") >= 0.5 &&
         col("doc_id") === col("keep_id") && coalesce(col("keep"), lit(true)))
-    // agg feeds the total and the final projection — cache, not recompute
-    val agg = kept.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      .cache()
-    val tot = agg.agg(sum(col("n_tokens")).as("tot"))
-    agg.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        Exact.r(col("n_tokens") * lit(1.0) / col("tot"), 6).as("weight"))
-      .orderBy(col("source"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("quality"))
   }
 
   /** Word 8-gram shingles, distinct per doc — the decontamination grain

@@ -16,6 +16,36 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("curated lake: keep-list and chunk plan join documents exchange-free") {
+    scrub("curated_keeplist", "curated_chunks", "curated_documents")
+    sources.Lake.writeCuratedLake(spark, sf, buckets = 8)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val nDocs = Tables.documents(spark, sf).count()
+      val nKept = spark.table("curated_keeplist").count()
+      assert(nKept > 0 && nKept < nDocs, s"kept $nKept of $nDocs")
+      // every downstream per-doc consumer joins with zero Exchange
+      for ((l, r) <- Seq(("curated_keeplist", "curated_documents"),
+          ("curated_chunks", "curated_documents"),
+          ("curated_keeplist", "curated_chunks"))) {
+        val j = sources.Lake.colocatedJoin(spark, l, r, "doc_id")
+        val plan = j.queryExecution.explainString(FormattedMode)
+        assert(plan.contains("Bucketed: true"), s"$l ⋈ $r:\n$plan")
+        assert(!plan.contains("Exchange hashpartitioning"), s"$l ⋈ $r:\n$plan")
+      }
+      // grain: the chunk plan covers every document exactly once, the
+      // keep-list joins back to exactly its own documents
+      assert(sources.Lake.colocatedJoin(spark,
+        "curated_chunks", "curated_documents", "doc_id").count() == nDocs)
+      assert(sources.Lake.colocatedJoin(spark,
+        "curated_keeplist", "curated_documents", "doc_id").count() == nKept)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      scrub("curated_keeplist", "curated_chunks", "curated_documents")
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     scrub("b_orders", "b_lineitem")
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
