@@ -1,0 +1,28 @@
+package graft
+
+/** User-facing entry point for the flagship workflow: run the full
+  * reference pipeline (32-slot feature matrix → stratified split → LR
+  * train → held-out test_model metric suite) against a scale-factor
+  * directory and print the metric row as one JSON line — what a user
+  * of the reference would invoke instead of `python main.py`.
+  *
+  *   SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.PipelineRun"
+  */
+object PipelineRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val r = pipeline.FraudPipeline.run(spark, sfDir)
+    val m = r.metrics.head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val fields = m.schema.fieldNames
+      .map(f => s""""$f":${m.getAs[Any](f)}""").mkString(",")
+    println(s"""{"metric":"fraud_pipeline","sf":"$sfDir","sec":$secs,""" +
+      s""""n_users":${r.features.count()},"n_scored":${r.scored.count()},$fields}""")
+    spark.stop()
+  }
+}
