@@ -181,4 +181,28 @@ class PlanSpec extends SparkSpec {
       .collect { case r: LogicalRelation => r }
     assert(scans.size == 2, scans.map(_.simpleString(60)))
   }
+
+  test("q67: round 2 runs entirely off the edge cache + round-1 checkpoint") {
+    // the multi-round design property: the fact join is paid ONCE —
+    // round 2's plan must read the symmetrized edges via the cache
+    // (InMemoryTableScan), the round-1 h via the localCheckpoint
+    // (exactly one Scan ExistingRDD), join only node-sized broadcast
+    // sides, and execute ZERO fresh parquet scans (the only parquet
+    // nodes in the formatted output sit inside the cached plan's
+    // printed lineage, never as executing operators)
+    val p = plan(ops.Graph.q67GcnPropagate2(spark, sf))
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    spark.catalog.clearCache() // q67's und cache
+  }
+
+  test("q60: nothing corpus-sized is cached — both slices scan+explode directly") {
+    // the 100 TB memory story: the exploded 8-gram table (~8x corpus
+    // tokens) must never materialize — no InMemoryRelation anywhere,
+    // and no cartesian fallback in the membership join
+    val p = plan(ops.Corpus.q60Decontaminate(spark, sf))
+    assert(!p.contains("InMemoryTableScan"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
