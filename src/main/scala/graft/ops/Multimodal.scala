@@ -149,16 +149,19 @@ object Multimodal {
       def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
       if (payload.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
         return None
-      var off = 12
+      var off = 12L
       var audioFmt = -1; var channels = 0; var rate = 0L; var bits = 0
       var dataOff = -1; var dataLen = 0L
       while (off + 8 <= payload.length && (audioFmt < 0 || dataOff < 0)) {
-        val id = ascii(off); val sz = u32(off + 4)
+        val id = ascii(off.toInt); val sz = u32(off.toInt + 4)
         if (id == "fmt " && sz >= 16) {
-          audioFmt = u16(off + 8); channels = u16(off + 10)
-          rate = u32(off + 12); bits = u16(off + 22)
-        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
-        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+          audioFmt = u16(off.toInt + 8); channels = u16(off.toInt + 10)
+          rate = u32(off.toInt + 12); bits = u16(off.toInt + 22)
+        } else if (id == "data") { dataOff = off.toInt + 8; dataLen = sz }
+        // advance in LONG arithmetic: a malformed size near 2^32 would
+        // truncate negative as an Int and stall the walk forever — the
+        // one failure mode the surrounding catch cannot see
+        off += 8L + sz + (sz & 1L)
       }
       // PCM only (format 1), sane geometry, both required chunks present
       if (audioFmt != 1 || dataOff < 0 || channels <= 0 || rate <= 0 ||

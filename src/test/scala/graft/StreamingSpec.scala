@@ -486,10 +486,20 @@ class StreamingSpec extends SparkSpec {
     val mono = wavBytes(8000, 1, sq)              // 4000 frames / 8 kHz = 0.5 s
     val stereo = wavBytes(8000, 2, sq)            // 2000 frames       = 0.25 s
     val nonPcm = wavBytes(8000, 1, sq, audioFmt = 3) // IEEE-float tag → fallback
+    // adversarial: chunk size near 2^32 — the walk must terminate (a
+    // negative Int truncation would stall it forever), not hang a task
+    val evil = {
+      val bb = java.nio.ByteBuffer.allocate(48) // ≥44: past the length guard
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF0) // u32 4294967280
+      bb.array()
+    }
     val ds = Seq(
       ops.Multimodal.Payload(1L, mono),
       ops.Multimodal.Payload(2L, stereo),
-      ops.Multimodal.Payload(3L, nonPcm)).toDS()
+      ops.Multimodal.Payload(3L, nonPcm),
+      ops.Multimodal.Payload(4L, evil)).toDS()
     val out = ops.Multimodal.extractFeatures(ds, dim = 16).collect()
       .map(f => f.doc_id -> f).toMap
     assert(out(1L).kind == "wav" && out(2L).kind == "wav")
@@ -503,6 +513,8 @@ class StreamingSpec extends SparkSpec {
     assert(fs(5) == 0.5f && fs(6) == 0.5f)   // amplitude stats are channel-blind
     // non-PCM RIFF sniffs as wav but has no decoder here → loud fallback
     assert(out(3L).kind == "wav-raw")
+    // the malformed-size payload terminated and fell back
+    assert(out(4L).kind == "wav-raw")
     assert(ops.Multimodal.sniffKind(mono) == "wav")
   }
 }
