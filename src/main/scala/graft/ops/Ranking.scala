@@ -69,4 +69,34 @@ object Ranking {
       n -> element_at(typedLit(pairs.toMap), col("_b"))
     }.toMap
   }
+
+  /** GROUPED variant of [[exclusiveOffsets]]: the exclusive prefix
+    * total accumulates within each `groupCol` value, so a window
+    * PARTITIONED BY (group, _b) plus this offset reproduces the
+    * per-group global rank bit-for-bit. For LOW-cardinality group keys
+    * (a handful of distinct values), `PARTITION BY group` alone is the
+    * skew hazard — each group is one task sorting its whole slice of
+    * the data; bucketing restores parallelism while the metadata
+    * collect stays ≤ groups × buckets aggregated rows. */
+  def exclusiveOffsetsBy(bucketed: DataFrame, groupCol: String,
+      sums: Map[String, Column]): Map[String, Column] = {
+    val names = sums.keys.toSeq
+    val perBucket = bucketed.groupBy(col(groupCol), col("_b"))
+      .agg(sums(names.head).as(names.head),
+        names.tail.map(n => sums(n).as(n)): _*)
+      .collect()
+      .groupBy(_.getAs[Any](groupCol).toString)
+    val key = concat(col(groupCol).cast("string"), lit(":"), col("_b").cast("string"))
+    names.map { n =>
+      val pairs = perBucket.toSeq.flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_.getAs[Int]("_b")).map { row =>
+          val v = acc
+          acc += row.getAs[Long](n)
+          (s"$g:${row.getAs[Int]("_b")}", v)
+        }
+      }
+      n -> element_at(typedLit(pairs.toMap), key)
+    }.toMap
+  }
 }

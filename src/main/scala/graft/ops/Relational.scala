@@ -164,13 +164,33 @@ object Relational {
     * engines). One window sort per group; at scale this is the standard
     * sort-within-partition median. */
   def q44Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = Tables.lineitem(spark, dir)
+    // l_returnflag has a HANDFUL of distinct values — PARTITION BY it
+    // alone and each flag's entire slice sorts in ONE task (3 tasks
+    // for 60M rows at sf10: measured 82.8 s). Range-bucket on the sort
+    // key and window by (flag, _b) instead — [[Ranking]]'s two-pass
+    // trick, grouped: the per-(flag, bucket) exclusive offset restores
+    // the per-flag global rank bit-for-bit while the sort runs on
+    // flag × 1024 parallel partitions. Bucketing on the FIRST sort key
+    // is safe exactly as in q28: equal prices share a bucket, so the
+    // (orderkey, linenumber) tie-break never crosses buckets.
+    val base = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    // 256 buckets × |flags| partitions is already ≫ any executor count;
+    // the smaller offset map keeps the per-row element_at probe cheap
+    val bk = Ranking.withRangeBucket(base, "l_extendedprice", descending = false,
+        buckets = 256)
+      .persist() // offsets agg + totals agg + the ranked projection
+    val off = Ranking.exclusiveOffsetsBy(bk, "l_returnflag",
+      Map("rows" -> count(lit(1))))
+    val w = Window.partitionBy(col("l_returnflag"), col("_b"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    // per-flag totals: a 1-row-per-flag aggregate broadcast back, not a
+    // second data-sized window
+    val tot = bk.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val ranked = bk
+      .withColumn("rn", row_number().over(w).cast("long") + off("rows"))
+      .join(broadcast(tot), "l_returnflag")
     def pick(p: Double, alias: String) =
       max(when(col("rn") === ceil(col("n") * p), col("l_extendedprice")))
         .as(alias)

@@ -182,6 +182,26 @@ class PlanSpec extends SparkSpec {
     assert(scans.size == 2, scans.map(_.simpleString(60)))
   }
 
+  test("q44: every window partitions by (flag, bucket) — no whole-flag sorts") {
+    // l_returnflag alone has a handful of values: a window partitioned
+    // only by it sorts each flag's whole slice in ONE task (82.8 s for
+    // 60M rows at sf10 vs 22.4 s bucketed). Every WindowExec must carry
+    // the range bucket as a second partition key.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wins = ops.Relational.q44Percentiles(spark, sf)
+        .queryExecution.executedPlan
+        .collect { case w: WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.foreach(w => assert(w.partitionSpec.size >= 2, w.simpleString(120)))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.catalog.clearCache() // q44's bucketed persist
+    }
+  }
+
   test("q67: round 2 runs entirely off the edge cache + round-1 checkpoint") {
     // the multi-round design property: the fact join is paid ONCE —
     // round 2's plan must read the symmetrized edges via the cache
