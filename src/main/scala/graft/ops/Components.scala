@@ -210,10 +210,22 @@ object Components {
     val lsn = Graph.q21CommonNeighbors(spark, dir)
       .select(col("u").as("src"), col("v").as("dst"))
     val labels = connectedComponents(lsn)
-    labels
-      .withColumn("comp_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("comp"))))
+    // per-component size via aggregate + gated-broadcast join, NOT
+    // count().over(partitionBy(comp)): a window funnels a giant
+    // component's every node row through ONE partition (and AQE cannot
+    // split a window), while the aggregate partial-counts map-side —
+    // skew collapses before the shuffle — and the node-sized labels
+    // never move when the size table broadcasts. Same footer-count
+    // gate as q22 (LSN nodes ⊆ customers); past it, the shuffle join
+    // falls under AQE's skew-join splitting, which a window never gets.
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    val broadcastNodeLimit = 50L * 1000 * 1000
+    val sizeSide =
+      if (graft.Tables.customer(spark, dir).count() <= broadcastNodeLimit)
+        broadcast(sizes)
+      else sizes
+    labels.join(sizeSide, "comp")
+      .select(col("node"), col("comp"), col("comp_size"))
       .orderBy(col("comp"), col("node"))
   }
 
