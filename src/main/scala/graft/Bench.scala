@@ -81,11 +81,16 @@ object Bench {
     // from a success, so the failure list rides in the JSON line too
     val failed = queries.keys
       .filter(name => passes.forall(p => !p(name)._2)).toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver parses this line from a 2000-char stdout tail: keep it
+    // short (2-decimal secs — far below the VM's ±10% noise floor) and
+    // emit it AFTER spark.stop() so shutdown logging can't land between
+    // the line and the end of the captured tail.
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }
