@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/BMP/GIF payloads decode on the executors into
   * width/height/channel-stat/luma-histogram features. Audio decode is
   * REAL for RIFF/WAVE PCM: the header+samples parse needs no library
-  * (see [[decodeWav]]). Payloads with no decoder here (video, non-PCM
-  * audio) fall back to `hashFeatures`, a clearly-marked deterministic
+  * (see [[decodeWav]]). Video decode is REAL for MJPEG-in-AVI — the
+  * dominant no-codec container: a RIFF chunk walk yields geometry/fps
+  * from `avih` and per-frame JPEG bytes from `movi`, each frame
+  * decodable by the same `javax.imageio` path (see [[decodeAvi]]).
+  * Payloads with no decoder here (non-PCM audio, non-MJPEG video)
+  * fall back to `hashFeatures`, a clearly-marked deterministic
   * stand-in — the seam a JNI/FFmpeg decoder would plug into without
   * touching the Spark-side plumbing.
   */
@@ -42,6 +46,8 @@ object Multimodal {
         // (here over text payloads, so `kind` is mostly "bin")
         when(hex(substring(col("payload"), 1, 3)) === "FFD8FF", "jpeg")
           .when(hex(substring(col("payload"), 1, 4)) === "89504E47", "png")
+          .when(substring(col("payload"), 1, 4).cast("string") === "RIFF" &&
+            substring(col("payload"), 9, 4).cast("string") === "AVI ", "avi")
           .when(substring(col("payload"), 1, 4).cast("string") === "RIFF", "wav")
           .otherwise("bin").as("kind"),
         Exact.portableHash(col("payload"), 15).as("content_hash"))
@@ -59,6 +65,7 @@ object Multimodal {
         | upper(hex(encode(substring(text, 1, 4)))) AS magic,
         | CASE WHEN upper(hex(encode(substring(text, 1, 3)))) = 'FFD8FF' THEN 'jpeg'
         |      WHEN upper(hex(encode(substring(text, 1, 4)))) = '89504E47' THEN 'png'
+        |      WHEN substring(text, 1, 4) = 'RIFF' AND substring(text, 9, 4) = 'AVI ' THEN 'avi'
         |      WHEN substring(text, 1, 4) = 'RIFF' THEN 'wav'
         |      ELSE 'bin' END AS kind,
         | ${Exact.sql.portableHash("text", 15)} AS content_hash
@@ -76,7 +83,13 @@ object Multimodal {
     else if (p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
         p(3) == '8') "gif"
     else if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
-        p(3) == 'F') "wav"
+        p(3) == 'F') {
+      // RIFF is a container family — the form type at offset 8 picks
+      // the media kind (WAVE audio vs AVI video)
+      if (p.length >= 12 && p(8) == 'A' && p(9) == 'V' && p(10) == 'I' &&
+          p(11) == ' ') "avi"
+      else "wav"
+    }
     else "bin"
 
   /** REAL image decode via the JDK's javax.imageio (PNG/JPEG/BMP/GIF —
@@ -199,6 +212,84 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL video decode for MJPEG-in-AVI — like WAV, an AVI file is RIFF
+    * chunks parseable with no library: the `avih` header carries
+    * geometry / frame timing, the `movi` list the per-frame payloads,
+    * and an MJPEG frame ("00dc" chunk) is a complete JPEG the JDK's
+    * imageio already decodes. Emits the fixed 16-wide vector [width,
+    * height, fps, totalFrames, durationSec, sampledFrames, lumaMean,
+    * motionProxy, 8-bin luma histogram], where lumaMean / histogram
+    * average over the decoded sample and motionProxy is the mean
+    * |Δ lumaMean| between consecutive sampled frames. At most 8 frames
+    * decode per payload (even stride), each through [[decodeImage]]'s
+    * ≤64×64 grid — per-row work stays bounded for an hour-long clip.
+    * Returns None when the container is malformed, has no video frames,
+    * or no frame decodes (e.g. uncompressed "00db" DIBs — the FFmpeg
+    * seam); caller falls back to [[hashFeatures]]. */
+  private[graft] def decodeAvi(payload: Array[Byte]): Option[Array[Float]] = {
+    try {
+      def ascii(o: Int) = new String(payload, o, 4, "US-ASCII")
+      def u16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+      def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+      if (payload.length < 24 || ascii(0) != "RIFF" || ascii(8) != "AVI ")
+        return None
+      var usPerFrame = 0L; var totalFrames = 0L; var w = 0L; var h = 0L
+      var sawAvih = false
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      // walk `chunks` of a chunk run [from, until); LISTs recurse one
+      // level at a time (hdrl → avih, movi → frame chunks)
+      def walk(from: Long, until: Long): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val id = ascii(off.toInt); val sz = u32(off.toInt + 4)
+          if (id == "LIST" && sz >= 4 && off + 12 <= until) {
+            val listType = ascii(off.toInt + 8)
+            if (listType == "hdrl" || listType == "movi")
+              walk(off + 12, math.min(off + 8 + sz, until))
+          } else if (id == "avih" && sz >= 40) {
+            usPerFrame = u32(off.toInt + 8); totalFrames = u32(off.toInt + 24)
+            w = u32(off.toInt + 40); h = u32(off.toInt + 44)
+            sawAvih = true
+          } else if ((id == "00dc" || id == "00db") && sz > 0 &&
+              off + 8 + sz <= until) {
+            frames += ((off.toInt + 8, sz.toInt))
+          }
+          // LONG arithmetic: a malformed size near 2^32 must not
+          // truncate negative and stall the walk (same fix as decodeWav)
+          off += 8L + sz + (sz & 1L)
+        }
+      }
+      walk(12L, payload.length.toLong)
+      if (!sawAvih || frames.isEmpty || w <= 0 || h <= 0) return None
+      // decode ≤8 frames on an even stride; skip frames imageio rejects
+      val stride = math.max(1, frames.length / 8)
+      val decoded = frames.indices.by(stride).take(8).flatMap { i =>
+        val (o, sz) = frames(i)
+        decodeImage(java.util.Arrays.copyOfRange(payload, o, o + sz))
+      }
+      if (decoded.isEmpty) return None
+      val n = decoded.length
+      val lumaMean = decoded.map(_(6).toDouble).sum / n
+      val motion =
+        if (n < 2) 0.0
+        else decoded.sliding(2).map { case Seq(a, b) =>
+          math.abs(b(6).toDouble - a(6).toDouble) }.sum / (n - 1)
+      val out = new Array[Float](16)
+      out(0) = w.toFloat; out(1) = h.toFloat
+      out(2) = if (usPerFrame > 0) (1e6 / usPerFrame).toFloat else 0f
+      out(3) = (if (totalFrames > 0) totalFrames else frames.length.toLong).toFloat
+      out(4) = (out(3) * usPerFrame / 1e6).toFloat
+      out(5) = n.toFloat
+      out(6) = lumaMean.toFloat
+      out(7) = motion.toFloat
+      var d = 0
+      while (d < 8) {
+        out(8 + d) = (decoded.map(_(8 + d).toDouble).sum / n).toFloat; d += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
   /** FALLBACK for payloads with no JDK codec (video/unknown):
     * deterministic fixed-width features from a rolling byte hash. This
     * is the one remaining stand-in — swapping in an FFmpeg-class
@@ -223,7 +314,8 @@ object Multimodal {
     * pandas-batch UDF. `mapPartitions` is justified here (SURVEY.md §4):
     * decode is genuinely imperative per-row work, not relational.
     * Image kinds decode for real via [[decodeImage]], WAV audio via
-    * [[decodeWav]]; everything else takes the [[hashFeatures]] fallback
+    * [[decodeWav]], MJPEG-AVI video via [[decodeAvi]]; everything else
+    * takes the [[hashFeatures]] fallback
     * (kind suffixed "-raw" so downstream can tell decoded features from
     * hashed ones). */
   def extractFeatures(payloads: Dataset[Payload], dim: Int = 16): Dataset[MediaFeature] = {
@@ -235,6 +327,7 @@ object Multimodal {
           if (kind == "png" || kind == "jpeg" || kind == "bmp" || kind == "gif")
             decodeImage(p.payload)
           else if (kind == "wav") decodeWav(p.payload)
+          else if (kind == "avi") decodeAvi(p.payload)
           else None
         decoded match {
           case Some(f) =>

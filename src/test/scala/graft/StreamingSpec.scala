@@ -517,4 +517,74 @@ class StreamingSpec extends SparkSpec {
     assert(out(4L).kind == "wav-raw")
     assert(ops.Multimodal.sniffKind(mono) == "wav")
   }
+
+  /** In-memory JPEG of solid `argb` at `w`×`h` via the JDK encoder. */
+  private def jpegBytes(w: Int, h: Int, argb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, argb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal RIFF/AVI MJPEG bytes: avih header + one "00dc" JPEG chunk
+    * per frame (odd-sized chunks get the RIFF pad byte). */
+  private def aviBytes(w: Int, h: Int, usPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    def padded(n: Int) = n + (n & 1)
+    val moviLen = 4 + frames.map(f => 8 + padded(f.length)).sum
+    val hdrlLen = 4 + 8 + 56
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(hdrlLen)
+      .put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(usPerFrame).putInt(0).putInt(0).putInt(0)  // usPerFrame..flags
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0) // totalFrames..bufSize
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(moviLen)
+      .put("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      bb.put("00dc".getBytes("US-ASCII")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  test("multimodal extractFeatures: REAL avi decode (MJPEG frames via imageio)") {
+    // two solid frames: gray 128 → luma 128, white → luma 255; JPEG of a
+    // solid color round-trips within ±2 of the exact level
+    val gray = jpegBytes(32, 24, 0x808080)
+    val white = jpegBytes(32, 24, 0xFFFFFF)
+    val avi = aviBytes(32, 24, usPerFrame = 40000, Seq(gray, white)) // 25 fps
+    // adversarial: movi chunk size near 2^32 — the walk must terminate
+    val evil = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(24).put("AVI ".getBytes("US-ASCII"))
+      bb.put("LIST".getBytes("US-ASCII")).putInt(12).put("movi".getBytes("US-ASCII"))
+      bb.put("00dc".getBytes("US-ASCII")).putInt(0xFFFFFFF0) // u32 4294967280
+      bb.array()
+    }
+    val ds = Seq(
+      ops.Multimodal.Payload(1L, avi),
+      ops.Multimodal.Payload(2L, evil)).toDS()
+    val out = ops.Multimodal.extractFeatures(ds, dim = 16).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).kind == "avi")
+    val fv = out(1L).features
+    assert(fv(0) == 32f && fv(1) == 24f)            // avih geometry
+    assert(fv(2) == 25f && fv(3) == 2f)             // fps, total frames
+    assert(math.abs(fv(4) - 0.08f) < 1e-6)          // duration = 2/25 s
+    assert(fv(5) == 2f)                             // both frames decoded
+    assert(math.abs(fv(6) - (128 + 255) / 2.0) < 2) // mean luma across frames
+    assert(math.abs(fv(7) - 127.0) < 4)             // motion = |Δ luma|
+    // the malformed-size payload terminated and fell back loudly
+    assert(out(2L).kind == "avi-raw")
+    assert(ops.Multimodal.sniffKind(avi) == "avi")
+  }
 }
