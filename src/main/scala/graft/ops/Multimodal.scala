@@ -236,16 +236,19 @@ object Multimodal {
       var usPerFrame = 0L; var totalFrames = 0L; var w = 0L; var h = 0L
       var sawAvih = false
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      // walk `chunks` of a chunk run [from, until); LISTs recurse one
-      // level at a time (hdrl → avih, movi → frame chunks)
-      def walk(from: Long, until: Long): Unit = {
+      // walk the chunk run [from, until); LISTs recurse (hdrl → avih,
+      // movi → frame chunks, "rec " → frames grouped for interleaving).
+      // The depth cap matters: real AVIs nest ≤3 deep, but a crafted
+      // chain of nested LISTs would otherwise recurse payload/12 deep —
+      // and StackOverflowError is an Error the catch below can't see
+      def walk(from: Long, until: Long, depth: Int): Unit = {
         var off = from
         while (off + 8 <= until) {
           val id = ascii(off.toInt); val sz = u32(off.toInt + 4)
-          if (id == "LIST" && sz >= 4 && off + 12 <= until) {
+          if (id == "LIST" && sz >= 4 && off + 12 <= until && depth < 8) {
             val listType = ascii(off.toInt + 8)
-            if (listType == "hdrl" || listType == "movi")
-              walk(off + 12, math.min(off + 8 + sz, until))
+            if (listType == "hdrl" || listType == "movi" || listType == "rec ")
+              walk(off + 12, math.min(off + 8 + sz, until), depth + 1)
           } else if (id == "avih" && sz >= 40) {
             usPerFrame = u32(off.toInt + 8); totalFrames = u32(off.toInt + 24)
             w = u32(off.toInt + 40); h = u32(off.toInt + 44)
@@ -259,7 +262,7 @@ object Multimodal {
           off += 8L + sz + (sz & 1L)
         }
       }
-      walk(12L, payload.length.toLong)
+      walk(12L, payload.length.toLong, 0)
       if (!sawAvih || frames.isEmpty || w <= 0 || h <= 0) return None
       // decode ≤8 frames on an even stride; skip frames imageio rejects
       val stride = math.max(1, frames.length / 8)

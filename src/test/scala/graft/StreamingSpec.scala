@@ -570,9 +570,24 @@ class StreamingSpec extends SparkSpec {
       bb.put("00dc".getBytes("US-ASCII")).putInt(0xFFFFFFF0) // u32 4294967280
       bb.array()
     }
+    // adversarial: 50k-deep nested LISTs — without the depth cap this
+    // is a StackOverflowError (an Error, invisible to the catch) that
+    // would kill the task instead of falling back
+    val bomb = {
+      val depth = 50000
+      val bb = java.nio.ByteBuffer.allocate(12 + 12 * depth)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 12 * depth)
+        .put("AVI ".getBytes("US-ASCII"))
+      for (i <- depth to 1 by -1)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(4 + 12 * (i - 1))
+          .put("hdrl".getBytes("US-ASCII"))
+      bb.array()
+    }
     val ds = Seq(
       ops.Multimodal.Payload(1L, avi),
-      ops.Multimodal.Payload(2L, evil)).toDS()
+      ops.Multimodal.Payload(2L, evil),
+      ops.Multimodal.Payload(3L, bomb)).toDS()
     val out = ops.Multimodal.extractFeatures(ds, dim = 16).collect()
       .map(f => f.doc_id -> f).toMap
     assert(out(1L).kind == "avi")
@@ -585,6 +600,8 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(fv(7) - 127.0) < 4)             // motion = |Δ luma|
     // the malformed-size payload terminated and fell back loudly
     assert(out(2L).kind == "avi-raw")
+    // the nesting bomb hit the depth cap and fell back, not the stack
+    assert(out(3L).kind == "avi-raw")
     assert(ops.Multimodal.sniffKind(avi) == "avi")
   }
 }
