@@ -181,7 +181,7 @@ object Corpus {
 
   /** Context length for the q62 packing plan — the chunk width a
     * pretraining data loader fills. */
-  private val ctxLen = 2048L
+  private[graft] val ctxLen = 2048L
 
   /** q62: concat-and-chunk packing plan — THE data-loader step of LLM
     * pretraining: documents are concatenated in a deterministic order
@@ -198,10 +198,17 @@ object Corpus {
     * scale-safe global ordering q27/q28 use. Bit-identical to the
     * naive window; PlanSpec pins the absence of any SinglePartition
     * exchange. Chunk arithmetic is exact integer DIV in both engines. */
-  def q62PackChunks(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+  def q62PackChunks(spark: SparkSession, dir: String): DataFrame =
+    packPlan(Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")))
+      .orderBy(col("doc_id"))
+
+  /** The packing-plan core behind q62, reusable over ANY (doc_id,
+    * n_tok) set — [[graft.pipeline.CurationPipeline]] packs only the
+    * docs that survived curation, not the raw corpus. Same scale-safe
+    * two-pass offsets; no sort (callers order or bucket as needed). */
+  private[graft] def packPlan(toks: DataFrame): DataFrame = {
     val bucketed = Ranking.withRangeBucket(toks, "doc_id", descending = false)
     val off = Ranking.exclusiveOffsets(bucketed,
       Map("tok" -> sum(col("n_tok"))))("tok")
@@ -215,7 +222,6 @@ object Corpus {
           .as("n_chunks"),
         expr(s"(start_off DIV $ctxLen) != ((start_off + n_tok - 1) DIV $ctxLen)")
           .as("split_doc"))
-      .orderBy(col("doc_id"))
   }
 
   /** Words per "line" for q63 — the synthetic docs carry no newlines,

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.{ops, sources, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The corpus-curation workflow end to end as ONE composable call — the
+  * training-data twin of [[FraudPipeline]]: what a pretraining data
+  * team ships, not just the individual operators.
+  *
+  *   documents → keep-list (q57's language / quality / exact-dedup /
+  *               near-dup gates, one shared scan)
+  *             → decontamination (q60: drop every kept doc sharing a
+  *               verbatim word-8-gram with the benchmark slice — the
+  *               slice itself never enters the corpus)
+  *             → packing plan over the SURVIVORS (q62's two-pass
+  *               exclusive offsets, 2048-token chunks)
+  *             → bucketed lake write (keep-list + chunk plan on
+  *               doc_id) so every downstream per-doc join — the data
+  *               loader fetching text, a re-curation diff — is
+  *               exchange-free
+  *             → one-row stats frame (doc/token/chunk/split counts),
+  *               the numbers a curation report leads with.
+  *
+  * Every stage reuses the already-oracled operator core (q57Kept, q60,
+  * packPlan); the composition adds no new semantics, only the chaining
+  * and the lake persistence. Scale shape: keep-list and decon flags
+  * join on doc_id (the one shuffle key end to end); the pack plan's
+  * global offsets are the two-pass bucket primitive, never a
+  * single-partition window; the lake write pays the doc_id shuffle
+  * once at write time.
+  */
+object CurationPipeline {
+
+  case class Result(keeplist: DataFrame, clean: DataFrame,
+    plan: DataFrame, stats: DataFrame)
+
+  def run(spark: SparkSession, dir: String, buckets: Int = 8,
+      lakePrefix: String = "curation"): Result = {
+    // 1. the q57 keep-list: survivors of the language, quality,
+    //    exact-dedup and near-dup gates, with per-doc token counts
+    val kept = ops.Corpus.q57Kept(spark, dir).cache()
+
+    // 2. decontamination: q60 emits per-doc benchmark-overlap flags for
+    //    every non-benchmark doc, so the inner join BOTH drops the
+    //    benchmark slice from the corpus and keys the flag lookup
+    val decon = ops.Corpus.q60Decontaminate(spark, dir)
+      .select(col("doc_id"), col("contaminated"))
+    val clean = kept.join(decon, Seq("doc_id"))
+      .filter(!col("contaminated")).drop("contaminated")
+      .cache() // feeds the pack plan, the lake write AND the stats row
+
+    // 3. chunk the survivors (not the raw corpus) into the training
+    //    stream: the offsets/chunk ids a data loader consumes
+    val plan = ops.Corpus.packPlan(
+      clean.select(col("doc_id"), col("n_tok"))).cache()
+
+    // 4. the shipped artifacts, bucketed on doc_id — the per-consumer
+    //    re-shuffle is paid once here (LakeSpec pins exchange-free
+    //    downstream joins for this layout)
+    sources.Lake.writeBucketed(clean, s"${lakePrefix}_keeplist",
+      "doc_id", buckets, Seq("doc_id"))
+    sources.Lake.writeBucketed(plan, s"${lakePrefix}_chunks",
+      "doc_id", buckets, Seq("doc_id"))
+
+    // 5. the report row: all three inputs are one-row aggregates, so
+    //    the crossJoins are broadcast scalars, not real joins
+    val totals = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val keptAgg = kept.agg(count(lit(1)).as("n_kept"))
+    val planAgg = plan.agg(
+      count(lit(1)).as("n_final"),
+      coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
+      coalesce(sum(when(col("split_doc"), 1L).otherwise(0L)), lit(0L))
+        .as("n_split_docs"))
+    val stats = totals.crossJoin(broadcast(keptAgg))
+      .crossJoin(broadcast(planAgg))
+      .withColumn("n_chunks",
+        ceil(col("n_tokens") / lit(ops.Corpus.ctxLen.toDouble)).cast("long"))
+      .withColumn("split_frac",
+        when(col("n_final") > 0,
+          round(col("n_split_docs") * lit(1.0) / col("n_final"), 6))
+          .otherwise(lit(0.0)))
+    Result(kept, clean, plan, stats)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation workflow: the composed chain must agree with
+  * the oracled operators it reuses, stage by stage. */
+class CurationSpec extends SparkSpec {
+
+  private def scrub(tables: String*): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  test("curation pipeline: gates → decontaminate → pack → lake, consistent end to end") {
+    scrub("curation_t_keeplist", "curation_t_chunks")
+    val r = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_t")
+
+    val kept = r.keeplist.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = r.clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean.nonEmpty && clean.subsetOf(kept))
+    // the benchmark slice never enters the corpus
+    assert(clean.forall(_ % 23 != 0))
+    // no contaminated doc survives (cross-check against q60 itself)
+    val contaminated = ops.Corpus.q60Decontaminate(spark, sf)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((clean & contaminated).isEmpty)
+
+    // the packing plan covers exactly the survivors, with exact global
+    // offsets: recompute the running sum naively over the collected rows
+    val rows = r.plan.orderBy("doc_id")
+      .select("doc_id", "n_tok", "start_off", "chunk_id", "n_chunks", "split_doc")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == clean)
+    var off = 0L
+    rows.foreach { row =>
+      val (nTok, start) = (row.getLong(1), row.getLong(2))
+      assert(start == off, s"doc ${row.getLong(0)}: start $start != $off")
+      val ctx = ops.Corpus.ctxLen
+      assert(row.getLong(3) == start / ctx)
+      assert(row.getLong(4) == (start + nTok - 1) / ctx - start / ctx + 1)
+      assert(row.getBoolean(5) == (start / ctx != (start + nTok - 1) / ctx))
+      off += nTok
+    }
+
+    // the one-row report agrees with the independently computed sets
+    val s = r.stats.head()
+    assert(s.getAs[Long]("n_kept") == kept.size)
+    assert(s.getAs[Long]("n_final") == clean.size)
+    assert(s.getAs[Long]("n_tokens") == rows.map(_.getLong(1)).sum)
+    assert(s.getAs[Long]("n_split_docs") == rows.count(_.getBoolean(5)))
+    assert(s.getAs[Long]("n_chunks") ==
+      math.ceil(rows.map(_.getLong(1)).sum.toDouble / ops.Corpus.ctxLen).toLong)
+
+    // the shipped lake: same grain, and the downstream join the data
+    // loader runs every epoch is exchange-free
+    assert(spark.table("curation_t_keeplist").count() == clean.size)
+    assert(spark.table("curation_t_chunks").count() == clean.size)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = sources.Lake.colocatedJoin(spark,
+        "curation_t_keeplist", "curation_t_chunks", "doc_id")
+      val plan = j.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(j.count() == clean.size)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+}
