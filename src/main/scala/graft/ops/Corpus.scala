@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -276,7 +276,88 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** q68: unigram language-model quality scoring — the CCNet-class
+    * perplexity filter between q38's surface heuristics and a trained
+    * classifier: score every document by the average log-probability of
+    * its tokens under a unigram LM fit on a clean REFERENCE slice
+    * (stand-in: doc_id ≡ 0 mod 7; in production this side is the
+    * Wikipedia-class corpus CCNet trains KenLM on). Emitted per doc:
+    * token count, out-of-vocabulary token count (OOV falls back to the
+    * 1/t floor — rarer than every seen word), mean and minimum token
+    * log-prob. Low avg_logp ⇒ off-distribution text; min_logp is the
+    * rarest-token signal.
+    *
+    * Oracle exactness: `ln` is the one non-portable step — Spark's
+    * StrictMath.log (fdlibm) and DuckDB's libm differ by ≤1 ulp on some
+    * inputs (measured; why q56 avoids ln for its adversarially tie-prone
+    * integer-ratio ranking). Here ln touches ONLY the vocab-sized side
+    * (hundreds of rows, not the corpus), each value quantizes through
+    * [[Exact.r]] at 6dp to DECIMAL(18,6), and every per-SF vocab ratio
+    * was measured ≥1e-3 from a rounding boundary vs the ~1e-9 ulp
+    * discrepancy scale — the flake window is ~1e-9 per vocab word, and
+    * all downstream sums are exact decimals.
+    *
+    * Scale: the LM side is a bounded curation artifact (reference
+    * corpora are GBs against corpus TBs) — its vocab aggregation
+    * map-side-combines to ~|vocab| rows per partition before the
+    * shuffle, and AQE broadcasts the scored vocab to the corpus-side
+    * join (a genuinely huge vocab would be high-cardinality, so the
+    * shuffle-join fallback has no skew). The corpus streams through one
+    * projection-only explode into the per-doc aggregation — nothing
+    * corpus-sized is cached or collected, same shape as q60. */
+  def q68LmQuality(spark: SparkSession, dir: String): DataFrame =
+    lmQuality(Tables.documents(spark, dir), col("doc_id") % 7 === 0)
+      .orderBy(col("doc_id"))
+
+  /** The scoring core behind q68 over ANY documents frame — `isRef`
+    * marks the rows the unigram LM trains on; every row (reference
+    * included) is scored. Split out so specs can exercise the OOV
+    * fallback, which is dead on the generated corpora (the reference
+    * slice sees the whole vocab at every SF). */
+  private[graft] def lmQuality(docs: DataFrame, isRef: Column): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.filter(isRef).groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("t"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .select(col("w"),
+        Exact.r(log(col("c") * lit(1.0) / col("t")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    val oov = tot.select(
+      Exact.r(log(lit(1.0) / col("t")), 6).cast("decimal(18,6)").as("lp_oov"))
+    tok.join(lp, Seq("w"), "left").crossJoin(broadcast(oov))
+      .select(col("doc_id"), col("lp").isNull.as("is_oov"),
+        coalesce(col("lp"), col("lp_oov")).as("lpc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("is_oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("lpc")).as("s"), min(col("lpc")).as("m"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        Exact.r(col("s").cast("double") / col("n_tok"), 6).as("avg_logp"),
+        col("m").cast("double").as("min_logp"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q68_lm_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | vocab AS (SELECT w, count(*) AS c FROM tok
+        |   WHERE doc_id % 7 = 0 GROUP BY 1),
+        | tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+        | lp AS (SELECT w,
+        |   CAST(floor(ln(c * 1.0 / t) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS lp
+        |  FROM vocab CROSS JOIN tot),
+        | oov AS (SELECT
+        |   CAST(floor(ln(1.0 / t) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS lp_oov
+        |  FROM tot),
+        | sc AS (SELECT doc_id, lp.lp IS NULL AS is_oov,
+        |   coalesce(lp.lp, oov.lp_oov) AS lpc
+        |  FROM tok LEFT JOIN lp USING (w) CROSS JOIN oov)
+        |SELECT doc_id, count(*)::BIGINT AS n_tok,
+        | CAST(sum(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | floor(CAST(sum(lpc) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp,
+        | CAST(min(lpc) AS DOUBLE) AS min_logp
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_line_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         | l AS (SELECT doc_id, unnest(list_transform(
@@ -407,6 +488,7 @@ object Corpus {
     "q60_decontaminate" -> (q60Decontaminate _),
     "q61_repetition_ratio" -> (q61RepetitionRatio _),
     "q62_pack_chunks" -> (q62PackChunks _),
-    "q63_line_dedup" -> (q63LineDedup _)
+    "q63_line_dedup" -> (q63LineDedup _),
+    "q68_lm_quality" -> (q68LmQuality _)
   )
 }

@@ -114,4 +114,58 @@ class CorpusSpec extends SparkSpec {
     // the synthetic corpus contains duplicated boilerplate: some line must repeat
     assert(hotMass > 0, "test corpus has no repeated lines — invariant check is vacuous")
   }
+
+  test("q68 LM quality: one row per doc, scores bounded, independent per-doc replay") {
+    val rows = ops.Corpus.q68LmQuality(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logp") < 0.0, r)
+      assert(r.getAs[Double]("min_logp") <= r.getAs[Double]("avg_logp") + 1e-9, r)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tok"), r)
+    }
+    // independent replay: rebuild the reference-slice LM driver-side with
+    // StrictMath.log (what Spark's log codegen calls) and re-score one doc
+    val refToks = Tables.documents(spark, sf).filter(col("doc_id") % 7 === 0)
+      .select(explode(split(col("text"), " ")).as("w")).as[String].collect()
+    val c = refToks.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val t = refToks.length.toDouble
+    def q(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong // Exact.r scaled
+    val lp = c.map { case (w, n) => w -> q(StrictMath.log(n / t)) }
+    val doc = Tables.documents(spark, sf).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text")).head()
+    val toks = doc.getString(1).split(" ")
+    val sumScaled = toks.map(w => lp(w)).sum // all in-vocab on generated data
+    val expAvg = math.floor(sumScaled / 1e6 / toks.length * 1e6 + 0.5) / 1e6
+    val got = rows.find(_.getLong(0) == doc.getLong(0)).get
+    assert(got.getAs[Long]("n_tok") == toks.length)
+    assert(got.getAs[Long]("n_oov") == 0L)
+    assert(got.getAs[Double]("avg_logp") == expAvg,
+      s"avg_logp ${got.getAs[Double]("avg_logp")} != replayed $expAvg")
+    assert(got.getAs[Double]("min_logp") == toks.map(w => lp(w)).min / 1e6)
+  }
+
+  test("q68 OOV branch: an unseen word falls back to the 1/t floor") {
+    val docs = Seq(
+      (0L, "a a b", "en", "s0", 5L),  // reference slice (0 % 7 == 0)
+      (7L, "a b b", "en", "s0", 5L),  // reference slice
+      (3L, "a zzz b", "en", "s0", 7L) // non-reference; zzz is OOV
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = ops.Corpus.lmQuality(docs, col("doc_id") % 7 === 0)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length == 3)
+    // vocab: a→3, b→3, t=6; lp(a)=lp(b)=r6(ln 1/2); oov floor=r6(ln 1/6)
+    def q(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val lpA = q(StrictMath.log(3.0 / 6))
+    val lpOov = q(StrictMath.log(1.0 / 6))
+    val d3 = out.find(_.getLong(0) == 3L).get
+    assert(d3.getAs[Long]("n_oov") == 1L)
+    assert(d3.getAs[Double]("min_logp") == lpOov / 1e6)
+    val expAvg = math.floor((2 * lpA + lpOov) / 1e6 / 3 * 1e6 + 0.5) / 1e6
+    assert(d3.getAs[Double]("avg_logp") == expAvg)
+    // the OOV doc scores strictly below its all-in-vocab twin would —
+    // the filter signal the operator exists for
+    val d7 = out.find(_.getLong(0) == 7L).get
+    assert(d3.getAs[Double]("avg_logp") < d7.getAs[Double]("avg_logp"))
+    assert(d7.getAs[Long]("n_oov") == 0L)
+  }
 }
