@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   *
   *   documents → keep-list (q57's language / quality / exact-dedup /
   *               near-dup gates, one shared scan)
+  *             → optional perplexity gate (q68's reference-slice
+  *               unigram LM: drop the off-distribution tail below
+  *               `lmFloor` — CCNet's filter tier; off by default, the
+  *               floor is a per-corpus tuning choice)
   *             → decontamination (q60: drop every kept doc sharing a
   *               verbatim word-8-gram with the benchmark slice — the
   *               slice itself never enters the corpus)
@@ -36,17 +40,33 @@ object CurationPipeline {
     plan: DataFrame, stats: DataFrame)
 
   def run(spark: SparkSession, dir: String, buckets: Int = 8,
-      lakePrefix: String = "curation"): Result = {
+      lakePrefix: String = "curation",
+      lmFloor: Option[Double] = None): Result = {
     // 1. the q57 keep-list: survivors of the language, quality,
     //    exact-dedup and near-dup gates, with per-doc token counts
     val kept = ops.Corpus.q57Kept(spark, dir).cache()
+
+    // 1b. optional CCNet-style perplexity gate (q68): drop kept docs
+    //     whose mean token log-prob under the reference-slice unigram
+    //     LM falls below the floor — the off-distribution tail cut.
+    //     Off by default: the floor is a corpus-specific tuning choice
+    //     (CCNet picks its tail quantile per language).
+    val gated = lmFloor match {
+      case Some(f) =>
+        val scores = ops.Corpus.lmQuality(
+            graft.Tables.documents(spark, dir), col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("avg_logp"))
+        kept.join(scores, Seq("doc_id"))
+          .filter(col("avg_logp") >= f).drop("avg_logp").cache()
+      case None => kept
+    }
 
     // 2. decontamination: q60 emits per-doc benchmark-overlap flags for
     //    every non-benchmark doc, so the inner join BOTH drops the
     //    benchmark slice from the corpus and keys the flag lookup
     val decon = ops.Corpus.q60Decontaminate(spark, dir)
       .select(col("doc_id"), col("contaminated"))
-    val clean = kept.join(decon, Seq("doc_id"))
+    val clean = gated.join(decon, Seq("doc_id"))
       .filter(!col("contaminated")).drop("contaminated")
       .cache() // feeds the pack plan, the lake write AND the stats row
 
@@ -68,13 +88,17 @@ object CurationPipeline {
     val totals = Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_docs"))
     val keptAgg = kept.agg(count(lit(1)).as("n_kept"))
+    val gatedAgg = gated.agg(count(lit(1)).as("n_lm_kept"))
     val planAgg = plan.agg(
       count(lit(1)).as("n_final"),
       coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
       coalesce(sum(when(col("split_doc"), 1L).otherwise(0L)), lit(0L))
         .as("n_split_docs"))
     val stats = totals.crossJoin(broadcast(keptAgg))
+      .crossJoin(broadcast(gatedAgg))
       .crossJoin(broadcast(planAgg))
+      .withColumn("n_lm_dropped", col("n_kept") - col("n_lm_kept"))
+      .drop("n_lm_kept")
       .withColumn("n_chunks",
         ceil(col("n_tokens") / lit(ops.Corpus.ctxLen.toDouble)).cast("long"))
       .withColumn("split_frac",

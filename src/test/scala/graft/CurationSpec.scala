@@ -75,4 +75,36 @@ class CurationSpec extends SparkSpec {
       assert(j.count() == clean.size)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("curation pipeline with LM gate: the perplexity floor drops exactly the scored tail") {
+    scrub("curation_lm_keeplist", "curation_lm_chunks")
+    // pick the floor as the median avg_logp of the UNGATED keep-list so
+    // the gate provably bites without emptying the corpus
+    val scores = ops.Corpus.q68LmQuality(spark, sf)
+      .select(col("doc_id"), col("avg_logp")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val baseKept = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_lm").keeplist
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val floor = baseKept.map(scores).toSeq.sorted.apply(baseKept.size / 2)
+
+    scrub("curation_lm_keeplist", "curation_lm_chunks")
+    val r = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_lm", lmFloor = Some(floor))
+    val clean = r.clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every survivor clears the floor; every kept-and-clean doc below it is gone
+    assert(clean.nonEmpty)
+    assert(clean.forall(id => scores(id) >= floor))
+    val contaminated = ops.Corpus.q60Decontaminate(spark, sf)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = baseKept
+      .filter(id => scores(id) >= floor && id % 23 != 0 && !contaminated(id))
+    assert(clean == expected)
+    // the report row accounts for the gate exactly
+    val s = r.stats.head()
+    assert(s.getAs[Long]("n_lm_dropped") ==
+      baseKept.count(id => scores(id) < floor))
+    assert(s.getAs[Long]("n_final") == clean.size)
+  }
 }

@@ -68,4 +68,24 @@ class LakeSpec extends SparkSpec {
       scrub("b_orders", "b_lineitem")
     }
   }
+
+  test("writeBucketed survives a re-run AND an orphaned warehouse directory") {
+    scrub("b_rerun")
+    val df = Tables.region(spark, sf).select("r_regionkey", "r_name")
+    sources.Lake.writeBucketed(df, "b_rerun", "r_regionkey", 2)
+    // same-session overwrite (catalog knows the table)
+    sources.Lake.writeBucketed(df, "b_rerun", "r_regionkey", 2)
+    assert(spark.table("b_rerun").count() == df.count())
+    // fresh-catalog case: the table vanishes from the catalog but its
+    // managed directory stays behind — the crash a re-run of
+    // CurationRun used to hit (LOCATION_ALREADY_EXISTS)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "b_rerun")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE b_rerun") // drops catalog entry AND dir...
+    fs.mkdirs(loc) //                  ...so recreate the orphan dir
+    sources.Lake.writeBucketed(df, "b_rerun", "r_regionkey", 2)
+    assert(spark.table("b_rerun").count() == df.count())
+    scrub("b_rerun")
+  }
 }
