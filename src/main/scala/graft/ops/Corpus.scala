@@ -337,6 +337,16 @@ object Corpus {
         col("m").cast("double").as("min_logp"))
   }
 
+  /** Driver-side handoff of the q68 unigram LM for the streaming twin
+    * ([[graft.streaming.EventStream.lmScoreStream]]): reference-slice
+    * word counts, collected like the IVF centroid shipping pattern —
+    * bounded by the reference corpus, never corpus-sized. */
+  def lmVocab(spark: SparkSession, dir: String): Map[String, Long] =
+    Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   val oracles: Map[String, String] = Map(
     "q68_lm_quality" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -167,6 +167,40 @@ object EventStream {
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
       .select(col("doc_id"), col("ts"))
 
+  /** Streaming LM-quality scoring — the continuous twin of batch q68:
+    * the unigram LM ships from the driver as a plan literal (reference-
+    * slice word counts — a bounded curation artifact, the same handoff
+    * pattern as the IVF centroids below), with log-probs pre-quantized
+    * to batch q68's exact 6dp grid using StrictMath.log (what Spark's
+    * `log` codegen calls). Each arriving doc is then scored by a
+    * STATELESS projection: token log-probs accumulate as exact scaled
+    * longs through array HOFs, so the emitted row is bit-identical to
+    * batch q68's for the same document (StreamingSpec pins equality).
+    * No streaming state at all — score and forward.
+    *
+    * The in-plan literal map is right up to ~10⁵ vocab entries; a
+    * genuinely huge LM would swap to a stream–static join on the word
+    * plus a per-doc streaming aggregation (stateful) — the same
+    * trade decontaminateStream documents for its gram table. */
+  def lmScoreStream(docs: DataFrame, vocab: Map[String, Long]): DataFrame = {
+    require(vocab.nonEmpty, "lmScoreStream needs a non-empty vocab")
+    val t = vocab.values.sum.toDouble
+    def q6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val kmap = vocab.map { case (w, c) => w -> q6(StrictMath.log(c / t)) }
+    val kOov = q6(StrictMath.log(1.0 / t))
+    val m = typedLit(kmap)
+    docs
+      .withColumn("ks", transform(split(col("text"), " "), w => element_at(m, w)))
+      .withColumn("kq", transform(col("ks"), k => coalesce(k, lit(kOov))))
+      .select(col("doc_id"), col("ts"),
+        size(col("ks")).cast("long").as("n_tok"),
+        size(filter(col("ks"), k => k.isNull)).cast("long").as("n_oov"),
+        graft.ops.Exact.r(
+          (aggregate(col("kq"), lit(0L), (a, k) => a + k).cast("double") / lit(1e6))
+            / size(col("ks")), 6).as("avg_logp"),
+        (array_min(col("kq")).cast("double") / lit(1e6)).as("min_logp"))
+  }
+
   /** Streaming trending terms — the continuous twin of batch q56's tf
     * pass: tokenize in-stream, count term occurrences and (approximate)
     * distinct docs per tumbling window, and emit terms that cross

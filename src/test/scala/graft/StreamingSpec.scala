@@ -311,6 +311,51 @@ class StreamingSpec extends SparkSpec {
       out.mkString(";"))
   }
 
+  test("lmScoreStream: streamed scores are bit-identical to batch q68 per doc") {
+    implicit val sq = spark.sqlContext
+    val vocab = ops.Corpus.lmVocab(spark, sf)
+    // stream EVERY document of the sf corpus through the scorer
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => EventStream.Doc(r.getLong(0),
+        new Timestamp(base * 60000L), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[EventStream.Doc]
+    val q = EventStream.lmScoreStream(mem.toDF(), vocab)
+      .writeStream.format("memory").queryName("lm_out")
+      .outputMode("append").start()
+    mem.addData(docs.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("lm_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("avg_logp"), r.getAs[Double]("min_logp")))).toMap
+    q.stop()
+    val batch = ops.Corpus.q68LmQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("avg_logp"), r.getAs[Double]("min_logp")))).toMap
+    assert(streamed.keySet == batch.keySet)
+    // bit-identical, not approximately equal: both paths accumulate the
+    // same 6dp-quantized log-probs exactly (decimal vs scaled long)
+    streamed.foreach { case (id, s) =>
+      assert(s == batch(id), s"doc $id: stream $s != batch ${batch(id)}")
+    }
+    // an OOV word scores the 1/t floor on the stream path too
+    val mem2 = MemoryStream[EventStream.Doc]
+    val q2 = EventStream.lmScoreStream(mem2.toDF(), vocab)
+      .writeStream.format("memory").queryName("lm_oov_out")
+      .outputMode("append").start()
+    mem2.addData(EventStream.Doc(999L,
+      new Timestamp(base * 60000L), "zzzz-not-in-vocab", "web"))
+    q2.processAllAvailable()
+    val oovRow = spark.table("lm_oov_out").collect().head
+    q2.stop()
+    val t = vocab.values.sum.toDouble
+    val kOov = math.floor(StrictMath.log(1.0 / t) * 1e6 + 0.5).toLong
+    assert(oovRow.getAs[Long]("n_oov") == 1L)
+    assert(oovRow.getAs[Double]("min_logp") == kOov / 1e6)
+  }
+
   test("trendingTerms emits only above-threshold terms of finalized windows") {
     implicit val sq = spark.sqlContext
     def doc(id: Long, minute: Long, text: String) =
