@@ -316,8 +316,12 @@ object Corpus {
     * slice sees the whole vocab at every SF). */
   private[graft] def lmQuality(docs: DataFrame, isRef: Column): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // vocab feeds the lp table AND two tot derivations (lp's normalizer,
+    // the OOV floor) — cache it or each branch re-scans the reference
+    // slice. The table is vocab-sized (bounded LM artifact), never
+    // corpus-sized, so the cache is scale-safe.
     val vocab = tok.filter(isRef).groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).cache()
     val tot = vocab.agg(sum(col("c")).as("t"))
     val lp = vocab.crossJoin(broadcast(tot))
       .select(col("w"),

@@ -87,6 +87,18 @@ class PlanSpec extends SparkSpec {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, w))
   }
 
+  test("q68: corpus side joins the vocab by broadcast — never shuffled by word") {
+    // the corpus-sized token stream must reach its doc_id aggregation
+    // through a broadcast vocab join: a shuffle keyed on the word would
+    // funnel TBs through |vocab| reduce keys (the low-cardinality skew
+    // trap q44/q47 document)
+    val p = plan(ops.Corpus.q68LmQuality(spark, sf))
+    assert(p.contains("BroadcastHashJoin LeftOuter"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // reference-slice aggregations + corpus pass: ≤3 documents scans
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 3, p.take(2000))
+  }
+
   test("q05/q34: rank-filter plans as per-partition WindowGroupLimit") {
     assert(plan(ops.Relational.q05WindowRank(spark, sf)).contains("WindowGroupLimit"))
     assert(plan(ops.Ann.q34AnnCosineTopk(spark, sf)).contains("WindowGroupLimit"))
