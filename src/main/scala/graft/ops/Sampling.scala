@@ -44,7 +44,71 @@ object Sampling {
         when(col("lang") === "en", lit(80)).otherwise(lit(40)))
       .orderBy(col("doc_id"))
 
+  /** Budget for q69: half the corpus tokens — a fixed operator
+    * parameter like q62's context length. */
+  private val budgetFrac = 2.0
+
+  /** q69: temperature-based source mixing under a token budget — the
+    * data-mixing step LLM pretraining actually runs (Pile/LLaMA-style):
+    * re-weight sources by n_s^(1/2) (temperature α = 0.5 upweights
+    * rare sources relative to their raw mass), scale shares to a global
+    * token budget (N/2 here), cap at keep-everything, and decide each
+    * doc by the SAME wrap-safe LCG hash q51/q52 use — deterministic,
+    * engine-portable, reproducible. Emits every doc with its source's
+    * integer keep-threshold (per-million) and the keep decision.
+    *
+    * Oracle exactness: n_s is an exact integer sum; sqrt is correctly
+    * rounded by IEEE 754 in both engines (the q64 lesson), then
+    * quantized through [[Exact.r]] to DECIMAL so the share normalizer
+    * is an order-independent exact sum; every later step is the same
+    * IEEE double expression evaluated identically, and the final
+    * threshold compare is pure integer arithmetic.
+    *
+    * Scale: one map-side-combined aggregation over the corpus to get
+    * source masses (|sources| rows), a broadcast of the rate table,
+    * and a codegen'd projection — the corpus itself never shuffles
+    * (the final orderBy is the output-determinism convention). */
+  def q69MixSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val src = d.groupBy(col("source")).agg(sum(col("n_tok")).as("n_s"))
+      .withColumn("r", Exact.r(sqrt(col("n_s")), 6).cast("decimal(18,6)"))
+    val tot = src.agg(sum(col("r")).as("rsum"), sum(col("n_s")).as("n_total"))
+    val rates = src.crossJoin(broadcast(tot))
+      .withColumn("keep_frac",
+        least(lit(1.0),
+          (col("r").cast("double") / col("rsum").cast("double"))
+            * (col("n_total") / lit(budgetFrac)) / col("n_s")))
+      .select(col("source"),
+        floor(col("keep_frac") * lit(1000000.0)).cast("long").as("thresh"))
+    d.join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("thresh"),
+        (expr(s"((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000000")
+          < col("thresh")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q69_mix_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |   len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+        | src AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_s,
+        |   CAST(floor(sqrt(CAST(sum(n_tok) AS BIGINT)) * 1e6 + 0.5) / 1e6
+        |     AS DECIMAL(18,6)) AS r
+        |  FROM d GROUP BY 1),
+        | tot AS (SELECT sum(r) AS rsum,
+        |   CAST(sum(n_s) AS BIGINT) AS n_total FROM src),
+        | rates AS (SELECT source,
+        |   CAST(floor(least(1.0,
+        |     (CAST(r AS DOUBLE) / CAST(rsum AS DOUBLE))
+        |       * (n_total / $budgetFrac) / n_s) * 1000000.0) AS BIGINT) AS thresh
+        |  FROM src CROSS JOIN tot)
+        |SELECT d.doc_id, d.source, d.n_tok, rates.thresh,
+        | ((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000000
+        |   < rates.thresh AS kept
+        |FROM d JOIN rates USING (source)
+        |ORDER BY 1""".stripMargin,
     "q51_balanced_sample" ->
       s"""SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
         |FROM embeddings
@@ -60,6 +124,7 @@ object Sampling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_balanced_sample" -> (q51BalancedSample _),
-    "q52_source_mix" -> (q52SourceMix _)
+    "q52_source_mix" -> (q52SourceMix _),
+    "q69_mix_sample" -> (q69MixSample _)
   )
 }
