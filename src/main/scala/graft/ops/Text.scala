@@ -210,7 +210,90 @@ object Text {
         count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_id"))
 
+  // --- q70: PII scrubbing -------------------------------------------
+  // RE2 ∩ java.util.regex common subset ONLY: no alternation (so
+  // leftmost-first and leftmost-longest coincide), no backrefs, no
+  // lookaround — the same pattern string evaluates identically in
+  // Spark (Java regex) and DuckDB (RE2).
+  private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[graft] val phonePat = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Redaction chain (email → IP → phone, in that order so markers
+    * never feed a later pattern) — shared by q70 and the spec. */
+  private[graft] def piiRedact(t: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(t,
+      emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>")
+
+  /** PII detection/redaction columns over any text column — the core
+    * behind q70, reusable on raw production text. One email scan
+    * (regexp_extract_all) yields both the first match and the count —
+    * codegen subexpression elimination dedups the two references, so
+    * the text is scanned once per pattern kind, not once per output
+    * column. */
+  private[graft] def withPiiScrub(df: DataFrame, tcol: String): DataFrame = {
+    val t = col(tcol)
+    val emails = regexp_extract_all(t, lit(emailPat), lit(0))
+    df.withColumn("email", coalesce(try_element_at(emails, lit(1)), lit("")))
+      .withColumn("n_emails", size(emails).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(phonePat)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(ipPat)).cast("long"))
+      .withColumn("redacted", piiRedact(t))
+  }
+
+  /** q70: PII scrubbing — the redaction stage every production corpus
+    * pipeline runs (C4/CCNet/Dolma class): detect and replace emails,
+    * IPv4s and phone numbers, report per-doc counts and the redacted
+    * content hash. The generated corpora carry NO PII, so the query
+    * deterministically appends per-doc fixtures (an email, an IP and a
+    * phone derived from doc_id) inside BOTH engines before scrubbing —
+    * every row's extraction, counts and redacted md5 are then
+    * genuinely oracle-verified cross-engine rather than a vacuous
+    * no-match identity; production callers use [[withPiiScrub]] on the
+    * raw text. Plan shape: the determinism orderBy runs FIRST, on the
+    * narrow (doc_id, text) scan — a trailing global sort would make the
+    * range partitioner's sampling job execute the whole regex
+    * projection a second time (measured: the sort-last shape ran ~2×
+    * the sum of its parts at sf1). Sorting the scan keeps the sampling
+    * pass regex-free; the per-pattern scans run exactly once per row,
+    * post-shuffle, inside one codegen'd projection. */
+  def q70PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val t2 = concat(col("text"),
+      lit(" contact doc"), col("doc_id").cast("string"),
+      lit("@mail.example.com from 10."), (col("doc_id") % 200).cast("string"),
+      lit(".0."), (col("doc_id") % 256).cast("string"),
+      lit(" tel +1 555 010-"), (col("doc_id") % 9000 + 1000).cast("string"))
+    val sorted = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+    withPiiScrub(sorted.withColumn("t2", t2), "t2")
+      .select(col("doc_id"), col("email"),
+        col("n_emails"), col("n_phones"), col("n_ips"),
+        (length(col("t2")) - length(col("redacted"))).cast("long").as("len_delta"),
+        md5(col("redacted")).as("redacted_md5"))
+  }
+
+  private val piiRedactSql =
+    """regexp_replace(regexp_replace(regexp_replace(t2,
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+      |   '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q70_pii_scrub" ->
+      s"""WITH t AS (SELECT doc_id,
+        |   text || ' contact doc' || doc_id || '@mail.example.com from 10.'
+        |     || (doc_id % 200) || '.0.' || (doc_id % 256)
+        |     || ' tel +1 555 010-' || (doc_id % 9000 + 1000) AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        | regexp_extract(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS email,
+        | CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t2, '\\+[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        | CAST(length(t2) - length($piiRedactSql) AS BIGINT) AS len_delta,
+        | md5($piiRedactSql) AS redacted_md5
+        |FROM t ORDER BY 1""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -282,6 +365,7 @@ object Text {
     "q37_lang_id" -> (q37LangId _),
     "q38_quality_score" -> (q38QualityScore _),
     "q39_token_count" -> (q39TokenCount _),
-    "q40_fingerprint" -> (q40Fingerprint _)
+    "q40_fingerprint" -> (q40Fingerprint _),
+    "q70_pii_scrub" -> (q70PiiScrub _)
   )
 }

@@ -152,4 +152,33 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(3) >= 0.4))
   }
+
+  test("q70 PII scrub core: detection, redaction, passthrough and idempotence") {
+    val cases = Seq(
+      (1L, "write to alice.b+spam@corp.example.org or bob@ex.io today"),
+      (2L, "server 192.168.001.7 then call +44 (0) 20-7946-0958 now"),
+      (3L, "no pii here just words and numbers like 42 and 1-2"),
+      (4L, "double email x@y.com x@y.com and ip 10.0.0.1 tail"),
+      (5L, "")
+    ).toDF("doc_id", "t")
+    val out = ops.Text.withPiiScrub(cases, "t").orderBy("doc_id").collect()
+    def row(i: Long) = out.find(_.getLong(0) == i).get
+    assert(row(1).getAs[Long]("n_emails") == 2 && row(1).getAs[String]("email") == "alice.b+spam@corp.example.org")
+    assert(row(1).getAs[String]("redacted") == "write to <EMAIL> or <EMAIL> today")
+    assert(row(2).getAs[Long]("n_ips") == 1 && row(2).getAs[Long]("n_phones") == 1)
+    assert(row(2).getAs[String]("redacted") == "server <IP> then call <PHONE> now")
+    assert(row(3).getAs[Long]("n_emails") + row(3).getAs[Long]("n_ips") +
+      row(3).getAs[Long]("n_phones") == 0)
+    assert(row(3).getAs[String]("redacted") == row(3).getAs[String]("t")) // untouched
+    assert(row(4).getAs[Long]("n_emails") == 2 && row(4).getAs[Long]("n_ips") == 1)
+    assert(row(5).getAs[String]("redacted") == "")
+    // idempotence: markers contain no scrubbable content, so a second
+    // pass is a no-op — the property that makes re-runs safe
+    val again = ops.Text.withPiiScrub(
+      ops.Text.withPiiScrub(cases, "t").select(col("doc_id"), col("redacted").as("t")), "t")
+      .orderBy("doc_id").collect()
+    out.zip(again).foreach { case (a, b) =>
+      assert(a.getAs[String]("redacted") == b.getAs[String]("redacted"))
+    }
+  }
 }
