@@ -341,6 +341,92 @@ object Corpus {
         col("m").cast("double").as("min_logp"))
   }
 
+  // --- q71: DSIR importance reweighting ----------------------------
+  /** Word uni+bigram enumeration (every occurrence, NOT distinct — the
+    * feature counts are frequencies). The DuckDB twin is spelled in the
+    * q71 oracle; both engines tokenize with the same split-on-space. */
+  private[graft] val grams12Expr =
+    """flatten(transform(array(split(text, ' ')),
+      | t -> concat(t, CASE WHEN size(t) >= 2 THEN
+      |   transform(sequence(1, size(t) - 1),
+      |     i -> concat_ws(' ', slice(t, i, 2)))
+      |  ELSE array() END)))""".stripMargin
+
+  private[graft] val DsirBuckets = 4096
+
+  /** The scoring core behind q71 over ANY documents frame — `isTarget`
+    * marks the rows whose n-gram distribution defines the target
+    * domain; every OTHER row is scored. Split out so specs can drive
+    * synthetic distributions through it. */
+  private[graft] def dsirWeight(docs: DataFrame, isTarget: Column): DataFrame = {
+    val B = DsirBuckets
+    def grams(f: Column) = docs.filter(f)
+      .select(col("doc_id"), explode(expr(grams12Expr)).as("gram"))
+      .select(col("doc_id"),
+        (Exact.portableHash(col("gram"), 8) % B).as("b"))
+    // the target bucket-count table is ≤B rows after the map-side
+    // combine — a bounded curation artifact like q68's vocab, so
+    // caching it (to feed both the ratio table and its totals) is
+    // scale-safe.
+    val tc = grams(isTarget).groupBy(col("b"))
+      .agg(count(lit(1)).as("ct")).cache()
+    // ONE corpus pass: per-(doc, bucket) gram counts. md5-bucketing
+    // every gram is the CPU hot spot (measured: a
+    // separate-counts-scan + separate-scoring-scan shape ran 23 s at
+    // sf1, ~3× its q60 sibling), so the raw side aggregates once and
+    // BOTH consumers — the bucket distribution and the per-doc
+    // scoring — read this same shuffle via AQE exchange reuse. The
+    // intermediate is shuffle-spilled, never cached: ~docs ×
+    // min(grams/doc, B) rows, strictly smaller than the gram stream.
+    val perDoc = grams(!isTarget).groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val rc = perDoc.groupBy(col("b")).agg(sum(col("n")).as("cr"))
+    val tot = tc.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+      .crossJoin(rc.agg(coalesce(sum(col("cr")), lit(0L)).as("rr")))
+    // Laplace-smoothed per-bucket log importance ratio. ln touches ONLY
+    // this ≤B-row side (the q68 lesson: StrictMath vs libm is ±1 ulp ⇒
+    // never put ln on an oracled corpus-sized column); one 6dp
+    // quantization per bucket, all downstream sums exact decimals.
+    val lw = tc.join(rc, Seq("b"), "full")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        Exact.r(log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + lit(B.toDouble)))
+              - log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("rr") + lit(B.toDouble))), 6)
+          .cast("decimal(18,6)").as("lw"))
+    perDoc.join(broadcast(lw), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_grams"), sum(col("n") * col("lw")).as("s"))
+      .select(col("doc_id"), col("n_grams"),
+        col("s").cast("double").as("log_w"),
+        (col("s").cast("double") > 0).as("keep"))
+  }
+
+  /** q71: DSIR-style data selection — importance reweighting of the raw
+    * corpus toward a target domain (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hash word
+    * uni+bigrams into 4096 buckets, fit smoothed bucket distributions
+    * on the target slice (stand-in: doc_id ≡ 0 mod 7, the same clean
+    * reference slice q68's LM trains on) and on the raw rest, and score
+    * every raw document by its summed per-gram log importance ratio
+    * log p_target(b) − log p_raw(b). Positive log_w ⇒ the document
+    * looks more target-like than corpus-like ⇒ keep. This is the
+    * data-SELECTION step between q68's quality filter and training —
+    * DSIR picks documents that match a domain, not just fluent ones.
+    *
+    * Scale: the corpus is exploded and md5-bucketed exactly ONCE — the
+    * raw side aggregates to per-(doc, bucket) counts whose shuffle
+    * both downstream consumers reuse (AQE ReusedExchange); nothing
+    * corpus-sized is cached or collected. The count aggregations
+    * map-side-combine, so the bucket-distribution shuffles are
+    * negligible at any SF; the ratio table broadcasts (bounded by the
+    * bucket count, not the data). The
+    * trailing determinism orderBy sorts doc-count-sized aggregated
+    * rows ABOVE a materialized shuffle, so AQE's exchange reuse feeds
+    * the range sampler — no q70-style double scan. */
+  def q71DsirWeight(spark: SparkSession, dir: String): DataFrame =
+    dsirWeight(Tables.documents(spark, dir), col("doc_id") % 7 === 0)
+      .orderBy(col("doc_id"))
+
   /** Driver-side handoff of the q68 unigram LM for the streaming twin
     * ([[graft.streaming.EventStream.lmScoreStream]]): reference-slice
     * word counts, collected like the IVF centroid shipping pattern —
@@ -352,6 +438,28 @@ object Corpus {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   val oracles: Map[String, String] = Map(
+    "q71_dsir_weight" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | g AS (SELECT doc_id,
+        |   ${Exact.sql.portableHash("gram", 8)} % $DsirBuckets AS b
+        |  FROM (SELECT doc_id, unnest(list_concat(t,
+        |     list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |       i -> array_to_string(t[i:i+1], ' ')))) AS gram FROM tk)),
+        | tc AS (SELECT b, count(*) AS ct FROM g WHERE doc_id % 7 = 0 GROUP BY 1),
+        | rc AS (SELECT b, count(*) AS cr FROM g WHERE doc_id % 7 <> 0 GROUP BY 1),
+        | tot AS (SELECT (SELECT sum(ct) FROM tc) AS tt,
+        |                (SELECT sum(cr) FROM rc) AS rr),
+        | lw AS (SELECT coalesce(tc.b, rc.b) AS b,
+        |   CAST(${Exact.sql.r(
+               s"ln((coalesce(ct, 0) + 1.0) / (tt + $DsirBuckets))" +
+               s" - ln((coalesce(cr, 0) + 1.0) / (rr + $DsirBuckets))", 6)}
+        |     AS DECIMAL(18,6)) AS lw
+        |  FROM tc FULL JOIN rc ON tc.b = rc.b CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(lw) AS DOUBLE) AS log_w,
+        | CAST(sum(lw) AS DOUBLE) > 0 AS keep
+        |FROM g JOIN lw USING (b) WHERE doc_id % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q68_lm_quality" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |   FROM documents),
@@ -503,6 +611,7 @@ object Corpus {
     "q61_repetition_ratio" -> (q61RepetitionRatio _),
     "q62_pack_chunks" -> (q62PackChunks _),
     "q63_line_dedup" -> (q63LineDedup _),
-    "q68_lm_quality" -> (q68LmQuality _)
+    "q68_lm_quality" -> (q68LmQuality _),
+    "q71_dsir_weight" -> (q71DsirWeight _)
   )
 }

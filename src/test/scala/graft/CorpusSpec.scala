@@ -144,6 +144,74 @@ class CorpusSpec extends SparkSpec {
     assert(got.getAs[Double]("min_logp") == toks.map(w => lp(w)).min / 1e6)
   }
 
+  test("q71 DSIR: full driver-side StrictMath replay, boundary margins, keep consistency") {
+    val rows = ops.Corpus.q71DsirWeight(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(rows.length == docs.count(_._1 % 7 != 0))
+    // replay the WHOLE pipeline driver-side: same md5 buckets, same
+    // Laplace smoothing, StrictMath.log (what Spark's log calls), same
+    // 6dp quantization — every row must match exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Long = {
+      val hex = md.digest(g.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % ops.Corpus.DsirBuckets
+    }
+    def grams(s: String): Array[Long] = {
+      val t = s.split(" ")
+      (t ++ t.sliding(2).filter(_.length == 2).map(_.mkString(" "))).map(bucket)
+    }
+    val B = ops.Corpus.DsirBuckets
+    val tc = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val rc = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    docs.foreach { case (id, txt) =>
+      val m = if (id % 7 == 0) tc else rc
+      grams(txt).foreach(b => m(b) += 1)
+    }
+    val (tt, rr) = (tc.values.sum.toDouble, rc.values.sum.toDouble)
+    var minMargin = Double.MaxValue
+    val lw = (tc.keySet ++ rc.keySet).map { b =>
+      val x = (StrictMath.log((tc(b) + 1.0) / (tt + B)) -
+        StrictMath.log((rc(b) + 1.0) / (rr + B))) * 1e6
+      minMargin = math.min(minMargin, math.abs(x - math.floor(x) - 0.5))
+      b -> math.floor(x + 0.5).toLong
+    }.toMap
+    // every bucket's pre-quantization value must sit far (>=1e-8 of a
+    // grid step) from the floor(x+0.5) discontinuity — the ulp-scale
+    // cross-engine ln discrepancy is ~1e-9, so the oracle can't flake
+    assert(minMargin > 1e-8, s"quantization margin $minMargin too tight")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    docs.filter(_._1 % 7 != 0).foreach { case (id, txt) =>
+      val gs = grams(txt)
+      val s = gs.map(lw).sum
+      val r = byId(id)
+      assert(r.getAs[Long]("n_grams") == gs.length, s"doc $id n_grams")
+      assert(r.getAs[Double]("log_w") == s / 1e6,
+        s"doc $id log_w ${r.getAs[Double]("log_w")} != replayed ${s / 1e6}")
+      assert(r.getAs[Boolean]("keep") == (s > 0), s"doc $id keep")
+    }
+  }
+
+  test("q71 DSIR core: target-like raw docs score above off-distribution ones") {
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha"), // target (0 % 7 == 0)
+      (7L, "alpha beta alpha"),            // target
+      (1L, "alpha beta alpha beta"),       // raw, target-like
+      (2L, "zork quux blorb gnarf"),       // raw, off-distribution
+      (3L, "alpha beta zork quux")         // raw, mixed
+    ).toDF("doc_id", "text")
+    val out = ops.Corpus.dsirWeight(docs, col("doc_id") % 7 === 0)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3) // only raw docs are scored
+    def w(id: Long) = out.find(_.getLong(0) == id).get.getAs[Double]("log_w")
+    assert(w(1L) > 0, "target-like doc must score positive (kept)")
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"ordering violated: ${w(1L)} / ${w(3L)} / ${w(2L)}")
+    assert(w(2L) < 0, "off-distribution doc must score negative (dropped)")
+    assert(out.find(_.getLong(0) == 1L).get.getAs[Long]("n_grams") == 7) // 4 uni + 3 bi
+  }
+
   test("q68 OOV branch: an unseen word falls back to the 1/t floor") {
     val docs = Seq(
       (0L, "a a b", "en", "s0", 5L),  // reference slice (0 % 7 == 0)
