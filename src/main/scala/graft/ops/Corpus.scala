@@ -354,11 +354,13 @@ object Corpus {
 
   private[graft] val DsirBuckets = 4096
 
-  /** The scoring core behind q71 over ANY documents frame — `isTarget`
-    * marks the rows whose n-gram distribution defines the target
-    * domain; every OTHER row is scored. Split out so specs can drive
-    * synthetic distributions through it. */
-  private[graft] def dsirWeight(docs: DataFrame, isTarget: Column): DataFrame = {
+  /** The fitted halves of the q71 core: the per-(doc, bucket) count
+    * frame of the raw (to-be-scored) side, the ≤B-row quantized
+    * log-ratio table, and the one-row (tt, rr) gram totals. Split from
+    * [[dsirWeight]] so [[dsirTable]] can ship the ratio table to the
+    * streaming twin without duplicating the fit. */
+  private[graft] def dsirModel(docs: DataFrame, isTarget: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
     val B = DsirBuckets
     def grams(f: Column) = docs.filter(f)
       .select(col("doc_id"), explode(expr(grams12Expr)).as("gram"))
@@ -393,6 +395,15 @@ object Corpus {
         Exact.r(log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + lit(B.toDouble)))
               - log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("rr") + lit(B.toDouble))), 6)
           .cast("decimal(18,6)").as("lw"))
+    (perDoc, lw, tot)
+  }
+
+  /** The scoring core behind q71 over ANY documents frame — `isTarget`
+    * marks the rows whose n-gram distribution defines the target
+    * domain; every OTHER row is scored. Split out so specs can drive
+    * synthetic distributions through it. */
+  private[graft] def dsirWeight(docs: DataFrame, isTarget: Column): DataFrame = {
+    val (perDoc, lw, _) = dsirModel(docs, isTarget)
     perDoc.join(broadcast(lw), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_grams"), sum(col("n") * col("lw")).as("s"))
@@ -426,6 +437,27 @@ object Corpus {
   def q71DsirWeight(spark: SparkSession, dir: String): DataFrame =
     dsirWeight(Tables.documents(spark, dir), col("doc_id") % 7 === 0)
       .orderBy(col("doc_id"))
+
+  /** Driver-side handoff of the q71 DSIR model for the streaming twin
+    * ([[graft.streaming.EventStream.dsirScoreStream]]): the quantized
+    * bucket→log-ratio table as 6dp-scaled longs, plus the unseen-bucket
+    * prior — the ratio of a bucket with zero counts on BOTH sides,
+    * quantized through the same StrictMath + floor(x·1e6 + 0.5) grid
+    * the in-plan `Exact.r(log …, 6)` lands on. ≤B rows + one totals row
+    * collected; bounded by the bucket count, never corpus-sized (the
+    * lmVocab / IVF centroid shipping pattern). */
+  def dsirTable(spark: SparkSession, dir: String): (Map[Long, Long], Long) = {
+    val (_, lw, tot) = dsirModel(
+      Tables.documents(spark, dir), col("doc_id") % 7 === 0)
+    val m = lw.collect().map(r => r.getLong(0) ->
+      r.getDecimal(1).movePointRight(6).longValueExact()).toMap
+    val t = tot.collect().head
+    val (tt, rr) = (t.getLong(0), t.getLong(1))
+    val prior = math.floor(
+      (StrictMath.log(1.0 / (tt + DsirBuckets)) -
+        StrictMath.log(1.0 / (rr + DsirBuckets))) * 1e6 + 0.5).toLong
+    (m, prior)
+  }
 
   /** Driver-side handoff of the q68 unigram LM for the streaming twin
     * ([[graft.streaming.EventStream.lmScoreStream]]): reference-slice

@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *               unigram LM: drop the off-distribution tail below
   *               `lmFloor` — CCNet's filter tier; off by default, the
   *               floor is a per-corpus tuning choice)
+  *             → optional DSIR domain gate (q71's importance ratios:
+  *               drop docs scoring at/below `dsirFloor` — the
+  *               domain-targeting selection; target-slice docs pass)
   *             → decontamination (q60: drop every kept doc sharing a
   *               verbatim word-8-gram with the benchmark slice — the
   *               slice itself never enters the corpus)
@@ -41,7 +44,8 @@ object CurationPipeline {
 
   def run(spark: SparkSession, dir: String, buckets: Int = 8,
       lakePrefix: String = "curation",
-      lmFloor: Option[Double] = None): Result = {
+      lmFloor: Option[Double] = None,
+      dsirFloor: Option[Double] = None): Result = {
     // 1. the q57 keep-list: survivors of the language, quality,
     //    exact-dedup and near-dup gates, with per-doc token counts
     val kept = ops.Corpus.q57Kept(spark, dir).cache()
@@ -61,12 +65,31 @@ object CurationPipeline {
       case None => kept
     }
 
+    // 1c. optional DSIR domain gate (q71): drop kept docs whose summed
+    //     log importance ratio toward the reference slice falls at or
+    //     below the floor — the domain-targeting cut between fluency
+    //     filtering and packing. Target-slice docs DEFINE the domain
+    //     and carry no score (q71 scores only the raw rest), so the
+    //     left join passes them through. Off by default — the floor
+    //     (0.0 = "more target-like than corpus-like") is a per-corpus
+    //     tuning choice, same as lmFloor.
+    val dsGated = dsirFloor match {
+      case Some(f) =>
+        val w = ops.Corpus.dsirWeight(
+            Tables.documents(spark, dir), col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("log_w"))
+        gated.join(w, Seq("doc_id"), "left")
+          .filter(col("log_w").isNull || col("log_w") > f)
+          .drop("log_w").cache()
+      case None => gated
+    }
+
     // 2. decontamination: q60 emits per-doc benchmark-overlap flags for
     //    every non-benchmark doc, so the inner join BOTH drops the
     //    benchmark slice from the corpus and keys the flag lookup
     val decon = ops.Corpus.q60Decontaminate(spark, dir)
       .select(col("doc_id"), col("contaminated"))
-    val clean = gated.join(decon, Seq("doc_id"))
+    val clean = dsGated.join(decon, Seq("doc_id"))
       .filter(!col("contaminated")).drop("contaminated")
       .cache() // feeds the pack plan, the lake write AND the stats row
 
@@ -89,6 +112,7 @@ object CurationPipeline {
       .agg(count(lit(1)).as("n_docs"))
     val keptAgg = kept.agg(count(lit(1)).as("n_kept"))
     val gatedAgg = gated.agg(count(lit(1)).as("n_lm_kept"))
+    val dsAgg = dsGated.agg(count(lit(1)).as("n_ds_kept"))
     val planAgg = plan.agg(
       count(lit(1)).as("n_final"),
       coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
@@ -96,9 +120,11 @@ object CurationPipeline {
         .as("n_split_docs"))
     val stats = totals.crossJoin(broadcast(keptAgg))
       .crossJoin(broadcast(gatedAgg))
+      .crossJoin(broadcast(dsAgg))
       .crossJoin(broadcast(planAgg))
       .withColumn("n_lm_dropped", col("n_kept") - col("n_lm_kept"))
-      .drop("n_lm_kept")
+      .withColumn("n_dsir_dropped", col("n_lm_kept") - col("n_ds_kept"))
+      .drop("n_lm_kept", "n_ds_kept")
       .withColumn("n_chunks",
         ceil(col("n_tokens") / lit(ops.Corpus.ctxLen.toDouble)).cast("long"))
       .withColumn("split_frac",

@@ -201,6 +201,37 @@ object EventStream {
         (array_min(col("kq")).cast("double") / lit(1e6)).as("min_logp"))
   }
 
+  /** Streaming twin of batch q71 — DSIR domain scoring of documents as
+    * they land. The ≤4096-row bucket→log-ratio table and the
+    * unseen-bucket prior ship driver-side as a plan literal
+    * ([[graft.ops.Corpus.dsirTable]] — the lmScoreStream trade), so
+    * scoring is a stateless codegen'd projection: no state store, no
+    * shuffle. Grams enumerate and md5-bucket through the IDENTICAL
+    * expressions as batch, accumulate as exact scaled longs, divide
+    * once at the end — bit-identical to batch q71 per doc
+    * (StreamingSpec pins it row for row; a scaled-long sum k and the
+    * batch DECIMAL(18,6) sum both land on the correctly-rounded double
+    * of k/10⁶). Buckets NO training doc ever hit — impossible in batch,
+    * expected on a live stream — score the Laplace prior (zero counts
+    * on both sides), the DSIR analog of q68's OOV floor; `n_novel`
+    * counts them so a drifting stream is visible. */
+  def dsirScoreStream(docs: DataFrame, lw: Map[Long, Long], prior: Long): DataFrame = {
+    require(lw.nonEmpty, "dsirScoreStream needs a non-empty ratio table")
+    val m = typedLit(lw)
+    val B = graft.ops.Corpus.DsirBuckets
+    docs
+      .withColumn("ks", transform(expr(graft.ops.Corpus.grams12Expr),
+        g => element_at(m, graft.ops.Exact.portableHash(g, 8) % B)))
+      .withColumn("s", aggregate(
+        transform(col("ks"), k => coalesce(k, lit(prior))),
+        lit(0L), (a, k) => a + k))
+      .select(col("doc_id"), col("ts"),
+        size(col("ks")).cast("long").as("n_grams"),
+        size(filter(col("ks"), k => k.isNull)).cast("long").as("n_novel"),
+        (col("s").cast("double") / lit(1e6)).as("log_w"),
+        (col("s") > 0).as("keep"))
+  }
+
   /** Streaming trending terms — the continuous twin of batch q56's tf
     * pass: tokenize in-stream, count term occurrences and (approximate)
     * distinct docs per tumbling window, and emit terms that cross

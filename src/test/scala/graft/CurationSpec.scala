@@ -107,4 +107,37 @@ class CurationSpec extends SparkSpec {
       baseKept.count(id => scores(id) < floor))
     assert(s.getAs[Long]("n_final") == clean.size)
   }
+
+  test("curation pipeline with DSIR gate: the domain floor drops exactly the scored tail") {
+    scrub("curation_ds_keeplist", "curation_ds_chunks")
+    val scores = ops.Corpus.q71DsirWeight(spark, sf)
+      .select(col("doc_id"), col("log_w")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val baseKept = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_ds").keeplist
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // median over the SCORED kept docs: target-slice docs (doc_id ≡ 0
+    // mod 7) define the domain, carry no score and must pass the gate
+    val scoredKept = baseKept.filter(_ % 7 != 0).toSeq.map(scores).sorted
+    val floor = scoredKept(scoredKept.size / 2)
+
+    scrub("curation_ds_keeplist", "curation_ds_chunks")
+    val r = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_ds", dsirFloor = Some(floor))
+    val clean = r.clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean.nonEmpty)
+    assert(clean.forall(id => id % 7 == 0 || scores(id) > floor))
+    val contaminated = ops.Corpus.q60Decontaminate(spark, sf)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = baseKept.filter(id =>
+      (id % 7 == 0 || scores(id) > floor) && id % 23 != 0 && !contaminated(id))
+    assert(clean == expected)
+    // the report row accounts for the gate exactly
+    val s = r.stats.head()
+    assert(s.getAs[Long]("n_dsir_dropped") ==
+      baseKept.count(id => id % 7 != 0 && !(scores(id) > floor)))
+    assert(s.getAs[Long]("n_lm_dropped") == 0L)
+    assert(s.getAs[Long]("n_final") == clean.size)
+  }
 }

@@ -356,6 +356,62 @@ class StreamingSpec extends SparkSpec {
     assert(oovRow.getAs[Double]("min_logp") == kOov / 1e6)
   }
 
+  test("dsirScoreStream: streamed DSIR scores are bit-identical to batch q71 per doc") {
+    implicit val sq = spark.sqlContext
+    val (lw, prior) = ops.Corpus.dsirTable(spark, sf)
+    // stream the raw slice — the docs batch q71 scores — through
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select("doc_id", "text", "source").collect()
+      .map(r => EventStream.Doc(r.getLong(0),
+        new Timestamp(base * 60000L), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[EventStream.Doc]
+    val q = EventStream.dsirScoreStream(mem.toDF(), lw, prior)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    mem.addData(docs.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("dsir_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("log_w"), r.getAs[Boolean]("keep")))).toMap
+    q.stop()
+    val batch = ops.Corpus.q71DsirWeight(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), 0L,
+          r.getAs[Double]("log_w"), r.getAs[Boolean]("keep")))).toMap
+    assert(streamed.keySet == batch.keySet)
+    // bit-identical, not approximately equal: the scaled-long sum k and
+    // batch's DECIMAL(18,6) sum both land on the correctly-rounded
+    // double of k/10⁶; every raw-corpus bucket is in the table (n_novel
+    // 0) because the raw side DEFINES the rc half of the fit
+    streamed.foreach { case (id, s) =>
+      assert(s == batch(id), s"doc $id: stream $s != batch ${batch(id)}")
+    }
+    // a gram bucket NO training doc ever hit scores the Laplace prior
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Long = {
+      val hex = md.digest(g.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % ops.Corpus.DsirBuckets
+    }
+    val novel = Iterator.from(0).map(i => s"novel$i")
+      .find(w => !lw.contains(bucket(w))).get
+    val mem2 = MemoryStream[EventStream.Doc]
+    val q2 = EventStream.dsirScoreStream(mem2.toDF(), lw, prior)
+      .writeStream.format("memory").queryName("dsir_novel_out")
+      .outputMode("append").start()
+    mem2.addData(EventStream.Doc(999L,
+      new Timestamp(base * 60000L), novel, "web"))
+    q2.processAllAvailable()
+    val row = spark.table("dsir_novel_out").collect().head
+    q2.stop()
+    assert(row.getAs[Long]("n_grams") == 1L)
+    assert(row.getAs[Long]("n_novel") == 1L)
+    assert(row.getAs[Double]("log_w") == prior / 1e6)
+    assert(row.getAs[Boolean]("keep") == (prior > 0))
+  }
+
   test("trendingTerms emits only above-threshold terms of finalized windows") {
     implicit val sq = spark.sqlContext
     def doc(id: Long, minute: Long, text: String) =
