@@ -273,6 +273,82 @@ object Text {
         md5(col("redacted")).as("redacted_md5"))
   }
 
+  // --- q72: Gopher quality rule battery -----------------------------
+  /** The Gopher §A1 heuristic metrics over any text column — the core
+    * behind q72, reusable on raw production text: word/line counts,
+    * mean word length, alphabetic-word fraction, symbol-to-word ratio
+    * ('#' and '...'), bullet- and ellipsis-line fractions, stopword
+    * count, and the combined pass flag (Rae et al. 2021 thresholds, as
+    * adopted by FineWeb/Dolma/RefinedWeb). Everything is integer counts
+    * and one 6dp-quantized IEEE ratio each — ln-free, so fully
+    * cross-engine exact. One scan, all codegen'd HOFs. */
+  private[graft] def withGopherRules(df: DataFrame, tcol: String): DataFrame = {
+    val t = col(tcol)
+    df.withColumn("w", split(t, "[ \n]+"))
+      .withColumn("lines", split(t, "\n"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("sum_wlen", aggregate(
+        transform(col("w"), x => length(x).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("n_alpha",
+        size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_sym",
+        (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(col("lines"), x => x.like("- %") || x.like("* %"))).cast("long"))
+      .withColumn("n_ellip",
+        size(filter(col("lines"), x => x.like("%..."))).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))").cast("long"))
+      .withColumn("mean_wlen", Exact.r(col("sum_wlen") * lit(1.0) / col("n_words"), 6))
+      .withColumn("frac_alpha", Exact.r(col("n_alpha") * lit(1.0) / col("n_words"), 6))
+      .withColumn("symbol_ratio", Exact.r(col("n_sym") * lit(1.0) / col("n_words"), 6))
+      .withColumn("frac_bullet", Exact.r(col("n_bullet") * lit(1.0) / col("n_lines"), 6))
+      .withColumn("frac_ellipsis", Exact.r(col("n_ellip") * lit(1.0) / col("n_lines"), 6))
+      .withColumn("gopher_pass",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_wlen").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("frac_bullet") <= 0.9 &&
+          col("frac_ellipsis") <= 0.3 &&
+          col("frac_alpha") >= 0.8 &&
+          col("n_stop") >= 2L)
+  }
+
+  /** q72: the Gopher quality-rule battery (Rae et al. 2021 §A1.1) — the
+    * named heuristic filter set FineWeb/Dolma/RefinedWeb run between
+    * lang-ID and model-based quality: word-count bounds, mean-word-
+    * length bounds, symbol-to-word ratio, bullet/ellipsis line caps,
+    * alphabetic-word floor, stopword floor. The generated corpora are
+    * single-line lowercase words — every rule except word-count would
+    * be vacuously green — so the query appends deterministic per-doc
+    * decorations (bullet lines, ellipsis lines, '#' runs, numeric
+    * words; amounts keyed off doc_id, q70's fixture pattern) inside
+    * BOTH engines: each rule then passes AND fails across the corpus
+    * and every row's metrics + verdict are genuinely oracle-checked.
+    * Production callers use [[withGopherRules]] on raw text.
+    *
+    * Plan shape (the q70 lesson): the determinism orderBy runs FIRST on
+    * the narrow scan so the range-partitioner sampling pass never
+    * executes the HOF projection; one codegen'd projection per row
+    * after the sort. */
+  def q72GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val deco = concat(col("text"),
+      expr("repeat(concat(chr(10), '- item'), CAST(doc_id % 12 AS INT))"),
+      expr("repeat(concat(chr(10), 'wait for it...'), CAST(doc_id % 7 AS INT))"),
+      expr("repeat(' #', CAST(doc_id % 8 AS INT))"),
+      expr("repeat(' 12345', CAST(doc_id % 9 AS INT))"),
+      expr("repeat(' pneumonoultramicroscopicsilicovolcanoconiosis', " +
+        "CAST(CASE WHEN doc_id % 97 = 0 THEN 40 ELSE 0 END AS INT))"))
+    val sorted = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+    withGopherRules(sorted.withColumn("t2", deco), "t2")
+      .select(col("doc_id"), col("n_words"), col("n_lines"), col("n_stop"),
+        col("mean_wlen"), col("frac_alpha"), col("symbol_ratio"),
+        col("frac_bullet"), col("frac_ellipsis"), col("gopher_pass"))
+  }
+
   private val piiRedactSql =
     """regexp_replace(regexp_replace(regexp_replace(t2,
       |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
@@ -280,6 +356,44 @@ object Text {
       |   '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q72_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |   text || repeat(chr(10) || '- item', CAST(doc_id % 12 AS INT))
+        |        || repeat(chr(10) || 'wait for it...', CAST(doc_id % 7 AS INT))
+        |        || repeat(' #', CAST(doc_id % 8 AS INT))
+        |        || repeat(' 12345', CAST(doc_id % 9 AS INT))
+        |        || repeat(' pneumonoultramicroscopicsilicovolcanoconiosis',
+        |             CAST(CASE WHEN doc_id % 97 = 0 THEN 40 ELSE 0 END AS INT)) AS t2
+        |  FROM documents),
+        | c AS (SELECT doc_id, t2,
+        |   string_split_regex(t2, '[ \n]+') AS w,
+        |   string_split(t2, chr(10)) AS l
+        |  FROM t),
+        | m AS (SELECT doc_id,
+        |   len(w)::BIGINT AS n_words,
+        |   len(l)::BIGINT AS n_lines,
+        |   list_sum(list_transform(w, x -> length(x)))::BIGINT AS sum_wlen,
+        |   len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+        |   (len(regexp_extract_all(t2, '#'))
+        |     + len(regexp_extract_all(t2, '\.\.\.')))::BIGINT AS n_sym,
+        |   len(list_filter(l, x -> x LIKE '- %' OR x LIKE '* %'))::BIGINT AS n_bullet,
+        |   len(list_filter(l, x -> x LIKE '%...'))::BIGINT AS n_ellip,
+        |   len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))::BIGINT AS n_stop
+        |  FROM c)
+        |SELECT doc_id, n_words, n_lines, n_stop,
+        | floor((sum_wlen*1.0/n_words) * 1e6 + 0.5)/1e6 AS mean_wlen,
+        | floor((n_alpha*1.0/n_words) * 1e6 + 0.5)/1e6 AS frac_alpha,
+        | floor((n_sym*1.0/n_words) * 1e6 + 0.5)/1e6 AS symbol_ratio,
+        | floor((n_bullet*1.0/n_lines) * 1e6 + 0.5)/1e6 AS frac_bullet,
+        | floor((n_ellip*1.0/n_lines) * 1e6 + 0.5)/1e6 AS frac_ellipsis,
+        | (n_words BETWEEN 50 AND 100000)
+        |   AND (floor((sum_wlen*1.0/n_words) * 1e6 + 0.5)/1e6 BETWEEN 3.0 AND 10.0)
+        |   AND floor((n_sym*1.0/n_words) * 1e6 + 0.5)/1e6 <= 0.1
+        |   AND floor((n_bullet*1.0/n_lines) * 1e6 + 0.5)/1e6 <= 0.9
+        |   AND floor((n_ellip*1.0/n_lines) * 1e6 + 0.5)/1e6 <= 0.3
+        |   AND floor((n_alpha*1.0/n_words) * 1e6 + 0.5)/1e6 >= 0.8
+        |   AND n_stop >= 2 AS gopher_pass
+        |FROM m ORDER BY 1""".stripMargin,
     "q70_pii_scrub" ->
       s"""WITH t AS (SELECT doc_id,
         |   text || ' contact doc' || doc_id || '@mail.example.com from 10.'
@@ -366,6 +480,7 @@ object Text {
     "q38_quality_score" -> (q38QualityScore _),
     "q39_token_count" -> (q39TokenCount _),
     "q40_fingerprint" -> (q40Fingerprint _),
-    "q70_pii_scrub" -> (q70PiiScrub _)
+    "q70_pii_scrub" -> (q70PiiScrub _),
+    "q72_gopher_rules" -> (q72GopherRules _)
   )
 }

@@ -181,4 +181,39 @@ class TextDedupSpec extends SparkSpec {
       assert(a.getAs[String]("redacted") == b.getAs[String]("redacted"))
     }
   }
+
+  test("q72 Gopher rules core: each rule flips on exactly its crafted document") {
+    val base = "the a of and " + Seq.fill(56)("word").mkString(" ")
+    val cases = Seq(
+      (1L, base),                                        // all rules pass
+      (2L, "the a of and word"),                         // 5 words < 50
+      (3L, base + " # # # # # # # #"),                   // 8/68 > 0.1 symbols
+      (4L, base + Seq.fill(10)("\n- x").mkString),       // 10/11 > 0.9 bullets
+      (5L, base + "\nhm..."),                            // 1/2 > 0.3 ellipsis lines
+      (6L, base + Seq.fill(20)(" 9").mkString),          // 60/80 < 0.8 alpha
+      (7L, Seq.fill(60)("word").mkString(" ")),          // 0 stopwords
+      (8L, "the a of and " + Seq.fill(56)("aa").mkString(" ")) // mean wlen < 3
+    ).toDF("doc_id", "t")
+    val out = ops.Text.withGopherRules(cases, "t").orderBy("doc_id").collect()
+    def row(i: Long) = out.find(_.getLong(0) == i).get
+    assert(row(1).getAs[Boolean]("gopher_pass"))
+    assert((2L to 8L).forall(!row(_).getAs[Boolean]("gopher_pass")))
+    // the failing metric is the intended one, and only that one
+    assert(row(2).getAs[Long]("n_words") == 5L)
+    assert(row(3).getAs[Double]("symbol_ratio") > 0.1 &&
+      row(3).getAs[Double]("frac_alpha") >= 0.8)
+    assert(row(4).getAs[Double]("frac_bullet") > 0.9)
+    assert(row(5).getAs[Double]("frac_ellipsis") > 0.3)
+    assert(row(6).getAs[Double]("frac_alpha") < 0.8 &&
+      row(6).getAs[Double]("symbol_ratio") == 0.0)
+    assert(row(7).getAs[Long]("n_stop") == 0L &&
+      row(7).getAs[Long]("n_words") == 60L)
+    assert(row(8).getAs[Double]("mean_wlen") < 3.0)
+    // exact metric spot-check on the passing doc
+    assert(row(1).getAs[Long]("n_words") == 60L)
+    assert(row(1).getAs[Long]("n_stop") == 4L)
+    assert(row(1).getAs[Double]("frac_alpha") == 1.0)
+    assert(row(1).getAs[Double]("mean_wlen") ==
+      math.floor((3 + 1 + 2 + 3 + 56 * 4) / 60.0 * 1e6 + 0.5) / 1e6)
+  }
 }
