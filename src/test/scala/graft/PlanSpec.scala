@@ -237,4 +237,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("InMemoryTableScan"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q71: the raw corpus is exploded+bucketed once — per-(doc,bucket) exchange reused") {
+    // the q71 CPU-hot-spot fix: BOTH consumers of the raw side (the rc
+    // bucket distribution and the per-doc scoring join) must read the
+    // SAME per-(doc,bucket) aggregation exchange — a second md5 pass
+    // over the gram stream was measured at ~1.5× the whole query (23 s
+    // vs 15.1 s at sf1). With AQE off the static ReuseExchange rule
+    // must dedupe; ≤2 raw parquet scans total (target slice + raw
+    // slice; the ≤4096-row ratio table is allowed its tiny cache).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = ops.Corpus.q71DsirWeight(spark, sf).queryExecution.executedPlan
+      assert(p.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        p.treeString.take(3000))
+      val scans = p.collect { case s: FileSourceScanExec => s }
+      assert(scans.size <= 2, scans.map(_.simpleString(80)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q72: determinism sort runs on the narrow scan, below the rule projection") {
+    // the q70 lesson, pinned for q72: a trailing global orderBy makes
+    // the range partitioner's sampling job execute the whole HOF/regex
+    // projection twice. The Sort must see only (doc_id, text) — if the
+    // projection slipped below the sort, its output would carry the
+    // full metric row.
+    import org.apache.spark.sql.execution.SortExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = ops.Text.q72GopherRules(spark, sf).queryExecution.executedPlan
+      val sorts = p.collect { case s: SortExec => s }
+      assert(sorts.nonEmpty)
+      sorts.foreach(s => assert(s.output.length <= 2,
+        s.output.map(_.name).mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
