@@ -469,7 +469,98 @@ object Corpus {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** q74: BM25 top-k retrieval over the corpus — the ranked-search
+    * primitive a curation stack uses for quality-targeted selection
+    * (retrieve-then-filter against a seed query, the retrieval half of
+    * every RAG/data-selection loop; Robertson & Spärck Jones's
+    * Okapi BM25, k1 = 1.2, b = 0.75). Scores every document against the
+    * fixed query term set and returns the global top `bm25TopK` by
+    * (score desc, doc_id).
+    *
+    * Oracle exactness: `ln` touches only the QUERY-TERM-sized idf side
+    * (|Q| rows; q68's rule — quantize at 6dp to DECIMAL(18,6), CorpusSpec
+    * checks every idf's distance from its rounding boundary dwarfs the
+    * ≤1-ulp libm disagreement); avgdl is a ratio of exact integer sums;
+    * the per-(doc,term) partial scores are pure IEEE doubles of integer
+    * inputs quantized to DECIMAL(28,12) before the per-doc sum (≤|Q|
+    * terms, order-independent); the final score rounds at 6dp with
+    * doc_id tie-breaks, so the top-k cut is deterministic in both
+    * engines.
+    *
+    * Scale: tf is one map-side-combined agg over tokens FILTERED to the
+    * query terms before the shuffle (the explode emits |Q|-matched rows
+    * only); idf/avgdl are broadcast one-row/|Q|-row sides; the global
+    * top-k is a TakeOrderedAndProject (per-partition partial top-k, no
+    * single-partition window) — the rank column is assigned AFTER the
+    * k-row cut. */
+  def q74Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // dl feeds the corpus stats AND the per-doc length normalization; tf
+    // feeds the df/idf side AND the scoring join — cache both (doc-sized
+    // 2-3 column tables, text column dropped, so the cache is scale-safe)
+    // or each consumer re-scans the corpus: 5 scans become 2
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl")).cache()
+    val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("td"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(bm25Query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cache()
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(st))
+      .select(col("term"),
+        Exact.r(log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 6).cast("decimal(18,6)").as("idf"))
+    val scored = tf.join(broadcast(idf), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        (col("idf").cast("double") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / (col("td") * lit(1.0) / col("nd")))))
+          .cast("decimal(28,12)").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(Exact.r(sum(col("s")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(bm25TopK)
+    // rank over the already-cut k rows — a k-row single partition, not
+    // a corpus-wide sort
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .orderBy(col("rk"))
+  }
+
+  private[graft] val bm25Query = Seq("spark", "hash", "join", "window")
+  private[graft] val bm25TopK = 100
+
+  private def bm25OracleSql: String = {
+    val terms = bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (SELECT doc_id,
+       |   len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+       | st AS (SELECT count(*) AS nd, sum(dl) AS td FROM dl),
+       | tf AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       | idf AS (SELECT term,
+       |   CAST(floor(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5) / 1e6
+       |     AS DECIMAL(18,6)) AS idf
+       |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN st),
+       | s AS (SELECT tf.doc_id,
+       |   CAST(CAST(idf AS DOUBLE) * (tf * 2.2) /
+       |     (tf + 1.2 * (0.25 + 0.75 * dl / (td * 1.0 / nd)))
+       |    AS DECIMAL(28,12)) AS s
+       |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+       | sc AS (SELECT doc_id,
+       |   floor(CAST(sum(s) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS score
+       |  FROM s GROUP BY 1)
+       |SELECT doc_id, score,
+       | row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       |FROM sc ORDER BY rk LIMIT $bm25TopK""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q74_bm25" -> bm25OracleSql,
     "q71_dsir_weight" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         | g AS (SELECT doc_id,
@@ -644,6 +735,7 @@ object Corpus {
     "q62_pack_chunks" -> (q62PackChunks _),
     "q63_line_dedup" -> (q63LineDedup _),
     "q68_lm_quality" -> (q68LmQuality _),
-    "q71_dsir_weight" -> (q71DsirWeight _)
+    "q71_dsir_weight" -> (q71DsirWeight _),
+    "q74_bm25" -> (q74Bm25TopK _)
   )
 }

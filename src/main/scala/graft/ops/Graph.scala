@@ -564,6 +564,171 @@ object Graph {
     h.orderBy(col("node"))
   }
 
+  /** q73: damped PageRank over the undirected purchase graph — the
+    * canonical "who matters in the ring" importance score fraud
+    * analysts run right after q47's components (networkx ships it as
+    * `nx.pagerank`; the reference's degree features q20/q24 are its
+    * 0-round approximation). Fixed `pagerankRounds` power iterations,
+    * damping 0.85, uniform 1/deg transition on the symmetrized edge
+    * set — no dangling nodes by construction (every und node has
+    * deg ≥ 1).
+    *
+    * Numerics: ranks are carried SCALED by N (rs = N·pr, r0 = 1.0) so
+    * every value stays O(1) — the raw pr shrinks like 1/N, which at
+    * 100 TB node counts would eat most of a fixed decimal scale's
+    * significant digits. Per-edge messages rs/d quantize to
+    * DECIMAL(28,12) before the sum (order-independent, q66's rule),
+    * each round's output rounds at 6dp via [[Exact.r]], and the final
+    * unscaled pr = rs/N rounds at 9dp — every step the same IEEE op
+    * sequence in both engines, so 3 chained rounds stay hash-exact.
+    *
+    * Scale: identical shape to [[gcnRounds]] — edges build once and
+    * never move again; per round one co-partitioned join against the
+    * node-sized rank table (localCheckpointed, broadcast-gated) + one
+    * map-side-combined aggregation. */
+  def q73PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val und = symmetrized(
+        factBase(spark, dir).select(col("src"), col("dst")), "src", "dst")
+      .distinct().cache() // degree agg + one message join per round
+    val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val nn = deg.agg(count(lit(1)).as("nn"))
+    val broadcastNodeLimit = 50L * 1000 * 1000
+    val nodeBound = Tables.customer(spark, dir).count() +
+      Tables.supplier(spark, dir).count()
+    def gated(df: DataFrame): DataFrame =
+      if (nodeBound <= broadcastNodeLimit) broadcast(df) else df
+    val dSrc = gated(deg.select(col("n").as("src"), col("d")))
+    var rs = deg.select(col("n"), lit(1.0).as("rs"))
+    for (_ <- 1 to pagerankRounds) {
+      // node-sized: checkpoint cuts round k−1's plan out of round k
+      val prev = gated(rs.localCheckpoint(true)
+        .select(col("n").as("src"), col("rs").as("prs")))
+      rs = und.join(dSrc, "src").join(prev, "src")
+        .select(col("dst"),
+          (col("prs") / col("d")).cast("decimal(28,12)").as("m"))
+        .groupBy(col("dst").as("n"))
+        .agg(Exact.r(lit(0.15) + lit(0.85) * sum(col("m")).cast("double"), 6)
+          .as("rs"))
+    }
+    rs.join(deg, "n").crossJoin(broadcast(nn))
+      .select(col("n").as("node"), col("d").as("deg"),
+        col("rs").as("pr_scaled"),
+        Exact.r(col("rs") / col("nn"), 9).as("pr"))
+      .orderBy(col("node"))
+  }
+
+  private[graft] val pagerankRounds = 3
+
+  /** The q73 oracle: the same 3 power iterations unrolled as chained
+    * CTEs, every cast/round spelled identically to the Spark plan. */
+  private def pagerankOracleSql: String = {
+    val iters = (1 to pagerankRounds).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (SELECT u.dst AS n,
+         |   floor((0.15 + 0.85 * CAST(sum(CAST(r.rs / d.d AS DECIMAL(28,12))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rs
+         |  FROM und u JOIN dg d ON u.src = d.n JOIN $prev r ON u.src = r.n
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH e0 AS ($edgesSql),
+       | und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       | dg AS (SELECT src AS n, count(*) AS d FROM und GROUP BY 1),
+       | nn AS (SELECT count(*) AS nn FROM dg),
+       | r0 AS (SELECT n, CAST(1.0 AS DOUBLE) AS rs FROM dg),
+       | $iters
+       |SELECT dg.n AS node, dg.d AS deg, r.rs AS pr_scaled,
+       | floor((r.rs / nn.nn) * 1e9 + 0.5) / 1e9 AS pr
+       |FROM r$pagerankRounds r JOIN dg ON r.n = dg.n CROSS JOIN nn
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** q75: k-core decomposition by bounded-round peeling — the densest-
+    * substructure extractor fraud pipelines run on the ring graph (a
+    * k-core survivor set is a far stronger collusion signal than raw
+    * degree; networkx ships it as `nx.k_core`). Each round drops nodes
+    * whose degree within the CURRENT subgraph is < k and restricts the
+    * edge set to survivors; `kcoreRounds` rounds bound the iteration
+    * exactly like the distributed k-core literature's round-limited
+    * peel, and GraphSpec proves the peel has CONVERGED at that bound on
+    * the test graphs (further rounds are no-ops, so the bounded result
+    * IS the k-core there — and the early-exit makes extra budget free).
+    * Output: nodes retaining ≥1 edge after the last peel, with residual
+    * degree (= degree in the final subgraph; ≥ k at convergence).
+    *
+    * Scale: per round one map-side-combined degree agg + two semi-joins
+    * against the (node-sized, broadcast-gated) survivor list; the edge
+    * set only shrinks, each round's restriction persists and the
+    * previous round's unpersists, and the fixpoint early-exit stops
+    * paying for rounds the data doesn't need. */
+  def q75KCore(spark: SparkSession, dir: String): DataFrame = {
+    val und = symmetrized(
+        factBase(spark, dir).select(col("src"), col("dst")), "src", "dst")
+      .distinct()
+    kcorePeel(und, kcoreK, kcoreRounds).orderBy(col("node"))
+  }
+
+  // k chosen above the purchase graph's min degree at every shipped SF
+  // so the gate data actually exercises the peel (k = 3 would be an
+  // identity pass there — min degree is 3); deep cascades are proven on
+  // GraphSpec's synthetic chain, where peeling takes many rounds
+  private[graft] val kcoreK = 25
+  private[graft] val kcoreRounds = 8
+
+  /** The peel loop behind q75 over ANY symmetric distinct edge set —
+    * split out so GraphSpec can drive synthetic graphs and prove both
+    * the peel semantics and the convergence-at-bound claim. */
+  private[graft] def kcorePeel(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val broadcastNodeLimit = 50L * 1000 * 1000
+    var e = und.persist()
+    var prevEdges = e.count()
+    var round = 0
+    var stable = false
+    while (round < rounds && !stable) {
+      round += 1
+      val keep = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+        .localCheckpoint(true) // node-sized, eager: cuts per-round lineage
+      val kb = if (keep.count() <= broadcastNodeLimit) broadcast(keep) else keep
+      val e2 = e
+        .join(kb.select(col("n").as("src")), Seq("src"), "leftsemi")
+        .join(kb.select(col("n").as("dst")), Seq("dst"), "leftsemi")
+        .select(col("src"), col("dst"))
+        .persist()
+      val edges = e2.count()
+      e.unpersist()
+      e = e2
+      // e_i == e_{i-1} ⇒ every later round is a no-op: the bounded
+      // result equals the converged k-core and the loop can stop
+      stable = edges == prevEdges
+      prevEdges = edges
+    }
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    e.unpersist()
+    out
+  }
+
+  /** The q75 oracle: the same bounded peel unrolled as chained CTEs
+    * (DuckDB's recursive CTEs can't express a shrinking-set iteration —
+    * the recursive table can't be aggregated against — so the fixed
+    * `kcoreRounds` unroll is the faithful spelling; convergence at the
+    * bound is proven test-side, see [[q75KCore]]). */
+  private def kcoreOracleSql: String = {
+    // every peel CTE references its predecessor 3× (the FROM, plus the
+    // survivor list twice) — DuckDB inlines CTEs by default, which would
+    // expand the base scan ~3^rounds times; AS MATERIALIZED keeps the
+    // unroll linear, mirroring the Spark side's per-round persist
+    val peels = (1 to kcoreRounds).map { i =>
+      val prev = if (i == 1) "und" else s"e${i - 1}"
+      s"""n$i AS MATERIALIZED (SELECT src AS n FROM $prev GROUP BY 1 HAVING count(*) >= $kcoreK),
+         | e$i AS MATERIALIZED (SELECT src, dst FROM $prev
+         |   WHERE src IN (SELECT n FROM n$i) AND dst IN (SELECT n FROM n$i))""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH e0 AS MATERIALIZED ($edgesSql),
+       | und AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       | $peels
+       |SELECT src AS node, count(*) AS d
+       |FROM e$kcoreRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q53: signed call-type edge weights (data_process.py:99-104: calltype
     * 1 ⇒ weight +1, calltype 2 ⇒ weight −1, other calltypes ⇒ no edge;
     * nx.Graph.add_edge OVERWRITES, so the LAST processed event in file
@@ -817,7 +982,9 @@ object Graph {
         |SELECT src, dst, w,
         | floor((w / (sum(w) OVER (PARTITION BY dst) * 1.0
         |   / count(*) OVER (PARTITION BY dst))) * 1e6 + 0.5) / 1e6 AS norm_w
-        |FROM adj ORDER BY 1, 2""".stripMargin
+        |FROM adj ORDER BY 1, 2""".stripMargin,
+    "q73_pagerank" -> pagerankOracleSql,
+    "q75_kcore" -> kcoreOracleSql
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -834,6 +1001,8 @@ object Graph {
     "q64_multi_relation_sampling_prob" -> (q64MultiRelationSamplingProb _),
     "q65_edge_class_balanced_prob" -> (q65EdgeClassBalancedProb _),
     "q66_gcn_propagate" -> (q66GcnPropagate _),
-    "q67_gcn_propagate2" -> (q67GcnPropagate2 _)
+    "q67_gcn_propagate2" -> (q67GcnPropagate2 _),
+    "q73_pagerank" -> (q73PageRank _),
+    "q75_kcore" -> (q75KCore _)
   )
 }

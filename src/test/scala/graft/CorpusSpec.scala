@@ -144,6 +144,49 @@ class CorpusSpec extends SparkSpec {
     assert(got.getAs[Double]("min_logp") == toks.map(w => lp(w)).min / 1e6)
   }
 
+  test("q74 BM25: full driver-side replay, idf boundary margins, rank contract") {
+    val rows = ops.Corpus.q74Bm25TopK(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val q = ops.Corpus.bm25Query.toSet
+    val dl = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val nd = docs.length.toLong
+    val td = dl.values.sum
+    val avgdl = td * 1.0 / nd
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(q).groupBy(identity)
+        .map { case (w, ws) => w -> ws.length.toLong }
+    }.toMap
+    val dfc = q.map(t => t -> docs.count { case (id, _) => tf(id).contains(t) }.toLong).toMap
+    // idf = 6dp-quantized ln; flake window is ~1e-9 ulp — require the
+    // measured distance from every rounding boundary to dwarf it
+    val idf = dfc.map { case (t, df) =>
+      val y = StrictMath.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6
+      val frac = y - math.floor(y)
+      assert(math.abs(frac - 0.5) > 1e-3, s"idf($t) on a 6dp boundary: $y")
+      t -> math.floor(y + 0.5) / 1e6
+    }
+    def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val scores = docs.flatMap { case (id, _) =>
+      val terms = tf(id)
+      if (terms.isEmpty) None
+      else Some(id -> math.floor(terms.map { case (t, f) =>
+        q12(idf(t) * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)))
+      }.sum.toDouble * 1e6 + 0.5) / 1e6)
+    }
+    val expected = scores.sortBy { case (id, s) => (-s, id) }
+      .take(ops.Corpus.bm25TopK)
+    assert(rows.length == math.min(ops.Corpus.bm25TopK, scores.length))
+    rows.zip(expected).zipWithIndex.foreach { case ((r, (id, s)), i) =>
+      assert(r.getLong(0) == id, s"rank ${i + 1}: doc ${r.getLong(0)} != $id")
+      assert(r.getDouble(1) == s, s"doc $id score ${r.getDouble(1)} != $s")
+      assert(r.getLong(2) == i + 1L, s"rank column at $i")
+    }
+    // scores weakly descend down the ranking
+    val ss = rows.map(_.getDouble(1)).toSeq
+    assert(ss == ss.sortBy(-(_: Double)))
+  }
+
   test("q71 DSIR: full driver-side StrictMath replay, boundary margins, keep consistency") {
     val rows = ops.Corpus.q71DsirWeight(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

@@ -161,4 +161,79 @@ class GraphSpec extends SparkSpec {
       .filter(abs(col("s") - 1.0) > 1e-3).count()
     assert(bad == 0)
   }
+
+  test("q73 PageRank matches an independent driver-side power iteration; mass conserved") {
+    val out = ops.Graph.q73PageRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val und = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val deg = adj.map { case (n, js) => n -> js.length.toLong }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // 3 damped power iterations with the same quantization the engine runs
+    var rs: Map[Long, Double] = deg.map { case (n, _) => n -> 1.0 }
+    for (_ <- 1 to ops.Graph.pagerankRounds) {
+      rs = adj.map { case (i, js) =>
+        i -> r6(0.15 + 0.85 * js.map(j => q12(rs(j) / deg(j))).sum.toDouble)
+      }
+    }
+    val n = deg.size
+    assert(out.keySet == adj.keySet)
+    adj.keys.foreach { i =>
+      assert(out(i)._1 == deg(i), s"node $i deg")
+      assert(out(i)._2 == rs(i), s"node $i pr_scaled")
+      assert(out(i)._3 == math.floor(rs(i) / n * 1e9 + 0.5) / 1e9, s"node $i pr")
+    }
+    // probability mass: Σ pr = Σ rs/N ≈ 1 (no dangling nodes; deviation
+    // only from the per-round 1e-6 quantization)
+    val mass = out.values.map(_._3).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"pr mass $mass")
+  }
+
+  test("q75 k-core peel: synthetic cycle+tail cascades over multiple rounds to the exact core") {
+    import spark.implicits._
+    // 6-cycle (the 2-core) with a 5-node tail hanging off node 0: each
+    // peel round removes exactly one tail endpoint, so reaching the
+    // fixpoint takes 5 cascading rounds — the multi-round semantics the
+    // purchase graph (which converges in one peel) never exercises
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6))
+    val tail = Seq((0L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+    val und = (cycle ++ tail).flatMap(e => Seq(e, e.swap)).distinct
+      .toDF("src", "dst")
+    val core = ops.Graph.kcorePeel(und, 2, ops.Graph.kcoreRounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == (0L until 6L).toSet, s"core ${core.keySet}")
+    assert(core.values.forall(_ == 2L), "cycle residual degrees must all be 2")
+    // under-budgeted peel (2 rounds) must leave the partially-peeled tail
+    val partial = ops.Graph.kcorePeel(und, 2, 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(partial == (0L until 6L).toSet ++ Set(10L, 11L, 12L),
+      s"2-round peel $partial")
+  }
+
+  test("q75 on the purchase graph: converged at the round bound, residuals >= k") {
+    val rows = ops.Graph.q75KCore(spark, sf).collect()
+    // (at this SF the 25-core is genuinely empty — 150 nodes, median
+    // degree 10 — which is itself the correct answer; the sf0.01 oracle
+    // gate runs the same operator against a 1199-survivor core)
+    // residual degree ≥ k for every survivor ⇔ the peel reached its
+    // fixpoint within kcoreRounds — the convergence claim the bounded
+    // oracle unroll relies on
+    assert(rows.forall(_.getLong(1) >= ops.Graph.kcoreK.toLong),
+      "peel did not converge within the round bound")
+    // and one more round changes nothing
+    val und = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    val sym = und.select(col("src"), col("dst"))
+      .unionAll(und.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val more = ops.Graph.kcorePeel(sym, ops.Graph.kcoreK, ops.Graph.kcoreRounds + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == rows.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
 }
