@@ -351,7 +351,71 @@ object Features {
       |ORDER BY user_id""".stripMargin
   }
 
+  /** q77: recency-weighted burst score — a dyadic-decay EWMA over each
+    * user's LAST 16 events (most recent weighted 2⁰, then 2⁻¹, …)
+    * against the user's all-time mean: burst ≫ 1 flags a user whose
+    * recent activity level spiked, the classic CDR fraud-onset signal
+    * the reference's static per-slice moments (q10) can't see.
+    *
+    * The decay base is 1/2 ON PURPOSE: every weight 2^−k is a shifted
+    * integer, so the weighted sum runs ENTIRELY in exact int64 —
+    * cents(value)·2^(16−rn) summed exactly, normalized by the exact
+    * weight total (users with < 16 events get the matching truncated
+    * normalizer), with ONE double division at the end. No pow(), no
+    * ln(), no order-dependent float accumulation: fully hash-portable
+    * with zero quantization margin to audit (the α-EWMA literature's
+    * arbitrary decay would cost a non-portable pow() per row).
+    *
+    * Scale: the rank filter (rn ≤ 16) rewrites to WindowGroupLimit —
+    * per-partition top-16 BEFORE the window shuffle moves data — and
+    * the mean side is one map-side-combined aggregation; join keyed on
+    * user_id both sides. */
+  def q77EwmaBurst(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wt = expr("shiftleft(CAST(1 AS BIGINT), 16 - rn)")
+    val recent = ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 16)
+      .select(col("user_id"),
+        ((col("value").cast("decimal(18,2)") * 100).cast("long") * wt).as("term"),
+        wt.as("wt"))
+    val e16 = recent.groupBy(col("user_id"))
+      .agg((sum(col("term")).cast("double") /
+        (lit(100.0) * sum(col("wt")))).as("ewma16"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Exact.davg(col("value")).as("mean_raw"))
+      .join(e16, "user_id")
+      .select(col("user_id"), col("n_events"),
+        Exact.r(col("mean_raw"), 6).as("mean_val"),
+        Exact.r(col("ewma16"), 6).as("ewma16"),
+        when(col("mean_raw") === 0.0, lit(null).cast("double"))
+          .otherwise(Exact.r(col("ewma16") / col("mean_raw"), 6)).as("burst"))
+      .orderBy(col("user_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q77_ewma_burst" ->
+      s"""WITH r AS (SELECT user_id, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        | t AS (SELECT user_id,
+        |   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |     * (CAST(1 AS BIGINT) << (16 - rn)) AS term,
+        |   (CAST(1 AS BIGINT) << (16 - rn)) AS wt
+        |  FROM r WHERE rn <= 16),
+        | e AS (SELECT user_id,
+        |   CAST(sum(term) AS DOUBLE) / (100.0 * sum(wt)) AS ewma16
+        |  FROM t GROUP BY 1),
+        | m AS (SELECT user_id, count(*) AS n_events,
+        |   ${Exact.sql.davg("value")} AS mean_raw FROM events GROUP BY 1)
+        |SELECT user_id, n_events,
+        | ${Exact.sql.r("mean_raw", 6)} AS mean_val,
+        | ${Exact.sql.r("ewma16", 6)} AS ewma16,
+        | CASE WHEN mean_raw = 0.0 THEN NULL
+        |   ELSE ${Exact.sql.r("ewma16 / mean_raw", 6)} END AS burst
+        |FROM m JOIN e USING (user_id) ORDER BY 1""".stripMargin,
     "q10_windowed_stats" ->
       s"""SELECT user_id, scale, bucket,
          | ${Exact.sql.r(Exact.sql.davg("value"), 6)} AS mean_val,
@@ -452,6 +516,7 @@ object Features {
     "q17_zscore" -> (q17ZScore _),
     "q18_stratified_split" -> (q18StratifiedSplit _),
     "q19_feature_matrix" -> (q19FeatureMatrix _),
-    "q59_full_feature_matrix" -> (q59FullFeatureMatrix _)
+    "q59_full_feature_matrix" -> (q59FullFeatureMatrix _),
+    "q77_ewma_burst" -> (q77EwmaBurst _)
   )
 }

@@ -109,6 +109,60 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** q76: distinct counting by PORTABLE HyperLogLog sketch (m = 256
+    * registers, p = 8; Flajolet et al. 2007), next to q07's exact pass —
+    * the sketch a 100 TB engine actually uses for distinct cardinality
+    * (`approx_count_distinct` exists but its HLL++ registers are
+    * engine-private and unverifiable; this one derives every register
+    * from [[Exact.portableHash]], so DuckDB computes the IDENTICAL
+    * sketch and the estimate is hash-oracled like any exact operator).
+    *
+    * Register pipeline, one chain with no cached branches: distinct
+    * (group, user) pairs → bucket = low 8 hash bits, rank = leading-zero
+    * count of the remaining 52 bits + 1 (via `length(bin())` — minimal
+    * binary strings in both engines) → per-bucket max rank AND pair
+    * count in ONE aggregation (the count rolls up to the exact distinct,
+    * so the exact side rides the sketch's shuffles for free). The
+    * indicator sum Σ 2^−M_j is computed as the exact INTEGER
+    * Σ 2^(53−M_j) (+ 2^53 per empty register) — order-independent where
+    * a float sum of 256 doubles would not be — and only the final
+    * α·m²·2^53/S division runs in IEEE doubles. Small-range correction
+    * (E ≤ 2.5m, V > 0): linear counting m·ln(m/V), ln on one row per
+    * group (q68's rule), everything 6dp-quantized. */
+  def q76HllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllDistinct(Tables.events(spark, dir)
+        .select(col("event_type").as("g"), col("user_id").cast("string").as("x")))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"))
+
+  /** The sketch core behind q76 over ANY (g, x) frame — split out so
+    * RelationalSpec can push a small synthetic group through the
+    * linear-counting correction branch (dead on the gate data, where
+    * every group's cardinality is far past 2.5m). */
+  private[graft] def hllDistinct(pairs: DataFrame): DataFrame = {
+    val h = Exact.portableHash(col("x"), 15)
+    val regs = pairs.distinct()
+      .select(col("g"), h.bitwiseAND(lit(255L)).as("b"), shiftright(h, 8).as("w"))
+      .withColumn("rank",
+        when(col("w") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+      .groupBy(col("g"), col("b"))
+      .agg(max(col("rank")).as("mreg"), count(lit(1)).as("cnt"))
+    val v = lit(256L) - col("nb")
+    val s = col("spresent") + v * lit(9007199254740992L)
+    val estRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(9007199254740992.0) / s
+    regs.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_exact"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mreg)")).as("spresent"),
+        count(lit(1)).as("nb"))
+      .select(col("g"), col("n_exact"),
+        Exact.r(when(estRaw <= lit(640.0) && v > 0,
+            lit(256.0) * log(lit(256.0) / v)).otherwise(estRaw), 6)
+          .as("hll_est"))
+      .withColumn("rel_err",
+        Exact.r(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 6))
+  }
+
   /** q08: hierarchical rollup — region → nation subtotal → grand total,
     * the multi-scale (1..4 week) re-aggregation pattern of the reference
     * collapsed into one pass (data_process.py:73). */
@@ -249,6 +303,30 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_hll_distinct" -> {
+      val est = """0.7213/(1.0 + 1.079/256.0) * 65536.0 * 9007199254740992.0
+        |     / (spresent + (256 - nb) * 9007199254740992)""".stripMargin
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        | hb AS (SELECT event_type,
+        |   ${Exact.sql.portableHash("CAST(user_id AS VARCHAR)", 15)} & 255 AS b,
+        |   ${Exact.sql.portableHash("CAST(user_id AS VARCHAR)", 15)} >> 8 AS w
+        |  FROM d),
+        | rk AS (SELECT event_type, b,
+        |   CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rank FROM hb),
+        | regs AS (SELECT event_type, b, max(rank) AS mreg, count(*) AS cnt
+        |  FROM rk GROUP BY 1, 2),
+        | g AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_exact,
+        |   sum(CAST(1 AS BIGINT) << (53 - mreg)) AS spresent, count(*) AS nb
+        |  FROM regs GROUP BY 1),
+        | est AS (SELECT event_type, n_exact,
+        |   floor((CASE WHEN $est <= 640.0 AND 256 - nb > 0
+        |      THEN 256.0 * ln(256.0 / (256 - nb))
+        |      ELSE $est END) * 1e6 + 0.5) / 1e6 AS hll_est
+        |  FROM g)
+        |SELECT event_type, n_exact, hll_est,
+        | floor((abs(hll_est - n_exact) / n_exact) * 1e6 + 0.5) / 1e6 AS rel_err
+        |FROM est ORDER BY 1""".stripMargin
+    },
     "q08_rollup" ->
       s"""SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
         | round(${Exact.sql.dsum("c_acctbal")},4) AS total_bal, count(*) AS n
@@ -291,6 +369,7 @@ object Relational {
     "q08_rollup" -> (q08Rollup _),
     "q09_pivot" -> (q09Pivot _),
     "q44_percentiles" -> (q44Percentiles _),
-    "q58_cube_stats" -> (q58CubeStats _)
+    "q58_cube_stats" -> (q58CubeStats _),
+    "q76_hll_distinct" -> (q76HllDistinct _)
   )
 }

@@ -357,4 +357,48 @@ object EventStream {
           }
       }
   }
+
+  case class BurstOut(user_id: Long, n_events: Long, mean_val: Double,
+    ewma16: Double, burst: Option[Double])
+
+  /** (top-16 recency buffer desc by (ts, event_id), all-time count,
+    * all-time exact cents sum) */
+  private type BurstState = (List[(Long, Long, Long)], Long, Long)
+
+  /** Streaming twin of batch q77 ([[graft.ops.Features.q77EwmaBurst]]):
+    * continuous fraud-onset burst scoring. State per user = the 16 most
+    * recent (ts, event_id, cents) plus exact all-time count/cents-sum;
+    * every batch re-emits the user's current row (Update semantics — the
+    * fraud console wants the LATEST burst, not a history). Arithmetic is
+    * the batch operator's exactly: integer cents·2^(16−rn) weighted sum,
+    * one double division, 6dp quantization — so after any batch split
+    * and any arrival order, the final row per user is BIT-IDENTICAL to
+    * batch q77 over the same events (StreamingSpec proves it). */
+  def ewmaBurstStream(events: Dataset[Event]): Dataset[BurstOut] = {
+    import events.sparkSession.implicits._
+    def cents(v: Double): Long =
+      (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstState, BurstOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[BurstState]) =>
+          val (buf0, n0, sum0) = state.getOption.getOrElse((Nil, 0L, 0L))
+          val incoming = rows.map(e => (e.ts.getTime, e.event_id, cents(e.value))).toList
+          // recency buffer: merge, newest-first by (ts, event_id), cap 16
+          val buf = (incoming ++ buf0)
+            .sortBy { case (t, id, _) => (-t, -id) }.take(16)
+          val n = n0 + incoming.length
+          val sumC = sum0 + incoming.map(_._3).sum
+          state.update((buf, n, sumC))
+          val terms = buf.zipWithIndex.map { case ((_, _, c), i) =>
+            (c * (1L << (15 - i)), 1L << (15 - i))
+          }
+          val ewmaRaw = terms.map(_._1).sum.toDouble / (100.0 * terms.map(_._2).sum)
+          val meanRaw = (sumC / 100.0) / n
+          Iterator.single(BurstOut(userId, n, r6(meanRaw), r6(ewmaRaw),
+            if (meanRaw == 0.0) None else Some(r6(ewmaRaw / meanRaw))))
+      }
+  }
 }

@@ -113,4 +113,33 @@ class FeaturesSpec extends SparkSpec {
     assert(rows(20L).getLong(2) == 1L, "mixed group counts only non-NULL areas")
     assert(rows(20L).getString(3) == "7", "mixed group drops NULLs from the list")
   }
+
+  test("q77 EWMA burst: full driver-side integer replay") {
+    val rows = Features.q77EwmaBurst(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1)
+    assert(rows.keySet == byUser.keySet)
+    byUser.foreach { case (u, es) =>
+      // exact integer replay: cents·2^(16-rn) over the 16 most recent
+      val recent = es.sortBy(e => (-e._2, -e._3)).take(16)
+      val terms = recent.zipWithIndex.map { case (e, i) =>
+        val cents = BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+        (cents.toLongExact * (1L << (15 - i)), 1L << (15 - i))
+      }
+      val ewmaRaw = terms.map(_._1).sum.toDouble / (100.0 * terms.map(_._2).sum)
+      val meanRaw = es.map(e => BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / es.length
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val got = rows(u)
+      assert(got.getLong(1) == es.length.toLong, s"user $u n_events")
+      assert(got.getDouble(2) == r6(meanRaw), s"user $u mean")
+      assert(got.getDouble(3) == r6(ewmaRaw), s"user $u ewma16")
+      if (meanRaw == 0.0) assert(got.isNullAt(4))
+      else assert(got.getDouble(4) == r6(ewmaRaw / meanRaw), s"user $u burst")
+    }
+  }
 }

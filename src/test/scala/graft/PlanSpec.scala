@@ -110,6 +110,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q74: global top-k is TakeOrderedAndProject; rank window sorts only the k-row cut") {
+    val p = plan(ops.Corpus.q74Bm25TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the single-partition rank window must sit ABOVE the top-k cut (its
+    // input is ≤ bm25TopK rows), never below it on the corpus
+    val win = p.indexOf("Window")
+    val topk = p.indexOf("TakeOrderedAndProject")
+    assert(win >= 0 && topk > win, "rank window must consume the top-k output")
+  }
+
+  test("q77: the last-16 rank filter plans as per-partition WindowGroupLimit") {
+    val p = plan(ops.Features.q77EwmaBurst(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q76: sketch registers aggregate map-side; one events scan feeds exact + sketch") {
+    val p = plan(ops.Relational.q76HllDistinct(spark, sf))
+    assert("""(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("partial_max") || p.contains("partial_count"), p.take(2000))
+  }
+
   test("q19: feature assembly executes ≤2 physical events scans") {
     // base aggregates + gap mean + recall rate fold into ONE scan (one
     // window sort feeds them all); repeat-rate keeps its distinct-grain

@@ -81,4 +81,38 @@ class RelationalSpec extends SparkSpec {
     val (e, a) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     assert(math.abs(e - a) / e < 0.10, s"exact $e approx $a")
   }
+
+  test("q76 HLL estimate within the sketch's error bound; exact side truly exact") {
+    val rows = Relational.q76HllDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // m=256 → standard error 1.04/√256 ≈ 6.5%; 3σ guard
+      assert(r.getAs[Double]("rel_err") < 0.20,
+        s"${r.getString(0)}: rel_err ${r.getAs[Double]("rel_err")}")
+    }
+    // the exact column must equal an independent countDistinct
+    import org.apache.spark.sql.functions._
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
+  }
+
+  test("q76 linear-counting branch: small cardinalities hit the m·ln(m/V) correction") {
+    import spark.implicits._
+    val n = 50
+    val pairs = (1 to n).map(i => ("tiny", s"v$i")).toDF("g", "x")
+    val r = ops.Relational.hllDistinct(pairs).head()
+    assert(r.getLong(1) == n.toLong)
+    // with 50 hashes over 256 registers the raw estimate is far below
+    // 2.5m, so the emitted value must be the linear-counting form for
+    // the OBSERVED number of empty registers (replay it driver-side)
+    val est = r.getAs[Double]("hll_est")
+    val candidates = (256 - n to 255).map(v =>
+      math.floor(256.0 * StrictMath.log(256.0 / v) * 1e6 + 0.5) / 1e6)
+    assert(candidates.contains(est), s"est $est is not a linear-counting value")
+    // linear counting at this density is accurate to a few percent
+    assert(math.abs(est - n) / n < 0.10, s"est $est vs exact $n")
+  }
 }

@@ -356,6 +356,45 @@ class StreamingSpec extends SparkSpec {
     assert(oovRow.getAs[Double]("min_logp") == kOov / 1e6)
   }
 
+  test("ewmaBurstStream: final per-user rows are bit-identical to batch q77") {
+    implicit val sq = spark.sqlContext
+    // stream the WHOLE sf events table, split across two unordered
+    // batches — the state path must reproduce batch q77 exactly
+    val all = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // adversarial split: second half first, so most-recent events often
+    // arrive in the FIRST batch and the buffer must not evict them
+    val (b2, b1) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[Event]
+    val q = EventStream.ewmaBurstStream(mem.toDS())
+      .writeStream.format("memory").queryName("burst_out")
+      .outputMode("update").start()
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // memory sink in update mode appends re-emissions; keep the LAST row
+    // per user (the current burst the fraud console would show)
+    val streamed = spark.table("burst_out").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("n_events"), r.getAs[Double]("mean_val"),
+          r.getAs[Double]("ewma16"), Option(r.getAs[java.lang.Double]("burst")).map(_.doubleValue))))
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.maxBy(_._2._1)._2 // n_events grows monotonically
+      }
+    q.stop()
+    val batch = ops.Features.q77EwmaBurst(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, s) =>
+      assert(s == batch(u), s"user $u: stream $s != batch ${batch(u)}")
+    }
+  }
+
   test("dsirScoreStream: streamed DSIR scores are bit-identical to batch q71 per doc") {
     implicit val sq = spark.sqlContext
     val (lw, prior) = ops.Corpus.dsirTable(spark, sf)
