@@ -533,6 +533,92 @@ object Corpus {
   private[graft] val bm25Query = Seq("spark", "hash", "join", "window")
   private[graft] val bm25TopK = 100
 
+  /** q78: exact repeated-substring spans — the relational form of the
+    * suffix-array ExactSubstr dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): the dedup grain
+    * BETWEEN q30's whole-doc hash and q63's line pass. A position is
+    * duplicated when the word-8-gram starting there occurs ≥2 times in
+    * the WHOLE corpus (the suffix-array "substring occurs twice"
+    * criterion at gram granularity, stride 1, positions kept — unlike
+    * q60's distinct-gram set); flagged positions merge into maximal
+    * covered spans (positions ≤8 apart share coverage), and each doc
+    * reports its span count, covered-token mass, longest span and
+    * coverage ratio — the mask an ExactSubstr pass would cut.
+    *
+    * Portability: everything is integer arithmetic (positions, span
+    * algebra) except the final coverage ratio (6dp) — no ln, no margin
+    * audit. Scale: the per-(doc,pos) gram stream is projection-only and
+    * NEVER cached (q60's rule); it reaches exactly ONE exchange — the
+    * map-side-combined occurrence count — and the aggregated dup-gram
+    * list joins back as a broadcast build side, so raw positions are
+    * never shuffled by gram (pinned in PlanSpec; at a corpus where the
+    * dup-gram list outgrows broadcast, AQE falls back to a shuffle join
+    * keyed on the gram — the skew-safe shape); span merging windows
+    * within each doc (doc-sized partitions, no global sort). */
+  def q78DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = expr(
+      """CASE WHEN size(split(text, ' ')) >= 8 THEN
+        |  transform(sequence(1, size(split(text, ' ')) - 7),
+        |    i -> struct(i AS p, concat_ws(' ', slice(split(text, ' '), i, 8)) AS g))
+        | ELSE array() END""".stripMargin)
+    val pos = docs.select(col("doc_id"), explode(grams).as("pg"))
+      .select(col("doc_id"), col("pg.p").cast("long").as("p"), col("pg.g").as("g"))
+    val dup = pos.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val flagged = pos.join(dup, "g")
+      .withColumn("prev", lag(col("p"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("p") - col("prev") > 8, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = flagged.groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("p")) + 7 - min(col("p")) + 1).as("len"))
+    val per = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("len")).as("dup_tokens"),
+        max(col("len")).as("longest_span"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"),
+        Exact.r(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) / col("n_tok"), 6)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def dupSpansOracleSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      | u AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+      |     i -> struct_pack(p := i, g := array_to_string(t[i:i+7], ' ')))) AS pg
+      |  FROM tk),
+      | p AS (SELECT doc_id, CAST(pg.p AS BIGINT) AS p, pg.g AS g FROM u),
+      | dup AS (SELECT g FROM p GROUP BY g HAVING count(*) >= 2),
+      | f AS (SELECT doc_id, p,
+      |   CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 8
+      |     THEN 1 ELSE 0 END AS brk
+      |  FROM p JOIN dup USING (g)
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      | isl AS (SELECT doc_id, p,
+      |   sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM f),
+      | spans AS (SELECT doc_id, isl, max(p) + 7 - min(p) + 1 AS len
+      |  FROM isl GROUP BY 1, 2),
+      | per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |   CAST(sum(len) AS BIGINT) AS dup_tokens,
+      |   CAST(max(len) AS BIGINT) AS longest_span
+      |  FROM spans GROUP BY 1),
+      | n AS (SELECT doc_id, len(t)::BIGINT AS n_tok FROM tk)
+      |SELECT n.doc_id, n_tok,
+      | coalesce(n_spans, 0) AS n_spans,
+      | coalesce(dup_tokens, 0) AS dup_tokens,
+      | coalesce(longest_span, 0) AS longest_span,
+      | floor((coalesce(dup_tokens, 0) * 1.0 / n_tok) * 1e6 + 0.5) / 1e6 AS dup_ratio
+      |FROM n LEFT JOIN per USING (doc_id) ORDER BY 1""".stripMargin
+
   private def bm25OracleSql: String = {
     val terms = bm25Query.map(t => s"'$t'").mkString(", ")
     s"""WITH dl AS (SELECT doc_id,
@@ -561,6 +647,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q74_bm25" -> bm25OracleSql,
+    "q78_dup_spans" -> dupSpansOracleSql,
     "q71_dsir_weight" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         | g AS (SELECT doc_id,
@@ -736,6 +823,7 @@ object Corpus {
     "q63_line_dedup" -> (q63LineDedup _),
     "q68_lm_quality" -> (q68LmQuality _),
     "q71_dsir_weight" -> (q71DsirWeight _),
-    "q74_bm25" -> (q74Bm25TopK _)
+    "q74_bm25" -> (q74Bm25TopK _),
+    "q78_dup_spans" -> (q78DupSpans _)
   )
 }

@@ -187,6 +187,40 @@ class CorpusSpec extends SparkSpec {
     assert(ss == ss.sortBy(-(_: Double)))
   }
 
+  test("q78 dup spans: full driver-side replay of the span algebra") {
+    val rows = ops.Corpus.q78DupSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // corpus-wide 8-gram occurrence counts (positions kept, stride 1)
+    val posGrams = docs.map { case (id, t) =>
+      val tok = t.split(" ", -1)
+      id -> (if (tok.length >= 8)
+        (0 to tok.length - 8).map(i => (i + 1L, tok.slice(i, i + 8).mkString(" ")))
+      else Seq.empty)
+    }.toMap
+    val occ = posGrams.values.flatten.groupBy(_._2).map { case (g, xs) => g -> xs.size }
+    assert(occ.values.exists(_ >= 2), "corpus must contain repeated 8-grams")
+    docs.foreach { case (id, t) =>
+      val nTok = t.split(" ", -1).length.toLong
+      val flagged = posGrams(id).collect { case (p, g) if occ(g) >= 2 => p }.sorted
+      // merge positions ≤8 apart into spans of coverage [p, p+7]
+      val spans = flagged.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, p) if p - e <= 8 => (s, math.max(e, p)) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) => e + 7 - s + 1 }
+      val r = rows(id)
+      assert(r.getLong(1) == nTok, s"doc $id n_tok")
+      assert(r.getLong(2) == spans.length.toLong, s"doc $id n_spans")
+      assert(r.getLong(3) == spans.sum, s"doc $id dup_tokens")
+      assert(r.getLong(4) == (if (spans.isEmpty) 0L else spans.max), s"doc $id longest")
+      assert(r.getDouble(5) ==
+        math.floor(spans.sum * 1.0 / nTok * 1e6 + 0.5) / 1e6, s"doc $id ratio")
+      // coverage can never exceed the doc
+      assert(r.getLong(3) <= nTok)
+    }
+  }
+
   test("q71 DSIR: full driver-side StrictMath replay, boundary margins, keep consistency") {
     val rows = ops.Corpus.q71DsirWeight(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

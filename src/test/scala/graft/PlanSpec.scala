@@ -280,6 +280,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("q78: dup-gram flags broadcast; the positional stream is never cached or re-shuffled") {
+    // the ExactSubstr pass's scale shape: the positional gram stream
+    // stays projection-only (never cached — it is ~8× corpus tokens,
+    // q60's rule) and reaches ONE exchange total (the map-side-combined
+    // occurrence count); the aggregated dup-gram list joins back as a
+    // BROADCAST build side, so raw positions are never shuffled by gram
+    // (exchange reuse can't help here — the count consumer partial-aggs
+    // before its exchange while the join would need raw rows); span
+    // windows partition by doc_id, never globally
+    val p = plan(ops.Corpus.q78DupSpans(spark, sf))
+    assert(!p.contains("InMemoryTableScan"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // window specs all carry the doc_id partition key
+    assert(!p.contains("windowspecdefinition(p#"), "span window lost its doc partition")
+  }
+
   test("q72: determinism sort runs on the narrow scan, below the rule projection") {
     // the q70 lesson, pinned for q72: a trailing global orderBy makes
     // the range partitioner's sampling job execute the whole HOF/regex
