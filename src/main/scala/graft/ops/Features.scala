@@ -395,7 +395,45 @@ object Features {
       .orderBy(col("user_id"))
   }
 
+  /** q79: event-type transition matrix — the first-order Markov
+    * signature of user behavior (P(next = b | current = a) over
+    * consecutive events per user), the sequence feature the
+    * reference's per-slice moments flatten away; fraud campaigns have
+    * distinctive transition fingerprints (e.g. burst chains of the
+    * same type) that q12's static histogram can't separate from
+    * benign mixes.
+    *
+    * Portability: integer pair counts and ONE double division per
+    * (a,b) cell, 6dp — no margins to audit. Scale: one user-partition
+    * window (q13's shuffle) feeding a map-side-combined count keyed on
+    * the (a,b) pair — |types|² cells total, so the per-row totals join
+    * is a broadcast of a tiny aggregate, and nothing re-sorts
+    * globally. */
+  def q79Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy(col("cur")).agg(sum(col("n")).as("t"))
+    pairs.join(broadcast(tot), "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        Exact.r(col("n") * lit(1.0) / col("t"), 6).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q79_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        | c AS (SELECT event_type AS cur, nxt, count(*) AS n
+        |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        | t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
+        |SELECT cur, nxt, n, floor((n * 1.0 / t) * 1e6 + 0.5) / 1e6 AS p
+        |FROM c JOIN t USING (cur) ORDER BY 1, 2""".stripMargin,
     "q77_ewma_burst" ->
       s"""WITH r AS (SELECT user_id, value,
         |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -517,6 +555,7 @@ object Features {
     "q18_stratified_split" -> (q18StratifiedSplit _),
     "q19_feature_matrix" -> (q19FeatureMatrix _),
     "q59_full_feature_matrix" -> (q59FullFeatureMatrix _),
-    "q77_ewma_burst" -> (q77EwmaBurst _)
+    "q77_ewma_burst" -> (q77EwmaBurst _),
+    "q79_transitions" -> (q79Transitions _)
   )
 }

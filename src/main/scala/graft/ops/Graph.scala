@@ -701,7 +701,11 @@ object Graph {
       stable = edges == prevEdges
       prevEdges = edges
     }
+    // materialize the node-sized result BEFORE dropping the edge cache:
+    // the returned frame is lazy, and unpersisting first would force the
+    // caller's collect to recompute the whole peel chain uncached
     val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     e.unpersist()
     out
   }

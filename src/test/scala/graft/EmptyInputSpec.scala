@@ -32,7 +32,9 @@ class EmptyInputSpec extends SparkSpec {
     "q59_full_feature_matrix", "q66_gcn_propagate", "q67_gcn_propagate2",
     "q65_edge_class_balanced_prob", "q64_multi_relation_sampling_prob",
     "q44_percentiles", "q68_lm_quality", "q69_mix_sample", "q70_pii_scrub",
-    "q71_dsir_weight", "q72_gopher_rules")
+    "q71_dsir_weight", "q72_gopher_rules", "q73_pagerank", "q74_bm25",
+    "q75_kcore", "q76_hll_distinct", "q77_ewma_burst", "q78_dup_spans",
+    "q79_transitions")
 
   reps.foreach { name =>
     test(s"$name runs on an all-empty scale factor") {

@@ -114,6 +114,20 @@ class FeaturesSpec extends SparkSpec {
     assert(rows(20L).getString(3) == "7", "mixed group drops NULLs from the list")
   }
 
+  test("q79 transitions: rows are a proper conditional distribution; mass conserved") {
+    val rows = ops.Features.q79Transitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // P(·|a) sums to 1 per current type (up to the 6dp quantization)
+    rows.groupBy(_.getString(0)).foreach { case (a, rs) =>
+      val mass = rs.map(_.getDouble(3)).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"cur=$a mass $mass")
+    }
+    // total transition count = Σ_user (n_events − 1)
+    val expected = Tables.events(spark, sf).groupBy(col("user_id"))
+      .count().collect().map(_.getLong(1) - 1).sum
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
   test("q77 EWMA burst: full driver-side integer replay") {
     val rows = Features.q77EwmaBurst(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
