@@ -84,9 +84,16 @@ object Bench {
     // The driver parses this line from a 2000-char stdout tail: keep it
     // short (2-decimal secs — far below the VM's ±10% noise floor) and
     // emit it AFTER spark.stop() so shutdown logging can't land between
-    // the line and the end of the captured tail.
+    // the line and the end of the captured tail. Per-query keys compact
+    // to their unambiguous qNN prefix: full names blew past the tail at
+    // 79 queries (2029 chars measured); prefixes hold ~1200 chars with
+    // headroom past 120 queries, and map 1:1 to SparkEntry.queries keys.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def shortKey(k: String): String = {
+      val p = k.takeWhile(c => c != '_')
+      if (results.keys.count(_.startsWith(p + "_")) == 1) p else k
+    }
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0

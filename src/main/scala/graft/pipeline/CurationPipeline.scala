@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *             → optional DSIR domain gate (q71's importance ratios:
   *               drop docs scoring at/below `dsirFloor` — the
   *               domain-targeting selection; target-slice docs pass)
+  *             → optional ExactSubstr gate (q78's repeated-substring
+  *               coverage: drop docs above `dupRatioCap` — Lee et
+  *               al.'s boilerplate-heavy tail)
   *             → decontamination (q60: drop every kept doc sharing a
   *               verbatim word-8-gram with the benchmark slice — the
   *               slice itself never enters the corpus)
@@ -45,7 +48,8 @@ object CurationPipeline {
   def run(spark: SparkSession, dir: String, buckets: Int = 8,
       lakePrefix: String = "curation",
       lmFloor: Option[Double] = None,
-      dsirFloor: Option[Double] = None): Result = {
+      dsirFloor: Option[Double] = None,
+      dupRatioCap: Option[Double] = None): Result = {
     // 1. the q57 keep-list: survivors of the language, quality,
     //    exact-dedup and near-dup gates, with per-doc token counts
     val kept = ops.Corpus.q57Kept(spark, dir).cache()
@@ -84,12 +88,28 @@ object CurationPipeline {
       case None => gated
     }
 
+    // 1d. optional ExactSubstr gate (q78): drop kept docs whose
+    //     repeated-substring coverage exceeds the cap — Lee et al.'s
+    //     boilerplate-heavy tail (a doc that is mostly corpus-duplicated
+    //     spans adds optimization pressure toward memorization). Off by
+    //     default; span stats compute corpus-wide (duplication is a
+    //     corpus property, not a kept-set property — mirroring q60's
+    //     whole-corpus benchmark grams).
+    val dupGated = dupRatioCap match {
+      case Some(cap) =>
+        val spans = ops.Corpus.q78DupSpans(spark, dir)
+          .select(col("doc_id"), col("dup_ratio"))
+        dsGated.join(spans, Seq("doc_id"))
+          .filter(col("dup_ratio") <= cap).drop("dup_ratio").cache()
+      case None => dsGated
+    }
+
     // 2. decontamination: q60 emits per-doc benchmark-overlap flags for
     //    every non-benchmark doc, so the inner join BOTH drops the
     //    benchmark slice from the corpus and keys the flag lookup
     val decon = ops.Corpus.q60Decontaminate(spark, dir)
       .select(col("doc_id"), col("contaminated"))
-    val clean = dsGated.join(decon, Seq("doc_id"))
+    val clean = dupGated.join(decon, Seq("doc_id"))
       .filter(!col("contaminated")).drop("contaminated")
       .cache() // feeds the pack plan, the lake write AND the stats row
 
@@ -113,6 +133,7 @@ object CurationPipeline {
     val keptAgg = kept.agg(count(lit(1)).as("n_kept"))
     val gatedAgg = gated.agg(count(lit(1)).as("n_lm_kept"))
     val dsAgg = dsGated.agg(count(lit(1)).as("n_ds_kept"))
+    val dupAgg = dupGated.agg(count(lit(1)).as("n_dup_kept"))
     val planAgg = plan.agg(
       count(lit(1)).as("n_final"),
       coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
@@ -121,10 +142,12 @@ object CurationPipeline {
     val stats = totals.crossJoin(broadcast(keptAgg))
       .crossJoin(broadcast(gatedAgg))
       .crossJoin(broadcast(dsAgg))
+      .crossJoin(broadcast(dupAgg))
       .crossJoin(broadcast(planAgg))
       .withColumn("n_lm_dropped", col("n_kept") - col("n_lm_kept"))
       .withColumn("n_dsir_dropped", col("n_lm_kept") - col("n_ds_kept"))
-      .drop("n_lm_kept", "n_ds_kept")
+      .withColumn("n_dup_dropped", col("n_ds_kept") - col("n_dup_kept"))
+      .drop("n_lm_kept", "n_ds_kept", "n_dup_kept")
       .withColumn("n_chunks",
         ceil(col("n_tokens") / lit(ops.Corpus.ctxLen.toDouble)).cast("long"))
       .withColumn("split_frac",

@@ -140,4 +140,36 @@ class CurationSpec extends SparkSpec {
     assert(s.getAs[Long]("n_lm_dropped") == 0L)
     assert(s.getAs[Long]("n_final") == clean.size)
   }
+
+  test("curation pipeline with ExactSubstr gate: the dup-ratio cap drops exactly the spanned tail") {
+    scrub("curation_dup_keeplist", "curation_dup_chunks")
+    val ratios = ops.Corpus.q78DupSpans(spark, sf)
+      .select(col("doc_id"), col("dup_ratio")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val baseKept = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_dup").keeplist
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // median coverage over kept docs, so the cap genuinely splits them
+    val sorted = baseKept.toSeq.map(ratios).sorted
+    val cap = sorted(sorted.size / 2)
+    assert(sorted.exists(_ > cap), "cap must actually drop something")
+
+    scrub("curation_dup_keeplist", "curation_dup_chunks")
+    val r = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_dup", dupRatioCap = Some(cap))
+    val clean = r.clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean.nonEmpty)
+    assert(clean.forall(id => ratios(id) <= cap))
+    val contaminated = ops.Corpus.q60Decontaminate(spark, sf)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = baseKept.filter(id =>
+      ratios(id) <= cap && id % 23 != 0 && !contaminated(id))
+    assert(clean == expected)
+    val s = r.stats.head()
+    assert(s.getAs[Long]("n_dup_dropped") == baseKept.count(id => ratios(id) > cap))
+    assert(s.getAs[Long]("n_lm_dropped") == 0L &&
+      s.getAs[Long]("n_dsir_dropped") == 0L)
+    assert(s.getAs[Long]("n_final") == clean.size)
+  }
 }
