@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -140,27 +140,40 @@ object Relational {
     * linear-counting correction branch (dead on the gate data, where
     * every group's cardinality is far past 2.5m). */
   private[graft] def hllDistinct(pairs: DataFrame): DataFrame = {
-    val h = Exact.portableHash(col("x"), 15)
     val regs = pairs.distinct()
-      .select(col("g"), h.bitwiseAND(lit(255L)).as("b"), shiftright(h, 8).as("w"))
-      .withColumn("rank",
-        when(col("w") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+      .select(col("g"), hllBucket(col("x")).as("b"), hllRank(col("x")).as("rank"))
       .groupBy(col("g"), col("b"))
       .agg(max(col("rank")).as("mreg"), count(lit(1)).as("cnt"))
-    val v = lit(256L) - col("nb")
-    val s = col("spresent") + v * lit(9007199254740992L)
-    val estRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-      lit(65536.0) * lit(9007199254740992.0) / s
     regs.groupBy(col("g"))
       .agg(sum(col("cnt")).as("n_exact"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mreg)")).as("spresent"),
         count(lit(1)).as("nb"))
       .select(col("g"), col("n_exact"),
-        Exact.r(when(estRaw <= lit(640.0) && v > 0,
-            lit(256.0) * log(lit(256.0) / v)).otherwise(estRaw), 6)
-          .as("hll_est"))
+        hllEstimate(col("spresent"), col("nb")).as("hll_est"))
       .withColumn("rel_err",
         Exact.r(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 6))
+  }
+
+  /** The sketch's register coordinates for a string key — shared by the
+    * batch core and the streaming windowed twin
+    * ([[graft.streaming.EventStream.hllDistinctStream]]) so both paths
+    * compute the IDENTICAL (bucket, rank) registers. */
+  private[graft] def hllBucket(x: Column): Column =
+    Exact.portableHash(x, 15).bitwiseAND(lit(255L))
+  private[graft] def hllRank(x: Column): Column = {
+    val w = shiftright(Exact.portableHash(x, 15), 8)
+    when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w)))
+  }
+
+  /** The register-table → estimate projection (raw HLL + the
+    * linear-counting small-range branch), over (Σ2^(53−M), #present). */
+  private[graft] def hllEstimate(spresent: Column, nb: Column): Column = {
+    val v = lit(256L) - nb
+    val s = spresent + v * lit(9007199254740992L)
+    val estRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(9007199254740992.0) / s
+    Exact.r(when(estRaw <= lit(640.0) && v > 0,
+      lit(256.0) * log(lit(256.0) / v)).otherwise(estRaw), 6)
   }
 
   /** q08: hierarchical rollup — region → nation subtotal → grand total,

@@ -358,6 +358,34 @@ object EventStream {
       }
   }
 
+  /** Streaming twin of batch q76: per-10-minute-window distinct-user
+    * ESTIMATES via the same portable HLL sketch — the cardinality a
+    * fraud console actually watches ("how many distinct callers this
+    * window"), with state bounded at 256 registers per window instead
+    * of the unbounded per-user set an exact streaming distinct needs.
+    * Two CHAINED stateful aggregations (Spark 4's multi-stateful
+    * append mode): registers per (window, bucket) via the associative
+    * max — duplicate users can't move a max, so the no-dedup stream
+    * register equals batch q76's post-dedup register — then the
+    * finalized register rows roll up to the per-window estimate
+    * through the SAME estimate projection the batch core uses
+    * (StreamingSpec pins window-for-window equality). */
+  def hllDistinctStream(events: DataFrame): DataFrame = {
+    import graft.ops.Relational.{hllBucket, hllRank, hllEstimate}
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"),
+        hllBucket(col("user_id").cast("string")).as("b"),
+        hllRank(col("user_id").cast("string")).as("rank"))
+      .groupBy(window(col("ts"), "10 minutes"), col("b"))
+      .agg(max(col("rank")).as("mreg"))
+      .groupBy(col("window"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mreg)")).as("spresent"),
+        count(lit(1)).as("nb"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        hllEstimate(col("spresent"), col("nb")).as("hll_est"))
+  }
+
   case class BurstOut(user_id: Long, n_events: Long, mean_val: Double,
     ewma16: Double, burst: Option[Double])
 

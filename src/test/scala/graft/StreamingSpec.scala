@@ -356,6 +356,37 @@ class StreamingSpec extends SparkSpec {
     assert(oovRow.getAs[Double]("min_logp") == kOov / 1e6)
   }
 
+  test("hllDistinctStream: finalized window estimates equal the batch sketch") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.hllDistinctStream(mem.toDF())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    // window [0,10): users 1..40 (some repeated events — the register
+    // max is dedup-insensitive); window [10,20): users 100..109
+    val w0 = (1 to 40).map(u => ev(u.toLong, 2, u.toLong, 1.0)) ++
+      (1 to 40).map(u => ev(1000 + u.toLong, 7, u.toLong, 1.0))
+    val w1 = (0 to 9).map(i => ev(2000 + i.toLong, 12, 100L + i, 1.0))
+    mem.addData(w0 ++ w1: _*)
+    q.processAllAvailable()
+    mem.addData(ev(9999, 300, 1, 1.0)) // advance the watermark far past both
+    q.processAllAvailable()
+    val streamed = spark.table("hll_out").collect()
+      .map(r => r.getAs[Timestamp]("w_start").getTime ->
+        r.getAs[Double]("hll_est")).toMap
+    q.stop()
+    assert(streamed.size == 2, s"expected 2 finalized windows: $streamed")
+    // batch reference: the SAME sketch core over (window-start, user)
+    import spark.implicits._
+    val batch = ops.Relational.hllDistinct(
+        ((1 to 40).map(u => ("w0", u.toString)) ++
+          (0 to 9).map(i => ("w1", (100 + i).toString))).toDF("g", "x"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_est")).toMap
+    assert(streamed(base * 60000L) == batch("w0"),
+      s"w0 stream ${streamed(base * 60000L)} != batch ${batch("w0")}")
+    assert(streamed((base + 10) * 60000L) == batch("w1"))
+  }
+
   test("ewmaBurstStream: final per-user rows are bit-identical to batch q77") {
     implicit val sq = spark.sqlContext
     // stream the WHOLE sf events table, split across two unordered
