@@ -27,7 +27,14 @@ object FraudPipeline {
 
   case class Result(features: DataFrame, scored: DataFrame, metrics: DataFrame)
 
-  def run(spark: SparkSession, dir: String): Result = {
+  /** `extendedFeatures = true` joins in the engine's beyond-parity
+    * signals the reference never had — PageRank importance (q73),
+    * k-core membership + residual degree (q75) and the EWMA burst
+    * score (q77) — zero-filled for users outside the graph/core, so
+    * the matrix stays one row per user. Off by default: the default
+    * run stays the reference-parity 32-slot matrix. */
+  def run(spark: SparkSession, dir: String,
+      extendedFeatures: Boolean = false): Result = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.functions.vector_to_array
@@ -35,7 +42,21 @@ object FraudPipeline {
     // 1. the full 32-slot feature matrix per user (the reference's
     //    slice_feature incl. signed degrees / neighbor degree /
     //    clustering — data_process.py:159-168)
-    val features = ops.Features.q59FullFeatureMatrix(spark, dir)
+    val parity = ops.Features.q59FullFeatureMatrix(spark, dir)
+    val features = if (!extendedFeatures) parity else {
+      val pr = ops.Graph.q73PageRank(spark, dir)
+        .select(col("node").as("user_id"), col("pr_scaled"))
+      val core = ops.Graph.q75KCore(spark, dir)
+        .select(col("node").as("user_id"),
+          lit(1.0).as("in_kcore"), col("d").cast("double").as("kcore_deg"))
+      val burst = ops.Features.q77EwmaBurst(spark, dir)
+        .select(col("user_id"), coalesce(col("burst"), lit(0.0)).as("burst"))
+      parity
+        .join(pr, Seq("user_id"), "left")
+        .join(core, Seq("user_id"), "left")
+        .join(burst, Seq("user_id"), "left")
+        .na.fill(0.0, Seq("pr_scaled", "in_kcore", "kcore_deg", "burst"))
+    }
 
     // 2. labels from the account table (user_id keys into customer)
     val labeled = features.join(

@@ -50,6 +50,24 @@ class PipelineSpec extends SparkSpec {
       s"auc ${m.getAs[Double]("auc")} vs direct $aucDirect")
   }
 
+  test("extended features add the engine's beyond-parity signals, zero-filled") {
+    val r = pipeline.FraudPipeline.run(spark, sf, extendedFeatures = true)
+    for (c <- Seq("pr_scaled", "in_kcore", "kcore_deg", "burst"))
+      assert(r.features.columns.contains(c), c)
+    // still one row per user, no fan-out from the joins
+    assert(r.features.count() ==
+      pipeline.FraudPipeline.run(spark, sf).features.count())
+    assert(r.features.groupBy("user_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // at this SF the 25-core is empty, so the membership flag must be
+    // uniformly zero-filled — the left-join fill path, proven not vacuous
+    val flags = r.features.select("in_kcore").distinct()
+      .collect().map(_.getDouble(0)).toSet
+    assert(flags == Set(0.0), flags.toString)
+    // pagerank joins real mass for every user in the purchase graph
+    assert(r.features.filter(col("pr_scaled") > 0).count() > 0)
+  }
+
   test("pipeline split is reproducible") {
     val a = pipeline.FraudPipeline.run(spark, sf).scored
       .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
