@@ -589,32 +589,58 @@ object Graph {
   def q73PageRank(spark: SparkSession, dir: String): DataFrame = {
     val und = symmetrized(
         factBase(spark, dir).select(col("src"), col("dst")), "src", "dst")
-      .distinct().cache() // degree agg + one message join per round
-    val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
-    val nn = deg.agg(count(lit(1)).as("nn"))
+      .distinct().cache() // normalizer agg + one message join per round
+    // uniform transitions: w ≡ 1, so Σw per src is the plain degree and
+    // prs·1/d is bit-identical to the oracle's rs/d (·1.0 is IEEE-exact)
+    pagerankLoop(und.withColumn("w", lit(1L)), nodeGate(spark, dir))
+      .withColumnRenamed("wdeg", "deg")
+      .orderBy(col("node"))
+  }
+
+  /** q80: WEIGHTED PageRank — transition mass proportional to line
+    * counts between the pair (the q25 adjacency's weights), the
+    * importance score that separates a hub with many weak ties from a
+    * ring member with few heavy ones; same power iteration, message
+    * rs·w/Σw in the identical IEEE op order both engines. */
+  def q80WeightedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val adj = symmetrized(
+        factBase(spark, dir).select(col("src"), col("dst")), "src", "dst")
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .cache()
+    pagerankLoop(adj, nodeGate(spark, dir)).orderBy(col("node"))
+  }
+
+  private def nodeGate(spark: SparkSession, dir: String): DataFrame => DataFrame = {
     val broadcastNodeLimit = 50L * 1000 * 1000
     val nodeBound = Tables.customer(spark, dir).count() +
       Tables.supplier(spark, dir).count()
-    def gated(df: DataFrame): DataFrame =
-      if (nodeBound <= broadcastNodeLimit) broadcast(df) else df
-    val dSrc = gated(deg.select(col("n").as("src"), col("d")))
-    var rs = deg.select(col("n"), lit(1.0).as("rs"))
+    df => if (nodeBound <= broadcastNodeLimit) broadcast(df) else df
+  }
+
+  /** The damped power iteration behind q73/q80 over ANY symmetric
+    * weighted adjacency (src, dst, w): per round one co-partitioned
+    * join of the edge cache against the node-sized (checkpointed,
+    * broadcast-gated) rank table + one exact-decimal aggregation. */
+  private def pagerankLoop(adj: DataFrame, gated: DataFrame => DataFrame): DataFrame = {
+    val ws = adj.groupBy(col("src").as("n")).agg(sum(col("w")).as("ws"))
+    val nn = ws.agg(count(lit(1)).as("nn"))
+    val wsS = gated(ws.select(col("n").as("src"), col("ws")))
+    var rs = ws.select(col("n"), lit(1.0).as("rs"))
     for (_ <- 1 to pagerankRounds) {
       // node-sized: checkpoint cuts round k−1's plan out of round k
       val prev = gated(rs.localCheckpoint(true)
         .select(col("n").as("src"), col("rs").as("prs")))
-      rs = und.join(dSrc, "src").join(prev, "src")
+      rs = adj.join(wsS, "src").join(prev, "src")
         .select(col("dst"),
-          (col("prs") / col("d")).cast("decimal(28,12)").as("m"))
+          (col("prs") * col("w") / col("ws")).cast("decimal(28,12)").as("m"))
         .groupBy(col("dst").as("n"))
         .agg(Exact.r(lit(0.15) + lit(0.85) * sum(col("m")).cast("double"), 6)
           .as("rs"))
     }
-    rs.join(deg, "n").crossJoin(broadcast(nn))
-      .select(col("n").as("node"), col("d").as("deg"),
+    rs.join(ws, "n").crossJoin(broadcast(nn))
+      .select(col("n").as("node"), col("ws").as("wdeg"),
         col("rs").as("pr_scaled"),
         Exact.r(col("rs") / col("nn"), 9).as("pr"))
-      .orderBy(col("node"))
   }
 
   private[graft] val pagerankRounds = 3
@@ -708,6 +734,31 @@ object Graph {
       .localCheckpoint(true)
     e.unpersist()
     out
+  }
+
+  /** The q80 oracle: q73's unroll with line-count transition weights —
+    * message rs·w/Σw spelled in the same IEEE op order as the plan. */
+  private def weightedPagerankOracleSql: String = {
+    val iters = (1 to pagerankRounds).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (SELECT a.dst AS n,
+         |   floor((0.15 + 0.85 * CAST(sum(CAST(r.rs * a.w / ws.ws AS DECIMAL(28,12))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rs
+         |  FROM adj a JOIN ws ON a.src = ws.n JOIN $prev r ON a.src = r.n
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH e0 AS (SELECT o_custkey AS src, l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       | adj AS (SELECT src, dst, count(*) AS w FROM
+       |   (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+       |  GROUP BY 1, 2),
+       | ws AS (SELECT src AS n, CAST(sum(w) AS BIGINT) AS ws FROM adj GROUP BY 1),
+       | nn AS (SELECT count(*) AS nn FROM ws),
+       | r0 AS (SELECT n, CAST(1.0 AS DOUBLE) AS rs FROM ws),
+       | $iters
+       |SELECT ws.n AS node, ws.ws AS wdeg, r.rs AS pr_scaled,
+       | floor((r.rs / nn.nn) * 1e9 + 0.5) / 1e9 AS pr
+       |FROM r$pagerankRounds r JOIN ws ON r.n = ws.n CROSS JOIN nn
+       |ORDER BY 1""".stripMargin
   }
 
   /** The q75 oracle: the same bounded peel unrolled as chained CTEs
@@ -988,6 +1039,7 @@ object Graph {
         |   / count(*) OVER (PARTITION BY dst))) * 1e6 + 0.5) / 1e6 AS norm_w
         |FROM adj ORDER BY 1, 2""".stripMargin,
     "q73_pagerank" -> pagerankOracleSql,
+    "q80_weighted_pagerank" -> weightedPagerankOracleSql,
     "q75_kcore" -> kcoreOracleSql
   )
 
@@ -1007,6 +1059,7 @@ object Graph {
     "q66_gcn_propagate" -> (q66GcnPropagate _),
     "q67_gcn_propagate2" -> (q67GcnPropagate2 _),
     "q73_pagerank" -> (q73PageRank _),
+    "q80_weighted_pagerank" -> (q80WeightedPagerank _),
     "q75_kcore" -> (q75KCore _)
   )
 }

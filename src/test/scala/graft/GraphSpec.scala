@@ -194,6 +194,23 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-3, s"pr mass $mass")
   }
 
+  test("q80 weighted PageRank: mass conserved, weights actually move rank vs q73") {
+    val wrows = ops.Graph.q80WeightedPagerank(spark, sf).collect()
+    val urows = ops.Graph.q73PageRank(spark, sf).collect()
+    assert(wrows.length == urows.length, "same node universe")
+    val mass = wrows.map(_.getDouble(3)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"pr mass $mass")
+    // weighted degree ≥ unweighted degree everywhere (each und edge
+    // carries ≥1 line), strictly greater somewhere
+    val ud = urows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wrows.forall(r => r.getLong(1) >= ud(r.getLong(0))))
+    assert(wrows.exists(r => r.getLong(1) > ud(r.getLong(0))))
+    // and the weighting genuinely changes the ranking for some node
+    val up = urows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(wrows.exists(r => r.getDouble(2) != up(r.getLong(0))),
+      "weighted ranks identical to uniform — weights had no effect")
+  }
+
   test("q75 k-core peel: synthetic cycle+tail cascades over multiple rounds to the exact core") {
     import spark.implicits._
     // 6-cycle (the 2-core) with a 5-node tail hanging off node 0: each
