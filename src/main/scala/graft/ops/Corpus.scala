@@ -589,6 +589,74 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** q81: PMI collocations — pointwise mutual information over
+    * consecutive word pairs, the phrase-mining / collocation statistic
+    * a tokenizer-vocab or quality pipeline runs over the corpus
+    * (Church & Hanks 1990): PMI(a,b) = ln(c_ab·N / (c_a·c_b)), floored
+    * at `pmiMinCount` co-occurrences, top `pmiTopK` by (pmi desc, pair).
+    *
+    * Exactness: the ratio is computed in DOUBLES from the start —
+    * `(c_ab·1.0·N)/(c_a·1.0·c_b)` — because the integer product c_ab·N
+    * can overflow int64 at corpus scale, where DuckDB errors while
+    * non-ANSI Spark wraps (a silent divergence); double arithmetic is
+    * identical in both engines at any scale. ln touches only the
+    * bigram-VOCAB-sized result (vocab², corpus-bounded — q68's rule),
+    * 6dp-quantized, margins spec-audited. Scale: two map-side-combined
+    * aggregations over the pair stream (projection-only, never
+    * cached), unigram counts broadcast back, global top-k via
+    * TakeOrderedAndProject. */
+  def q81PmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairExpr = expr(
+      """CASE WHEN size(split(text, ' ')) >= 2 THEN
+        |  transform(sequence(1, size(split(text, ' ')) - 1),
+        |    i -> struct(element_at(split(text, ' '), i) AS a,
+        |                element_at(split(text, ' '), i + 1) AS b))
+        | ELSE array() END""".stripMargin)
+    val pairs = docs.select(explode(pairExpr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= pmiMinCount)
+    val uni = pairs.select(col("a").as("w"))
+      .unionAll(pairs.select(col("b")))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val n = pairs.agg(count(lit(1)).as("n"))
+    val scored = cab
+      .join(broadcast(uni.select(col("w").as("a"), col("cw").as("ca"))), "a")
+      .join(broadcast(uni.select(col("w").as("b"), col("cw").as("cb"))), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab"),
+        Exact.r(log(col("cab") * lit(1.0) * col("n") /
+          (col("ca") * lit(1.0) * col("cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(pmiTopK)
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy(col("pmi").desc, col("a"), col("b"))).cast("long"))
+      .orderBy(col("rk"))
+  }
+
+  private[graft] val pmiMinCount = 5L
+  private[graft] val pmiTopK = 100
+
+  private def pmiOracleSql: String =
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+      | p AS (SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+      |     i -> struct_pack(a := t[i], b := t[i + 1]))) AS pr
+      |  FROM tk),
+      | pairs AS (SELECT pr.a AS a, pr.b AS b FROM p),
+      | cab AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY 1, 2
+      |   HAVING count(*) >= $pmiMinCount),
+      | uni AS (SELECT w, count(*) AS cw FROM
+      |   (SELECT a AS w FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1),
+      | n AS (SELECT count(*) AS n FROM pairs),
+      | s AS (SELECT a, b, cab,
+      |   floor(ln(cab * 1.0 * n / (ua.cw * 1.0 * ub.cw)) * 1e6 + 0.5) / 1e6 AS pmi
+      |  FROM cab JOIN uni ua ON cab.a = ua.w JOIN uni ub ON cab.b = ub.w
+      |   CROSS JOIN n)
+      |SELECT a, b, cab, pmi,
+      | row_number() OVER (ORDER BY pmi DESC, a, b) AS rk
+      |FROM s ORDER BY rk LIMIT $pmiTopK""".stripMargin
+
   private def dupSpansOracleSql: String =
     """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       | u AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
@@ -648,6 +716,7 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "q74_bm25" -> bm25OracleSql,
     "q78_dup_spans" -> dupSpansOracleSql,
+    "q81_pmi_bigrams" -> pmiOracleSql,
     "q71_dsir_weight" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         | g AS (SELECT doc_id,
@@ -824,6 +893,7 @@ object Corpus {
     "q68_lm_quality" -> (q68LmQuality _),
     "q71_dsir_weight" -> (q71DsirWeight _),
     "q74_bm25" -> (q74Bm25TopK _),
-    "q78_dup_spans" -> (q78DupSpans _)
+    "q78_dup_spans" -> (q78DupSpans _),
+    "q81_pmi_bigrams" -> (q81PmiBigrams _)
   )
 }

@@ -187,6 +187,38 @@ class CorpusSpec extends SparkSpec {
     assert(ss == ss.sortBy(-(_: Double)))
   }
 
+  test("q81 PMI: full driver-side replay, ln boundary margins, rank contract") {
+    val rows = ops.Corpus.q81PmiBigrams(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect()
+    val pairs = docs.flatMap(_.split(" ", -1).sliding(2).collect {
+      case Array(a, b) => (a, b)
+    })
+    val cab = pairs.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= ops.Corpus.pmiMinCount)
+    val uni = (pairs.map(_._1) ++ pairs.map(_._2)).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val n = pairs.length.toLong
+    val scored = cab.map { case ((a, b), c) =>
+      val y = StrictMath.log(c * 1.0 * n / (uni(a) * 1.0 * uni(b))) * 1e6
+      val frac = y - math.floor(y)
+      // vocab² pairs sit denser near boundaries than q68's unigram
+      // vocab (closest measured: 3.6e-4) — still ≥10⁴× the ~1e-9 ulp
+      // disagreement scale, so the gate is safe with margin to spare
+      assert(math.abs(frac - 0.5) > 1e-5, s"pmi($a,$b) on a 6dp boundary: $y")
+      (a, b, c, math.floor(y + 0.5) / 1e6)
+    }.toSeq
+    val expected = scored.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }
+      .take(ops.Corpus.pmiTopK)
+    assert(rows.length == math.min(ops.Corpus.pmiTopK, scored.size))
+    rows.zip(expected).zipWithIndex.foreach { case ((r, (a, b, c, pmi)), i) =>
+      assert(r.getString(0) == a && r.getString(1) == b, s"rank ${i + 1} pair")
+      assert(r.getLong(2) == c && r.getDouble(3) == pmi, s"rank ${i + 1} values")
+      assert(r.getLong(4) == i + 1L)
+    }
+  }
+
   test("q78 dup spans: full driver-side replay of the span algebra") {
     val rows = ops.Corpus.q78DupSpans(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

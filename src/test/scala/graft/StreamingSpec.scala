@@ -356,6 +356,46 @@ class StreamingSpec extends SparkSpec {
     assert(oovRow.getAs[Double]("min_logp") == kOov / 1e6)
   }
 
+  test("ewmaBurstStream recovers its buffer and totals across a stop/restart from checkpoint") {
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val ckp = Files.createTempDirectory("graft_burst_ckp").toString
+    // Update-mode output needs a fault-tolerant sink for checkpoint
+    // recovery (memory sink refuses): foreachBatch into a buffer —
+    // STATE recovery rides the shared checkpoint, not the sink
+    val got = new scala.collection.concurrent.TrieMap[(Long, Long), (Double, Double)]
+    def start() = EventStream.ewmaBurstStream(mem.toDS())
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStream.BurstOut], _: Long) =>
+        df.collect().foreach(b =>
+          got.put((b.user_id, b.n_events), (b.mean_val, b.ewma16)))
+      }
+      .option("checkpointLocation", ckp)
+      .outputMode("update").start()
+    // batch 1: two events into state, then "crash"
+    val q1 = start()
+    mem.addData(ev(1, 0, 1, 2.0), ev(2, 10, 1, 4.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // arrives while down: the restart must fold it into the RECOVERED
+    // buffer/totals — a lost state store would read n_events = 1
+    mem.addData(ev(3, 20, 1, 6.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = got.toSeq.map { case ((_, n), (m, e)) => (n, m, e) }
+    assert(rows.nonEmpty, "restarted query emitted nothing")
+    val last = rows.maxBy(_._1)
+    assert(last._1 == 3L, s"state lost across restart: $rows")
+    assert(last._2 == 4.0, s"mean over all three events: $last")
+    // buffer order recovered: newest (6.0) carries weight 2^15
+    val expEwma = math.floor(
+      (600L * 32768L + 400L * 16384L + 200L * 8192L).toDouble /
+        (100.0 * (32768L + 16384L + 8192L)) * 1e6 + 0.5) / 1e6
+    assert(last._3 == expEwma, s"ewma $last vs $expEwma")
+  }
+
   test("hllDistinctStream: finalized window estimates equal the batch sketch") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
