@@ -638,6 +638,61 @@ object Corpus {
   private[graft] val pmiMinCount = 5L
   private[graft] val pmiTopK = 100
 
+  /** q82: per-source KL divergence from the global unigram
+    * distribution — the corpus-drift audit a data team runs per
+    * ingest source (a source whose word distribution diverges from
+    * the corpus is mislabeled, contaminated, or a different register;
+    * the monitoring statistic behind "did this crawl batch change?").
+    * KL(P_s ‖ Q) = Σ_w P_s(w)·ln(P_s(w)/Q(w)) over the source's seen
+    * vocabulary (P_s(w) > 0 everywhere it contributes, and Q(w) > 0
+    * whenever P_s(w) > 0 by construction — no smoothing needed).
+    *
+    * Exactness: the probability ratio collapses to the integer-derived
+    * double chain (c_sw·1.0·T)/(T_s·1.0·c_w) — doubles from the start
+    * (q81's overflow rule); ln runs on (source × vocab)-sized rows
+    * only (bounded vocabulary artifact, q68's rule), quantizes at 6dp,
+    * multiplies by the per-source probability and sums as exact
+    * DECIMAL(28,12) — order-independent. Scale: two map-side-combined
+    * aggregations over one token stream (per-(source,word), then
+    * per-word rolled up FROM that — the corpus scans once), broadcast
+    * totals, one vocab-sized join. */
+  def q82SourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("csw"))
+      .cache() // vocab-sized (|sources|×|vocab|); feeds three rollups
+    val cw = sw.groupBy(col("w")).agg(sum(col("csw")).as("cw"))
+    val ts = sw.groupBy(col("source")).agg(sum(col("csw")).as("ts"))
+    val t = cw.agg(sum(col("cw")).as("t"))
+    sw.join(broadcast(cw), "w").join(broadcast(ts), "source")
+      .crossJoin(broadcast(t))
+      .select(col("source"), col("ts"),
+        ((col("csw") * lit(1.0) / col("ts")) *
+          Exact.r(log(col("csw") * lit(1.0) * col("t") /
+            (col("ts") * lit(1.0) * col("cw"))), 6))
+          .cast("decimal(28,12)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("ts")).as("n_tokens"),
+        Exact.r(sum(col("term")).cast("double"), 6).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  private def sourceKlOracleSql: String =
+    """WITH sw AS (SELECT source, w, count(*) AS csw FROM
+      |   (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      | cw AS (SELECT w, CAST(sum(csw) AS BIGINT) AS cw FROM sw GROUP BY 1),
+      | ts AS (SELECT source, CAST(sum(csw) AS BIGINT) AS ts FROM sw GROUP BY 1),
+      | t AS (SELECT CAST(sum(cw) AS BIGINT) AS t FROM cw),
+      | terms AS (SELECT source, ts,
+      |   CAST((csw * 1.0 / ts) *
+      |     (floor(ln(csw * 1.0 * t / (ts * 1.0 * cw)) * 1e6 + 0.5) / 1e6)
+      |    AS DECIMAL(28,12)) AS term
+      |  FROM sw JOIN cw USING (w) JOIN ts USING (source) CROSS JOIN t)
+      |SELECT source, max(ts) AS n_tokens,
+      | floor(CAST(sum(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kl
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def pmiOracleSql: String =
     s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
       | p AS (SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
@@ -717,6 +772,7 @@ object Corpus {
     "q74_bm25" -> bm25OracleSql,
     "q78_dup_spans" -> dupSpansOracleSql,
     "q81_pmi_bigrams" -> pmiOracleSql,
+    "q82_source_kl" -> sourceKlOracleSql,
     "q71_dsir_weight" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         | g AS (SELECT doc_id,
@@ -894,6 +950,7 @@ object Corpus {
     "q71_dsir_weight" -> (q71DsirWeight _),
     "q74_bm25" -> (q74Bm25TopK _),
     "q78_dup_spans" -> (q78DupSpans _),
-    "q81_pmi_bigrams" -> (q81PmiBigrams _)
+    "q81_pmi_bigrams" -> (q81PmiBigrams _),
+    "q82_source_kl" -> (q82SourceKl _)
   )
 }

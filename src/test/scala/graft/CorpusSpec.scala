@@ -219,6 +219,35 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q82 source KL: non-negative, full driver-side replay with margin audit") {
+    val rows = ops.Corpus.q82SourceKl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val sw = docs.flatMap { case (s, t) => t.split(" ", -1).map(w => (s, w)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val cw = sw.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val ts = sw.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val t = cw.values.sum
+    def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val expected = ts.keys.map { s =>
+      val terms = sw.collect { case ((`s`, w), c) =>
+        val y = StrictMath.log(c * 1.0 * t / (ts(s) * 1.0 * cw(w))) * 1e6
+        val frac = y - math.floor(y)
+        assert(math.abs(frac - 0.5) > 1e-5, s"kl term($s,$w) on a boundary: $y")
+        q12((c * 1.0 / ts(s)) * (math.floor(y + 0.5) / 1e6))
+      }
+      s -> math.floor(terms.sum.toDouble * 1e6 + 0.5) / 1e6
+    }.toMap
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) == ts(s), s"$s n_tokens")
+      assert(r.getDouble(2) == expected(s), s"$s kl ${r.getDouble(2)} != ${expected(s)}")
+      // KL ≥ 0 up to the 6dp per-term quantization (vocab-sized slack)
+      assert(r.getDouble(2) > -1e-3, s"$s kl negative beyond quantization slack")
+    }
+  }
+
   test("q78 dup spans: full driver-side replay of the span algebra") {
     val rows = ops.Corpus.q78DupSpans(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
