@@ -424,7 +424,60 @@ object Features {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /** q83: Gini concentration of user activity, per event type and
+    * overall — the inequality statistic that separates organic traffic
+    * (moderate concentration) from scripted fleets (either uniform
+    * bot schedules ⇒ Gini ≈ 0, or a few hyperactive accounts ⇒
+    * Gini → 1); the classic formula
+    * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending-ranked
+    * per-user counts.
+    *
+    * Exactness: every sum is exact int64 (ranks × integer counts; tie
+    * order is pinned by (x, user_id) and cannot move the sum anyway),
+    * ONE double expression at the end, 6dp — no ln, no margins.
+    * Scale: the rank is the q44/q27 two-pass bucket primitive — a
+    * window PARTITIONED BY (group, range-bucket) plus driver-folded
+    * exclusive offsets over ≤ groups × 1024 metadata rows — never a
+    * single-partition global sort of the user table. */
+  def q83ActivityGini(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perUser = ev
+      .groupBy(col("event_type").as("grp"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .unionAll(ev.groupBy(lit("ALL").as("grp"), col("user_id"))
+        .agg(count(lit(1)).as("x")))
+    val bucketed = Ranking.withRangeBucket(perUser, "x", descending = false)
+    val off = Ranking.exclusiveOffsetsBy(bucketed, "grp",
+      Map("cnt" -> count(lit(1))))
+    val w = Window.partitionBy(col("grp"), col("_b"))
+      .orderBy(col("x"), col("user_id"))
+    bucketed
+      .withColumn("i", row_number().over(w).cast("long") + off("cnt"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total"),
+        sum(col("i") * col("x")).as("s1"))
+      .select(col("grp"), col("n_users"), col("total"),
+        Exact.r((lit(2.0) * col("s1") - (col("n_users") + lit(1.0)) * col("total"))
+          / (col("n_users") * lit(1.0) * col("total")), 6).as("gini"))
+      .orderBy(col("grp"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q83_activity_gini" ->
+      """WITH pu AS (SELECT event_type AS grp, user_id, count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'ALL', user_id, count(*) FROM events GROUP BY 2),
+        | r AS (SELECT grp, x,
+        |   row_number() OVER (PARTITION BY grp ORDER BY x, user_id) AS i
+        |  FROM pu),
+        | a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+        |   CAST(sum(x) AS BIGINT) AS total, CAST(sum(i * x) AS BIGINT) AS s1
+        |  FROM r GROUP BY 1)
+        |SELECT grp, n_users, total,
+        | floor(((2.0 * s1 - (n_users + 1.0) * total)
+        |   / (n_users * 1.0 * total)) * 1e6 + 0.5) / 1e6 AS gini
+        |FROM a ORDER BY 1""".stripMargin,
     "q79_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
         |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
@@ -556,6 +609,7 @@ object Features {
     "q19_feature_matrix" -> (q19FeatureMatrix _),
     "q59_full_feature_matrix" -> (q59FullFeatureMatrix _),
     "q77_ewma_burst" -> (q77EwmaBurst _),
-    "q79_transitions" -> (q79Transitions _)
+    "q79_transitions" -> (q79Transitions _),
+    "q83_activity_gini" -> (q83ActivityGini _)
   )
 }

@@ -128,6 +128,27 @@ class FeaturesSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == expected)
   }
 
+  test("q83 Gini: bounds, driver-side replay, uniform counts give zero") {
+    val rows = ops.Features.q83ActivityGini(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)} gini $g out of bounds")
+    }
+    // driver replay of the ALL row from per-user counts
+    val xs = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(identity).map(_._1)
+    val n = xs.length.toLong
+    val total = xs.sum
+    val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val exp = math.floor((2.0 * s1 - (n + 1.0) * total) /
+      (n * 1.0 * total) * 1e6 + 0.5) / 1e6
+    val all = rows.find(_.getString(0) == "ALL").get
+    assert(all.getLong(1) == n && all.getLong(2) == total)
+    assert(all.getDouble(3) == exp, s"ALL gini ${all.getDouble(3)} != $exp")
+  }
+
   test("q77 EWMA burst: full driver-side integer replay") {
     val rows = Features.q77EwmaBurst(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
