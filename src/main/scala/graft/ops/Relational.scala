@@ -176,6 +176,70 @@ object Relational {
       lit(256.0) * log(lit(256.0) / v)).otherwise(estRaw), 6)
   }
 
+  /** q84: Count-Min frequency sketch (Cormode & Muthukrishnan 2005) —
+    * q76's frequency-estimation sibling: per-key occurrence estimates
+    * from d×w = 4×1024 bounded cells instead of an unbounded per-key
+    * aggregation, the structure a 100 TB stream/monitoring layer keeps
+    * when the key universe (callers, IPs, grams) outgrows memory.
+    * Like q76, every cell derives from [[Exact.portableHash]] (row-
+    * salted), so DuckDB builds the IDENTICAL sketch and the estimates
+    * themselves hash-oracle — pure integer arithmetic end to end, not
+    * even a quantization step.
+    *
+    * Emits, for a fixed probe set (user_ids 1..20 + an absent key -1):
+    * the exact count, the CMS estimate (min over the 4 row cells) and
+    * the overcount — the CMS error the absent key isolates exactly
+    * (its estimate IS pure collision mass). Scale: one map-side-
+    * combined aggregation of the 4×-exploded event stream into ≤4096
+    * cells; probes join the tiny cell table broadcast. */
+  def q84CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val wBuckets = 1024L
+    def bucket(key: Column, r: Column): Column =
+      Exact.portableHash(concat(r.cast("string"), lit(":"), key.cast("string")), 15) % wBuckets
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), explode(array((0 until d).map(lit): _*)).as("r"))
+      .select(col("r"), bucket(col("user_id"), col("r")).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val probes = spark.range(1, 21).select(col("id").as("user_id"))
+      .unionAll(spark.range(1).select(lit(-1L).as("user_id")))
+    val exact = Tables.events(spark, dir)
+      .filter(col("user_id").between(1L, 20L))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    probes
+      .select(col("user_id"), explode(array((0 until d).map(lit): _*)).as("r"))
+      .select(col("user_id"), col("r"), bucket(col("user_id"), col("r")).as("b"))
+      .join(broadcast(cells), Seq("r", "b"), "left")
+      .groupBy(col("user_id"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+      .join(exact, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("cms_est"),
+        (col("cms_est") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
+      .orderBy(col("user_id"))
+  }
+
+  private def countMinOracleSql: String = {
+    def bucket(key: String, r: String): String =
+      s"${Exact.sql.portableHash(s"CAST($r AS VARCHAR) || ':' || CAST($key AS VARCHAR)", 15)} % 1024"
+    s"""WITH rows4 AS (SELECT unnest(range(0, 4)) AS r),
+       | cells AS (SELECT r, ${bucket("user_id", "r")} AS b, count(*) AS c
+       |  FROM events CROSS JOIN rows4 GROUP BY 1, 2),
+       | probes AS (SELECT unnest(range(1, 21)) AS user_id
+       |   UNION ALL SELECT -1),
+       | pb AS (SELECT user_id, r, ${bucket("user_id", "r")} AS b
+       |  FROM probes CROSS JOIN rows4),
+       | est AS (SELECT user_id, min(coalesce(c, 0)) AS cms_est
+       |  FROM pb LEFT JOIN cells USING (r, b) GROUP BY 1),
+       | ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM events WHERE user_id BETWEEN 1 AND 20 GROUP BY 1)
+       |SELECT est.user_id, coalesce(n_exact, 0) AS n_exact,
+       | CAST(cms_est AS BIGINT) AS cms_est,
+       | CAST(cms_est - coalesce(n_exact, 0) AS BIGINT) AS overcount
+       |FROM est LEFT JOIN ex USING (user_id) ORDER BY 1""".stripMargin
+  }
+
   /** q08: hierarchical rollup — region → nation subtotal → grand total,
     * the multi-scale (1..4 week) re-aggregation pattern of the reference
     * collapsed into one pass (data_process.py:73). */
@@ -316,6 +380,7 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_countmin" -> countMinOracleSql,
     "q76_hll_distinct" -> {
       val est = """0.7213/(1.0 + 1.079/256.0) * 65536.0 * 9007199254740992.0
         |     / (spresent + (256 - nb) * 9007199254740992)""".stripMargin
@@ -383,6 +448,7 @@ object Relational {
     "q09_pivot" -> (q09Pivot _),
     "q44_percentiles" -> (q44Percentiles _),
     "q58_cube_stats" -> (q58CubeStats _),
-    "q76_hll_distinct" -> (q76HllDistinct _)
+    "q76_hll_distinct" -> (q76HllDistinct _),
+    "q84_countmin" -> (q84CountMin _)
   )
 }

@@ -34,15 +34,22 @@ class EmptyInputSpec extends SparkSpec {
     "q44_percentiles", "q68_lm_quality", "q69_mix_sample", "q70_pii_scrub",
     "q71_dsir_weight", "q72_gopher_rules", "q73_pagerank", "q74_bm25",
     "q75_kcore", "q76_hll_distinct", "q77_ewma_burst", "q78_dup_spans",
-    "q79_transitions", "q80_weighted_pagerank", "q81_pmi_bigrams", "q82_source_kl", "q83_activity_gini")
+    "q79_transitions", "q80_weighted_pagerank", "q81_pmi_bigrams", "q82_source_kl", "q83_activity_gini", "q84_countmin")
 
   reps.foreach { name =>
     test(s"$name runs on an all-empty scale factor") {
       val out = SparkEntry.queries(name)(spark, emptyDir)
       val n = out.count()
-      // metric queries may legitimately emit one all-null summary row;
-      // everything else must be empty
-      assert(n <= 1, s"$name returned $n rows on empty input")
+      if (name == "q84_countmin") {
+        // fixed-probe queries emit one row per probe regardless of the
+        // data; on an empty corpus every count and estimate must be 0
+        val nonZero = out.filter(col("n_exact") =!= 0L || col("cms_est") =!= 0L).count()
+        assert(nonZero == 0, s"$name emitted non-zero sketch values on empty input")
+      } else {
+        // metric queries may legitimately emit one all-null summary row;
+        // everything else must be empty
+        assert(n <= 1, s"$name returned $n rows on empty input")
+      }
       spark.catalog.clearCache()
     }
   }

@@ -99,6 +99,28 @@ class RelationalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
 
+  test("q84 Count-Min: estimates dominate exact counts; absent key isolates collision mass") {
+    val rows = ops.Relational.q84CountMin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 21)
+    // the CMS guarantee: estimate >= exact, always
+    rows.foreach { case (u, (exact, est, over)) =>
+      assert(est >= exact, s"user $u: est $est < exact $exact")
+      assert(over == est - exact)
+    }
+    // the absent key's estimate is PURE collision mass
+    assert(rows(-1L)._1 == 0L)
+    // exact side agrees with an independent count
+    import org.apache.spark.sql.functions._
+    val exact = Tables.events(spark, sf)
+      .filter(col("user_id").between(1L, 20L))
+      .groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 20L).foreach { u =>
+      assert(rows(u)._1 == exact.getOrElse(u, 0L), s"user $u exact")
+    }
+  }
+
   test("q76 linear-counting branch: small cardinalities hit the m·ln(m/V) correction") {
     import spark.implicits._
     val n = 50
