@@ -462,7 +462,201 @@ object Features {
       .orderBy(col("grp"))
   }
 
+  /** q85: the per-slice DYNAMIC feature tensor — the reference's actual
+    * model input. data_process.py:92-148 builds ONE networkx graph PER
+    * time window from the window's own call records (`nets = [nx.Graph()
+    * ...]`) and computes degree / neighbor degree / clustering per
+    * (person, window); model.py:25 consumes FOUR stacked time-scale
+    * tensors (oneweek, twoweek, threeweek, month). q59 is the static
+    * whole-period projection of this; q85 is the real thing: the full
+    * 32-slot slice_feature vector per (user, scale, bucket) —
+    * [out_deg, in_deg, nbr_avg_deg, clustering, recall_rate,
+    * repeat_rate, mean_val, var_val] + 24 hour bins — where BOTH the
+    * activity slots AND the graph slots are computed from exactly the
+    * slice's own events.
+    *
+    * The per-slice graph is the q53 call-graph analog (src = user_id,
+    * dst = the props.k counterpart) restricted to the slice — the same
+    * records that feed the slice's activity stats, exactly like the
+    * reference's per-window nets (the purchase graph can't serve here:
+    * its o_orderdate axis never intersects the events timeline).
+    * Graph slots run through the KEYED q20/q22/q23 cores
+    * ([[Graph.q20DegreesKeyed]] etc.) — the same degree agg, neighbor
+    * join and triangle pairing with (scale, bucket) prepended to every
+    * key, so the whole tensor adds no new shuffle kinds, just more
+    * groups; repeat_rate is q14's consecutive-week Jaccard re-grained
+    * to (slice, slice−1) at each scale.
+    *
+    * Scale: ONE events scan exploded ×4 feeds activity, type sets and
+    * edges; every downstream join is co-partitioned on
+    * (user/node, scale, bucket). Per-slice subgraphs are strictly
+    * smaller than the static graph, so the triangle join's hub bound
+    * (adjCap per (slice, src)) is looser than q23's own. */
+  def q85SliceFeatureTensor(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
+      .withColumn("day_idx", datediff(col("ts").cast("date"), lit(epoch).cast("date")))
+      .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
+      .withColumn("peer", get_json_object(col("props"), "$.k").cast("long"))
+      .cache() // three consumers: activity agg, type sets, edge build
+    val sliceW = Window.partitionBy(col("user_id"), col("scale"), col("bucket"))
+    val hourCols = (0 until 24).map(h =>
+      Exact.r(sum(when(hour(col("ts")) === h, 1L).otherwise(0L)) * lit(1.0) /
+        count(lit(1)), 6).as(f"h$h%02d"))
+    val nView = sum(when(col("event_type") === "view", 1L).otherwise(0L))
+    val nViewLater = sum(when(col("event_type") === "view" && col("mp") > col("ts"), 1L)
+      .otherwise(0L))
+    // recall is slice-local (a view "converts" only if a purchase follows
+    // WITHIN the slice); the no-view case must be guarded explicitly —
+    // 0/0 on doubles is NaN, not NULL, so coalesce can't paper over it
+    val act = ev
+      .withColumn("mp", max(when(col("event_type") === "purchase", col("ts"))).over(sliceW))
+      .groupBy(col("user_id"), col("scale"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        (Seq(
+          Exact.r(Exact.davg(col("value")), 6).as("mean_val"),
+          Exact.r(Exact.dvarPop(col("value")), 6).as("var_val"),
+          when(nView === 0, lit(0.0))
+            .otherwise(Exact.r(nViewLater * lit(1.0) / nView, 6)).as("recall_rate"))
+          ++ hourCols): _*)
+    // slice-local contact repeat: Jaccard of the slice's type set vs the
+    // PREVIOUS bucket at the same scale (q14 re-grained)
+    val uw = ev.select(col("user_id"), col("scale"), col("bucket"), col("event_type"))
+      .distinct().cache() // both sides of the intersection join + counts
+    val cnt = uw.groupBy(col("user_id"), col("scale"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val inter = uw.as("a").join(uw.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.scale") === col("b.scale") &&
+        col("b.bucket") === col("a.bucket") - 1 &&
+        col("a.event_type") === col("b.event_type"))
+      .groupBy(col("a.user_id").as("user_id"), col("a.scale").as("scale"),
+        col("a.bucket").as("bucket"))
+      .agg(count(lit(1)).as("i"))
+    val rep = cnt.as("c")
+      .join(cnt.as("p"),
+        col("p.user_id") === col("c.user_id") && col("p.scale") === col("c.scale") &&
+        col("p.bucket") === col("c.bucket") - 1, "left")
+      .join(inter.as("x"),
+        col("x.user_id") === col("c.user_id") && col("x.scale") === col("c.scale") &&
+        col("x.bucket") === col("c.bucket"), "left")
+      .select(col("c.user_id").as("user_id"), col("c.scale").as("scale"),
+        col("c.bucket").as("bucket"),
+        Exact.r(coalesce(col("x.i"), lit(0L)) /
+          (col("c.n") + coalesce(col("p.n"), lit(0L)) - coalesce(col("x.i"), lit(0L))),
+          6).as("repeat_rate"))
+    // per-slice call graph: distinct directed (user → peer) per slice
+    val keys = Seq("scale", "bucket")
+    val e0 = ev.filter(col("peer").isNotNull)
+      .select(col("scale"), col("bucket"), col("user_id").as("src"), col("peer").as("dst"))
+      .distinct().cache() // degree explode + symmetrize read it twice
+    val dg = Graph.q20DegreesKeyed(e0, keys)
+    val und = Graph.symmetrizedKeyed(e0, keys).distinct().cache()
+    val nad = Graph.q22FromUndKeyed(und, keys)
+      .select(col("scale"), col("bucket"), col("node"), col("nbr_avg_deg"))
+    val cc = Graph.q23FromUndKeyed(und.filter(col("src") =!= col("dst")), keys)
+      .select(col("scale"), col("bucket"), col("node"), col("clustering"))
+    val jk = Seq("user_id", "scale", "bucket")
+    act
+      .join(rep, jk, "left")
+      .join(dg.withColumnRenamed("node", "user_id"), jk, "left")
+      .join(nad.withColumnRenamed("node", "user_id"), jk, "left")
+      .join(cc.withColumnRenamed("node", "user_id"), jk, "left")
+      .select(
+        Seq(col("user_id"), col("scale"), col("bucket"), col("n_events"),
+          col("mean_val"), col("var_val"), col("recall_rate"),
+          coalesce(col("repeat_rate"), lit(0.0)).as("repeat_rate")) ++
+        (0 until 24).map(h => col(f"h$h%02d")) ++
+        Seq(coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("nbr_avg_deg"), lit(0.0)).as("nbr_avg_deg"),
+          coalesce(col("clustering"), lit(0.0)).as("clustering")): _*)
+      .orderBy(col("user_id"), col("scale"), col("bucket"))
+  }
+
+  private val q85OracleSql: String = {
+    val hourSql = (0 until 24).map(h =>
+      f"floor((sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS h$h%02d")
+      .mkString(",\n  ")
+    s"""WITH ev AS (SELECT e.*, s.scale,
+       |   (date_diff('day', DATE '$epoch', ts::DATE))::BIGINT // (7*s.scale)::BIGINT AS bucket,
+       |   CAST(props->>'k' AS BIGINT) AS peer
+       |  FROM events e CROSS JOIN (VALUES (1),(2),(3),(4)) s(scale)),
+       | a0 AS (SELECT user_id, scale, bucket, ts, event_type, value,
+       |   max(CASE WHEN event_type='purchase' THEN ts END)
+       |    OVER (PARTITION BY user_id, scale, bucket) AS mp
+       |  FROM ev),
+       | act AS (SELECT user_id, scale, bucket, count(*) AS n_events,
+       |  ${Exact.sql.r(Exact.sql.davg("value"), 6)} AS mean_val,
+       |  ${Exact.sql.r(Exact.sql.dvarPop("value"), 6)} AS var_val,
+       |  CASE WHEN sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) = 0 THEN 0.0
+       |   ELSE floor((sum(CASE WHEN event_type='view' AND mp > ts THEN 1 ELSE 0 END)*1.0
+       |     / sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)) * 1e6 + 0.5) / 1e6
+       |   END AS recall_rate,
+       |  $hourSql
+       | FROM a0 GROUP BY 1,2,3),
+       | uw AS (SELECT DISTINCT user_id, scale, bucket, event_type FROM ev),
+       | cnt AS (SELECT user_id, scale, bucket, count(*) AS n FROM uw GROUP BY 1,2,3),
+       | inter AS (SELECT a.user_id, a.scale, a.bucket, count(*) AS i FROM uw a
+       |   JOIN uw b ON a.user_id=b.user_id AND a.scale=b.scale
+       |    AND b.bucket = a.bucket - 1 AND a.event_type=b.event_type
+       |   GROUP BY 1,2,3),
+       | rep AS (SELECT c.user_id, c.scale, c.bucket,
+       |   floor((coalesce(x.i,0)*1.0/(c.n + coalesce(p.n,0) - coalesce(x.i,0))) * 1e6 + 0.5) / 1e6 AS repeat_rate
+       |  FROM cnt c
+       |   LEFT JOIN cnt p ON p.user_id=c.user_id AND p.scale=c.scale AND p.bucket=c.bucket-1
+       |   LEFT JOIN inter x ON x.user_id=c.user_id AND x.scale=c.scale AND x.bucket=c.bucket),
+       | e0 AS (SELECT DISTINCT scale, bucket, user_id AS src, peer AS dst
+       |  FROM ev WHERE peer IS NOT NULL),
+       | dirs AS (SELECT scale, bucket, src AS node, 1 AS dir FROM e0
+       |   UNION ALL SELECT scale, bucket, dst, 0 FROM e0),
+       | dg AS (SELECT scale, bucket, node,
+       |   CAST(sum(CASE WHEN dir=1 THEN 1 ELSE 0 END) AS BIGINT) AS out_deg,
+       |   CAST(sum(CASE WHEN dir=0 THEN 1 ELSE 0 END) AS BIGINT) AS in_deg
+       |  FROM dirs GROUP BY 1,2,3),
+       | und AS (SELECT DISTINCT scale, bucket, src, dst FROM
+       |   (SELECT scale, bucket, src, dst FROM e0
+       |    UNION ALL SELECT scale, bucket, dst, src FROM e0)),
+       | deg AS (SELECT scale, bucket, src AS n, count(*) AS d FROM und GROUP BY 1,2,3),
+       | nad AS (SELECT u.scale, u.bucket, u.src AS node,
+       |   floor((sum(g.d)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS nbr_avg_deg
+       |  FROM und u JOIN deg g ON u.scale=g.scale AND u.bucket=g.bucket AND u.dst=g.n
+       |  GROUP BY 1,2,3),
+       | undn AS (SELECT scale, bucket, src, dst FROM und WHERE src <> dst),
+       | canon0 AS (SELECT scale, bucket, src, dst FROM undn WHERE src < dst),
+       | canon AS (SELECT scale, bucket, src, dst FROM
+       |   (SELECT *, row_number() OVER (PARTITION BY scale, bucket, src ORDER BY dst) AS rn
+       |    FROM canon0) WHERE rn <= ${Graph.adjCap}),
+       | tri AS (SELECT e1.scale, e1.bucket, e1.src AS a, e1.dst AS b, e2.dst AS c
+       |   FROM canon e1
+       |   JOIN canon e2 ON e2.scale=e1.scale AND e2.bucket=e1.bucket AND e2.src=e1.dst
+       |   JOIN canon e3 ON e3.scale=e1.scale AND e3.bucket=e1.bucket
+       |    AND e3.src=e1.src AND e3.dst=e2.dst),
+       | pern AS (SELECT scale, bucket, node, count(*) AS t FROM
+       |   (SELECT scale, bucket, a AS node FROM tri
+       |    UNION ALL SELECT scale, bucket, b FROM tri
+       |    UNION ALL SELECT scale, bucket, c FROM tri) GROUP BY 1,2,3),
+       | cdeg AS (SELECT scale, bucket, src AS node, count(*) AS deg FROM undn GROUP BY 1,2,3),
+       | cc AS (SELECT d.scale, d.bucket, d.node,
+       |   floor((CASE WHEN d.deg >= 2
+       |     THEN coalesce(p.t,0) * 2.0 / (d.deg * (d.deg - 1)) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS clustering
+       |  FROM cdeg d LEFT JOIN pern p
+       |   ON p.scale=d.scale AND p.bucket=d.bucket AND p.node=d.node)
+       |SELECT act.*,
+       | coalesce(rep.repeat_rate, 0.0) AS repeat_rate,
+       | coalesce(dg.out_deg, 0) AS out_deg,
+       | coalesce(dg.in_deg, 0) AS in_deg,
+       | coalesce(nad.nbr_avg_deg, 0.0) AS nbr_avg_deg,
+       | coalesce(cc.clustering, 0.0) AS clustering
+       |FROM act
+       | LEFT JOIN rep ON rep.user_id=act.user_id AND rep.scale=act.scale AND rep.bucket=act.bucket
+       | LEFT JOIN dg ON dg.node=act.user_id AND dg.scale=act.scale AND dg.bucket=act.bucket
+       | LEFT JOIN nad ON nad.node=act.user_id AND nad.scale=act.scale AND nad.bucket=act.bucket
+       | LEFT JOIN cc ON cc.node=act.user_id AND cc.scale=act.scale AND cc.bucket=act.bucket
+       |ORDER BY act.user_id, act.scale, act.bucket""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q85_slice_feature_tensor" -> q85OracleSql,
     "q83_activity_gini" ->
       """WITH pu AS (SELECT event_type AS grp, user_id, count(*) AS x
         |  FROM events GROUP BY 1, 2
@@ -610,6 +804,7 @@ object Features {
     "q59_full_feature_matrix" -> (q59FullFeatureMatrix _),
     "q77_ewma_burst" -> (q77EwmaBurst _),
     "q79_transitions" -> (q79Transitions _),
-    "q83_activity_gini" -> (q83ActivityGini _)
+    "q83_activity_gini" -> (q83ActivityGini _),
+    "q85_slice_feature_tensor" -> (q85SliceFeatureTensor _)
   )
 }

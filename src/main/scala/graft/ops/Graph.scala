@@ -116,10 +116,91 @@ object Graph {
   private[graft] val adjCap = 256
 
   private[graft] def capPerKey(e: DataFrame, key: String, ord: String, cap: Int): DataFrame =
+    capPerKeys(e, Seq(key), ord, cap)
+
+  /** [[capPerKey]] with a COMPOSITE partition key — the q85 time-slice
+    * variant caps adjacency per (scale, bucket, src), so each slice's
+    * subgraph gets its own independent hub bound. */
+  private[graft] def capPerKeys(e: DataFrame, keys: Seq[String], ord: String, cap: Int): DataFrame =
     e.withColumn("_rn",
-        row_number().over(Window.partitionBy(col(key)).orderBy(col(ord))))
+        row_number().over(Window.partitionBy(keys.map(col): _*).orderBy(col(ord))))
       .filter(col("_rn") <= cap)
       .drop("_rn")
+
+  // ---------------------------------------------------------------------
+  // Keyed generalizations of the q20/q22/q23 cores (SURVEY §2.C grain
+  // note): identical relational shapes with `keys` (e.g. q85's
+  // (scale, bucket) time-slice) prepended to every groupBy / join /
+  // window key. Slicing therefore adds NO new shuffle kinds — the same
+  // degree agg, neighbor join and triangle pairing run co-partitioned on
+  // (keys…, node) instead of (node). Unlike the static cores there is NO
+  // broadcast gate here: the per-slice degree table scales with
+  // slices × nodes (edge-sized in the worst case), so the joins stay
+  // shuffle joins co-partitioned on the full composite key — the right
+  // 100 TB shape for per-window graph tensors.
+  // ---------------------------------------------------------------------
+
+  /** [[symmetrized]] carrying extra slice keys through the explode. */
+  private[ops] def symmetrizedKeyed(e: DataFrame, keys: Seq[String]): DataFrame =
+    e.select(keys.map(col) :+ explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"): _*)
+      .select(keys.map(col) :+ col("e.src") :+ col("e.dst"): _*)
+
+  /** q20's conditional-count degree core per (keys…, node), over a
+    * DISTINCT directed edge set (so the conditional count IS the
+    * distinct counterpart count, one-phase hash agg). */
+  private[ops] def q20DegreesKeyed(e: DataFrame, keys: Seq[String]): DataFrame =
+    e.select(keys.map(col) :+ explode(array(
+        struct(col("src").as("node"), lit(1).as("dir")),
+        struct(col("dst").as("node"), lit(0).as("dir")))).as("x"): _*)
+      .select(keys.map(col) :+ col("x.node").as("node") :+ col("x.dir").as("dir"): _*)
+      .groupBy((keys :+ "node").map(col): _*)
+      .agg(
+        coalesce(sum(when(col("dir") === 1, 1L)), lit(0L)).as("out_deg"),
+        coalesce(sum(when(col("dir") === 0, 1L)), lit(0L)).as("in_deg"))
+
+  /** q22's neighbor-average-degree core per (keys…, node), over an
+    * already symmetrized+deduped pair set. */
+  private[ops] def q22FromUndKeyed(und: DataFrame, keys: Seq[String]): DataFrame = {
+    val deg = und.groupBy((keys :+ "src").map(col): _*)
+      .agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "n")
+    und.as("u").join(deg.as("g"),
+        keys.map(k => col(s"u.$k") === col(s"g.$k")).reduce(_ && _) &&
+          col("u.dst") === col("g.n"))
+      .groupBy(keys.map(k => col(s"u.$k").as(k)) :+ col("u.src").as("node"): _*)
+      .agg(Exact.r(sum(col("g.d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
+        count(lit(1)).as("n_nbrs"))
+  }
+
+  /** q23's triangle/clustering core per (keys…, node), over an already
+    * symmetrized+deduped, self-loop-free pair set; hub adjacency is
+    * capped per (keys…, src) — see [[adjCap]]. */
+  private[ops] def q23FromUndKeyed(und: DataFrame, keys: Seq[String]): DataFrame = {
+    val canon = capPerKeys(und.filter(col("src") < col("dst")), keys :+ "src", "dst", adjCap)
+      .cache() // three references in the triangle join
+    def kEq(a: String, b: String) =
+      keys.map(k => col(s"$a.$k") === col(s"$b.$k")).reduce(_ && _)
+    val tris = canon.as("e1")
+      .join(canon.as("e2"), kEq("e1", "e2") && col("e2.src") === col("e1.dst"))
+      .join(canon.as("e3"), kEq("e1", "e3") &&
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(keys.map(k => col(s"e1.$k").as(k)) :+
+        col("e1.src").as("a") :+ col("e1.dst").as("b") :+ col("e2.dst").as("c"): _*)
+    val perNode = tris.select(keys.map(col) :+ col("a").as("node"): _*)
+      .unionAll(tris.select(keys.map(col) :+ col("b").as("node"): _*))
+      .unionAll(tris.select(keys.map(col) :+ col("c").as("node"): _*))
+      .groupBy((keys :+ "node").map(col): _*).agg(count(lit(1)).as("t"))
+    und.groupBy(keys.map(col) :+ col("src").as("node"): _*)
+      .agg(count(lit(1)).as("deg"))
+      .join(perNode, keys :+ "node", "left")
+      .select((keys :+ "node").map(col) :+ col("deg") :+
+        coalesce(col("t"), lit(0L)).as("triangles") :+
+        Exact.r(when(col("deg") >= 2,
+            coalesce(col("t"), lit(0L)) * lit(2.0) / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering"): _*)
+  }
 
   /** DuckDB spelling of [[capPerKey]]. */
   private def capSql(src: String, key: String, ord: String, cap: Int): String =

@@ -83,6 +83,55 @@ class FeaturesSpec extends SparkSpec {
     full.unpersist()
   }
 
+  test("q85 slice tensor: q10 grain, bounded slots, driver-side graph replay") {
+    val rows = Features.q85SliceFeatureTensor(spark, sf).collect()
+    // grain = exactly q10's (user, scale, bucket) set
+    assert(rows.length == Features.q10WindowedStats(spark, sf).count())
+    rows.foreach { r =>
+      for (c <- Seq("recall_rate", "repeat_rate", "clustering"))
+        assert(r.getAs[Double](c) >= 0.0 && r.getAs[Double](c) <= 1.0, c)
+      assert(r.getAs[Long]("out_deg") >= 0 && r.getAs[Long]("in_deg") >= 0)
+    }
+    // per scale, n_events over all slices partitions the event count
+    val total = Tables.events(spark, sf).count()
+    rows.groupBy(_.getAs[Int]("scale")).foreach { case (s, rs) =>
+      assert(rs.map(_.getAs[Long]("n_events")).sum == total, s"scale $s")
+    }
+    // driver-side replay of the graph slots on the densest slice
+    // (scale=4, bucket=0): degrees and clustering recomputed from the
+    // raw events must match the tensor's values exactly
+    import org.apache.spark.sql.functions.{datediff, get_json_object, lit}
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("peer"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day_idx"))
+      .collect()
+    val slice = ev.filter { r =>
+      !r.isNullAt(1) && r.getInt(2) / 28 == 0
+    }.map(r => (r.getLong(0), r.getLong(1))).distinct
+    val out = slice.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val in = slice.groupBy(_._2).map { case (p, es) => p -> es.map(_._1).toSet }
+    val und = (slice ++ slice.map(e => (e._2, e._1))).distinct
+    val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val s4b0 = rows.filter(r => r.getAs[Int]("scale") == 4 && r.getAs[Long]("bucket") == 0L)
+    assert(s4b0.nonEmpty)
+    s4b0.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("out_deg") == out.getOrElse(u, Set.empty[Long]).size, s"out $u")
+      assert(r.getAs[Long]("in_deg") == in.getOrElse(u, Set.empty[Long]).size, s"in $u")
+      // clustering from the self-loop-free undirected adjacency
+      val nbrs = adj.getOrElse(u, Set.empty[Long]) - u
+      val d = nbrs.size
+      val expected = if (d >= 2) {
+        val links = nbrs.toSeq.combinations(2).count { case Seq(a, b) =>
+          adj.getOrElse(a, Set.empty[Long]).contains(b)
+        }
+        math.floor(links * 2.0 / (d * (d - 1)) * 1e6 + 0.5) / 1e6
+      } else 0.0
+      assert(r.getAs[Double]("clustering") == expected, s"clustering $u")
+    }
+  }
+
   test("q19 feature matrix is one row per active user") {
     val rows = Features.q19FeatureMatrix(spark, sf).collect()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
