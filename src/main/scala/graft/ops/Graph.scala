@@ -645,6 +645,93 @@ object Graph {
     h.orderBy(col("node"))
   }
 
+  /** q86 gate weights — the FALayer attention analog's driver-literal
+    * stand-in for the trained `nn.Linear(2·in_dim, 1)` gate (the q35
+    * Rademacher / q71 dsirTable pattern: inference-side weights are
+    * plan literals, training stays in q54's MLlib seam). All three are
+    * DYADIC rationals (3/64, −5/128, 5/64), so every product with an
+    * integer degree and their sum is EXACT in an IEEE double — the only
+    * approximate op in the whole attention expression is tanh itself,
+    * which immediately quantizes at 6dp (q68's ln discipline; margins
+    * spec-audited in GraphSpec). With h₂ ≡ 1 the three constant terms
+    * w₂·1 + w₄·1 + b fold into the single literal [[faGateBias]]. */
+  private[graft] val faGateWDst = 0.046875 // 3/64 — weight on the aggregating node's h₁ = deg
+  private[graft] val faGateWSrc = -0.0390625 // −5/128 — weight on the neighbor's h₁ = deg
+  private[graft] val faGateBias = 0.078125 // 5/64 — w₂ + w₄ + b folded (h₂ ≡ 1)
+
+  /** q86: ONE attention-weighted propagation round — the inference
+    * analog of the reference's OTHER channel (the FALayer-style gate of
+    * new_model_1.py:23-31 `edge_applying`: α = tanh(gate·[h_dst‖h_src]),
+    * e = α·d_dst·d_src with d = (in_deg+1)^−0.5, the self_loop norm of
+    * new_train_1.py:129-134, then z = Σ h_src·e — dgl's
+    * u_mul_e + sum). q66/q67 cover the highlow=1 GCN channel whose gate
+    * is ≡ 1; this closes the attention channel, where the per-edge
+    * weight is a FUNCTION OF NODE FEATURES and can be NEGATIVE —
+    * FALayer's design point (high-frequency ≡ negative attention), which
+    * is why there is deliberately NO q25-style row normalization here:
+    * the reference scales by d_i·d_j, never by the (possibly ~0) row
+    * sum.
+    *
+    * Numerics: gate weights dyadic → the tanh ARGUMENT is exact in both
+    * engines; α quantizes at 6dp immediately (tanh is the only
+    * transcendental — q68's discipline, margins audited in GraphSpec);
+    * per-edge messages α_q·d_i·d_j·h_j quantize to DECIMAL(28,12)
+    * before the sum (q66's order-independence rule); one 6dp round on
+    * the aggregated output. Features h = (deg, 1), self-derived like
+    * q66, so the op needs no label join.
+    *
+    * Scale: identical shape to [[gcnRounds]] — edges build once, the
+    * degree sides are node-sized and broadcast-gated, one
+    * co-partitioned join + one map-side-combined aggregation. */
+  def q86AttentionPropagate(spark: SparkSession, dir: String): DataFrame = {
+    val und = symmetrized(
+        factBase(spark, dir).select(col("src"), col("dst")), "src", "dst")
+      .distinct().cache() // degree agg + the message join
+    val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val gate = nodeGate(spark, dir)
+    val di = gate(deg.select(col("n").as("src"), col("d").as("di")))
+    val dj = gate(deg.select(col("n").as("dst"), col("d").as("dj")))
+    // tanh spelled overflow-safe as 1 − 2/(e^2x + 1): identical IEEE op
+    // chain in both engines (this DuckDB build ships exp but not tanh),
+    // saturating to EXACTLY ±1.0 for large |x| instead of inf/inf NaN
+    val arg = lit(faGateWDst) * col("di") +
+      lit(faGateWSrc) * col("dj") + lit(faGateBias)
+    val alphaQ = Exact.r(
+      lit(1.0) - lit(2.0) / (exp(lit(2.0) * arg) + lit(1.0)), 6)
+    val e = alphaQ * (lit(1.0) / sqrt(col("di") + lit(1.0))) *
+      (lit(1.0) / sqrt(col("dj") + lit(1.0)))
+    und.join(di, "src").join(dj, "dst")
+      .select(col("src"),
+        (e * col("dj")).cast("decimal(28,12)").as("m_deg"),
+        e.cast("decimal(28,12)").as("m_one"))
+      .groupBy(col("src").as("node"))
+      .agg(
+        Exact.r(sum(col("m_deg")).cast("double"), 6).as("z_deg"),
+        Exact.r(sum(col("m_one")).cast("double"), 6).as("z_cnt"))
+      .orderBy(col("node"))
+  }
+
+  /** The q86 oracle: the attention expression spelled op-for-op —
+    * dyadic gate literals forced to DOUBLE, tanh quantized at 6dp, the
+    * same left-associated multiply chain, DECIMAL(28,12) messages. */
+  private def attentionOracleSql: String = {
+    val argSql =
+      s"$faGateWDst::DOUBLE * di.d + ($faGateWSrc)::DOUBLE * dj.d + $faGateBias::DOUBLE"
+    val alphaSql =
+      s"floor((1.0 - 2.0 / (exp(2.0 * ($argSql)) + 1.0)) * 1e6 + 0.5) / 1e6"
+    s"""WITH e0 AS ($edgesSql),
+       | und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       | dg AS (SELECT src AS n, count(*) AS d FROM und GROUP BY 1),
+       | m AS (SELECT u.src,
+       |   CAST($alphaSql * (1.0 / sqrt(di.d + 1.0)) * (1.0 / sqrt(dj.d + 1.0)) * dj.d AS DECIMAL(28,12)) AS m_deg,
+       |   CAST($alphaSql * (1.0 / sqrt(di.d + 1.0)) * (1.0 / sqrt(dj.d + 1.0)) AS DECIMAL(28,12)) AS m_one
+       |  FROM und u JOIN dg di ON u.src = di.n JOIN dg dj ON u.dst = dj.n)
+       |SELECT src AS node,
+       | floor(CAST(sum(m_deg) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS z_deg,
+       | floor(CAST(sum(m_one) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS z_cnt
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q73: damped PageRank over the undirected purchase graph — the
     * canonical "who matters in the ring" importance score fraud
     * analysts run right after q47's components (networkx ships it as
@@ -1121,7 +1208,8 @@ object Graph {
         |FROM adj ORDER BY 1, 2""".stripMargin,
     "q73_pagerank" -> pagerankOracleSql,
     "q80_weighted_pagerank" -> weightedPagerankOracleSql,
-    "q75_kcore" -> kcoreOracleSql
+    "q75_kcore" -> kcoreOracleSql,
+    "q86_attention_propagate" -> attentionOracleSql
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1141,6 +1229,7 @@ object Graph {
     "q67_gcn_propagate2" -> (q67GcnPropagate2 _),
     "q73_pagerank" -> (q73PageRank _),
     "q80_weighted_pagerank" -> (q80WeightedPagerank _),
-    "q75_kcore" -> (q75KCore _)
+    "q75_kcore" -> (q75KCore _),
+    "q86_attention_propagate" -> (q86AttentionPropagate _)
   )
 }

@@ -106,6 +106,54 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q86 attention propagation: driver-side replay + tanh quantization margin audit") {
+    val out = ops.Graph.q86AttentionPropagate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val und = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val deg = adj.map { case (n, js) => n -> js.length.toLong }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // the overflow-safe tanh spelling the engine and the oracle share
+    def alphaRaw(di: Long, dj: Long): Double =
+      1.0 - 2.0 / (math.exp(2.0 * (ops.Graph.faGateWDst * di +
+        ops.Graph.faGateWSrc * dj + ops.Graph.faGateBias)) + 1.0)
+    // margin audit (q68's ln discipline): every distinct (deg_i, deg_j)
+    // pair's pre-quantization α must sit ≥1e-8 grid steps away from the
+    // floor(x+0.5) jump — cross-engine exp disagreement is ulp-scale
+    // (~1e-15 relative), so the 6dp gate cannot flake
+    val pairs = und.map(e => (deg(e._1), deg(e._2))).distinct
+    val minMargin = pairs.map { case (di, dj) =>
+      val x = alphaRaw(di, dj) * 1e6
+      math.abs(x - math.floor(x) - 0.5)
+    }.min
+    assert(minMargin > 1e-8, s"tanh quantization margin $minMargin too tight")
+    // full replay: α quantized at 6dp, e = α·(deg+1)^-1/2 products in
+    // the plan's association order, DECIMAL(28,12) messages, 6dp output
+    assert(out.keySet == adj.keySet)
+    adj.foreach { case (i, js) =>
+      val zDeg = r6(js.map { j =>
+        val e = r6(alphaRaw(deg(i), deg(j))) * (1.0 / math.sqrt(deg(i) + 1.0)) *
+          (1.0 / math.sqrt(deg(j) + 1.0))
+        q12(e * deg(j))
+      }.sum.toDouble)
+      val zCnt = r6(js.map { j =>
+        q12(r6(alphaRaw(deg(i), deg(j))) * (1.0 / math.sqrt(deg(i) + 1.0)) *
+          (1.0 / math.sqrt(deg(j) + 1.0)))
+      }.sum.toDouble)
+      assert(out(i)._1 == zDeg, s"node $i z_deg")
+      assert(out(i)._2 == zCnt, s"node $i z_cnt")
+    }
+    // attention is signed by design (FALayer's point): with the shipped
+    // gate, both positive and negative aggregates must occur on gate data
+    assert(out.values.exists(_._2 > 0.0) && out.values.exists(_._2 < 0.0),
+      "gate data should exercise both attention signs")
+  }
+
   test("q67 two-round GCN chains round 1 through the same SpMV (driver cross-check)") {
     val out = ops.Graph.q67GcnPropagate2(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
