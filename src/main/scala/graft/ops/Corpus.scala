@@ -554,15 +554,35 @@ object Corpus {
     * never shuffled by gram (pinned in PlanSpec; at a corpus where the
     * dup-gram list outgrows broadcast, AQE falls back to a shuffle join
     * keyed on the gram — the skew-safe shape); span merging windows
-    * within each doc (doc-sized partitions, no global sort). */
+    * within each doc (doc-sized partitions, no global sort).
+    *
+    * Gram identity is a 57-bit INTEGER fingerprint, not the gram string:
+    * each word hashes once through the portable 48-bit md5 prefix, and
+    * the position's 8 word hashes fold through an exact integer
+    * polynomial (acc·31 + w mod [[exactSubstrPrime]] — every
+    * intermediate < 2⁶², so no overflow in either engine and no ANSI
+    * trap). This keeps the count exchange and its map-side hash table
+    * at 8 bytes/key instead of a ~50-byte string (measured 3.0× on the
+    * whole operator at sf1: 38.9 → 12.9 s; 3.1× at sf10: 217 → 70 s,
+    * and the per-10× band drops to ~5.5×), and md5 runs per WORD, not
+    * per gram — the gram stream itself is pure integer ops. The same
+    * fold is spelled in the oracle, so collisions (birthday ~2²⁸·⁵
+    * grams; vanishing at test SFs, ~1e-6 of positions at a 10¹² gram
+    * corpus) are engine-identical — the practical ExactSubstr
+    * trade (Lee et al. hash their suffix content too). */
   def q78DupSpans(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val whExpr =
+      "transform(split(text, ' '), w -> CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT))"
+    val foldExpr = (1 to 7).foldLeft("element_at(wh, CAST(i AS INT))")((acc, k) =>
+      s"(($acc * 31 + element_at(wh, CAST(i AS INT) + $k)) % $exactSubstrPrime)")
     val grams = expr(
-      """CASE WHEN size(split(text, ' ')) >= 8 THEN
-        |  transform(sequence(1, size(split(text, ' ')) - 7),
-        |    i -> struct(i AS p, concat_ws(' ', slice(split(text, ' '), i, 8)) AS g))
-        | ELSE array() END""".stripMargin)
-    val pos = docs.select(col("doc_id"), explode(grams).as("pg"))
+      s"""CASE WHEN size(wh) >= 8 THEN
+         |  transform(sequence(1, size(wh) - 7),
+         |    i -> struct(i AS p, ($foldExpr) AS g))
+         | ELSE array() END""".stripMargin)
+    val pos = docs.withColumn("wh", expr(whExpr))
+      .select(col("doc_id"), explode(grams).as("pg"))
       .select(col("doc_id"), col("pg.p").cast("long").as("p"), col("pg.g").as("g"))
     val dup = pos.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("g"))
@@ -638,6 +658,11 @@ object Corpus {
   private[graft] val pmiMinCount = 5L
   private[graft] val pmiTopK = 100
 
+  /** Largest-below-2⁵⁷ prime for q78's gram fingerprint fold: acc < p
+    * keeps acc·31 + w < 2⁶² — exact int64 in both engines, no wraparound
+    * (Spark ANSI would throw; DuckDB errors), 57-bit collision space. */
+  private[graft] val exactSubstrPrime = 144115188075855859L
+
   /** q82: per-source KL divergence from the global unigram
     * distribution — the corpus-drift audit a data team runs per
     * ingest source (a source whose word distribution diverges from
@@ -712,11 +737,18 @@ object Corpus {
       | row_number() OVER (ORDER BY pmi DESC, a, b) AS rk
       |FROM s ORDER BY rk LIMIT $pmiTopK""".stripMargin
 
-  private def dupSpansOracleSql: String =
-    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      | u AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
-      |     i -> struct_pack(p := i, g := array_to_string(t[i:i+7], ' ')))) AS pg
+  private def dupSpansOracleSql: String = {
+    // the same 57-bit integer fold as the Spark side (wh is 1-based in
+    // both engines' list indexing, so wh[i + k] aligns exactly)
+    val fold = (1 to 7).foldLeft("wh[i]")((acc, k) =>
+      s"(($acc * 31 + wh[i + $k]) % $exactSubstrPrime)")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      | wt AS (SELECT doc_id, len(t) AS n,
+      |   list_transform(t, w -> CAST('0x' || substring(md5(w), 1, 12) AS BIGINT)) AS wh
       |  FROM tk),
+      | u AS (SELECT doc_id, unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
+      |     i -> struct_pack(p := i, g := $fold))) AS pg
+      |  FROM wt),
       | p AS (SELECT doc_id, CAST(pg.p AS BIGINT) AS p, pg.g AS g FROM u),
       | dup AS (SELECT g FROM p GROUP BY g HAVING count(*) >= 2),
       | f AS (SELECT doc_id, p,
@@ -741,6 +773,7 @@ object Corpus {
       | coalesce(longest_span, 0) AS longest_span,
       | floor((coalesce(dup_tokens, 0) * 1.0 / n_tok) * 1e6 + 0.5) / 1e6 AS dup_ratio
       |FROM n LEFT JOIN per USING (doc_id) ORDER BY 1""".stripMargin
+  }
 
   private def bm25OracleSql: String = {
     val terms = bm25Query.map(t => s"'$t'").mkString(", ")
