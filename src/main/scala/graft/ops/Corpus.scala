@@ -459,15 +459,41 @@ object Corpus {
     (m, prior)
   }
 
+  /** The q68 unigram LM as a driver-shippable artifact: the top-K word
+    * counts plus the FULL-vocab token total. Keeping `total` full-vocab
+    * means capped-in words score bit-identically to batch q68 (their
+    * probability c/t is unchanged) and capped-OUT words degrade to the
+    * existing OOV floor ln(1/t) — exactly the path the StreamingSpec
+    * OOV case exercises. */
+  final case class LmVocab(counts: Map[String, Long], total: Long)
+
+  /** Default lmVocab cap: CCNet-style LM pruning keeps O(10⁵) head
+    * words; past this the tail is hapax noise that scores within one
+    * OOV floor anyway. Bounds the driver collect and the plan-literal
+    * task binary no matter the corpus (a real crawl's reference slice
+    * carries 10⁷–10⁸ raw types — an ungated collect is a driver OOM). */
+  private[graft] val lmVocabTopK = 1 << 18
+
   /** Driver-side handoff of the q68 unigram LM for the streaming twin
     * ([[graft.streaming.EventStream.lmScoreStream]]): reference-slice
-    * word counts, collected like the IVF centroid shipping pattern —
-    * bounded by the reference corpus, never corpus-sized. */
-  def lmVocab(spark: SparkSession, dir: String): Map[String, Long] =
-    Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
+    * word counts CAPPED to the top `topK` by (count desc, word) — a
+    * distributed TakeOrderedAndProject, so the driver never sees more
+    * than topK rows regardless of corpus scale — plus the full-vocab
+    * total from a separate 1-row aggregate over the same map-side-
+    * combined count shuffle. Deterministic: ties break on the word. */
+  def lmVocab(spark: SparkSession, dir: String,
+      topK: Int = lmVocabTopK): LmVocab = {
+    val counts = Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .cache() // head selection + the total read the same vocab-sized agg
+    val head = counts.orderBy(col("c").desc, col("w")).limit(topK)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L)).as("t"))
+      .collect().head.getLong(0)
+    counts.unpersist()
+    LmVocab(head, total)
+  }
 
   /** q74: BM25 top-k retrieval over the corpus — the ranked-search
     * primitive a curation stack uses for quality-targeted selection

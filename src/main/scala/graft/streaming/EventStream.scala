@@ -178,15 +178,23 @@ object EventStream {
     * batch q68's for the same document (StreamingSpec pins equality).
     * No streaming state at all — score and forward.
     *
-    * The in-plan literal map is right up to ~10⁵ vocab entries; a
-    * genuinely huge LM would swap to a stream–static join on the word
-    * plus a per-doc streaming aggregation (stateful) — the same
-    * trade decontaminateStream documents for its gram table. */
-  def lmScoreStream(docs: DataFrame, vocab: Map[String, Long]): DataFrame = {
-    require(vocab.nonEmpty, "lmScoreStream needs a non-empty vocab")
-    val t = vocab.values.sum.toDouble
+    * The vocab arrives ALREADY capped: [[graft.ops.Corpus.lmVocab]]
+    * collects only the top-K head by count (distributed top-K — the
+    * driver and the task binary are bounded no matter the corpus) with
+    * the FULL-vocab total, so capped-in words score bit-identically to
+    * batch and capped-out words take batch's own OOV floor. A genuinely
+    * huge LM beyond the in-plan-literal range would swap to a
+    * stream–static join on the word plus a per-doc streaming
+    * aggregation (stateful) — the same trade decontaminateStream
+    * documents for its gram table. */
+  def lmScoreStream(docs: DataFrame, vocab: graft.ops.Corpus.LmVocab): DataFrame = {
+    require(vocab.counts.nonEmpty, "lmScoreStream needs a non-empty vocab")
+    // the FULL-vocab total, not the capped map's sum: capped-in words
+    // keep their exact batch probability c/t, capped-out words take the
+    // same OOV floor batch emits for unseen words
+    val t = vocab.total.toDouble
     def q6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
-    val kmap = vocab.map { case (w, c) => w -> q6(StrictMath.log(c / t)) }
+    val kmap = vocab.counts.map { case (w, c) => w -> q6(StrictMath.log(c / t)) }
     val kOov = q6(StrictMath.log(1.0 / t))
     val m = typedLit(kmap)
     docs

@@ -350,10 +350,43 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable()
     val oovRow = spark.table("lm_oov_out").collect().head
     q2.stop()
-    val t = vocab.values.sum.toDouble
+    val t = vocab.total.toDouble
     val kOov = math.floor(StrictMath.log(1.0 / t) * 1e6 + 0.5).toLong
     assert(oovRow.getAs[Long]("n_oov") == 1L)
     assert(oovRow.getAs[Double]("min_logp") == kOov / 1e6)
+  }
+
+  test("lmVocab cap: top-K head by (count, word), full-vocab total, graceful capped scoring") {
+    val full = ops.Corpus.lmVocab(spark, sf)
+    val k = 5
+    val capped = ops.Corpus.lmVocab(spark, sf, topK = k)
+    // gate data stays under the default cap, so the default path is the
+    // uncapped map — the bit-identity test above runs against it
+    assert(full.counts.size > k)
+    assert(capped.counts.size == k)
+    // the capped head is exactly the deterministic top-k of the full map
+    val expectedHead = full.counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(k).toMap
+    assert(capped.counts == expectedHead)
+    // total stays FULL-vocab on both: capped-in words keep their exact
+    // batch probability; capped-out words take batch's own OOV floor
+    assert(capped.total == full.total)
+    assert(capped.total == full.counts.values.sum)
+    // a capped-OUT word scores the OOV floor through the stream path
+    implicit val sq = spark.sqlContext
+    val outWord = (full.counts.keySet -- capped.counts.keySet).min
+    val mem = MemoryStream[EventStream.Doc]
+    val q = EventStream.lmScoreStream(mem.toDF(), capped)
+      .writeStream.format("memory").queryName("lm_cap_out")
+      .outputMode("append").start()
+    mem.addData(EventStream.Doc(1000L,
+      new Timestamp(base * 60000L), outWord, "web"))
+    q.processAllAvailable()
+    val row = spark.table("lm_cap_out").collect().head
+    q.stop()
+    val kOov = math.floor(StrictMath.log(1.0 / capped.total) * 1e6 + 0.5).toLong
+    assert(row.getAs[Long]("n_oov") == 1L)
+    assert(row.getAs[Double]("min_logp") == kOov / 1e6)
   }
 
   test("ewmaBurstStream recovers its buffer and totals across a stop/restart from checkpoint") {
@@ -394,6 +427,168 @@ class StreamingSpec extends SparkSpec {
       (600L * 32768L + 400L * 16384L + 200L * 8192L).toDouble /
         (100.0 * (32768L + 16384L + 8192L)) * 1e6 + 0.5) / 1e6
     assert(last._3 == expEwma, s"ewma $last vs $expEwma")
+  }
+
+  // ---------------------------------------------------------------
+  // Crash-recovery proofs, one per STATE SHAPE (same stop/deliver/
+  // restart pattern as the sessionize/sketchDedup/ewmaBurst trio):
+  // windowed agg counts (windowedAgg — userWindowStats and
+  // trendingTerms carry the identical window-keyed agg state),
+  // dropDuplicates seen-keys (dedupStream — corpusGateStream and
+  // decontaminateStream share it; sketchDedup already proven), HLL
+  // register maxima (hllDistinctStream — two chained stateful aggs),
+  // flatMapGroupsWithState running sums (ivfUpdateStream), and
+  // stream-stream join buffers (intervalJoin).
+  // ---------------------------------------------------------------
+
+  test("windowedAgg's open-window counts survive a stop/restart from checkpoint") {
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Files.createTempDirectory("graft_wagg_out").toString
+    val ckp = Files.createTempDirectory("graft_wagg_ckp").toString
+    def start() = EventStream.windowedAgg(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckp)
+      .outputMode("append").start()
+    val q1 = start()
+    mem.addData(ev(1, 2, 1, 10.0), ev(2, 3, 1, 5.0))
+    q1.processAllAvailable()
+    q1.stop() // "crash" with window [0,10) OPEN in the state store
+    // lands in the SAME open window while the query is down
+    mem.addData(ev(3, 5, 1, 7.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    mem.addData(ev(4, 300, 1, 1.0)) // watermark pusher finalizes [0,10)
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .filter(_.getAs[Timestamp]("w_start").getTime == base * 60000L)
+    // a lost store would finalize [0,10) with only the post-restart event
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows.head.getAs[Long]("n") == 3 &&
+      rows.head.getAs[Double]("total_value") == 22.0, rows.head.toString)
+  }
+
+  test("dedupStream's seen-key state survives a stop/restart from checkpoint") {
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    val ckp = Files.createTempDirectory("graft_dedup_ckp").toString
+    def start() = EventStream.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckp)
+      .outputMode("append").start()
+    val q1 = start()
+    mem.addData(ev(1, 0, 1, 1.0))
+    q1.processAllAvailable()
+    q1.stop() // "crash" with event 1 in the seen-key store
+    // while down: a duplicate of the pre-crash key plus a fresh key —
+    // the restart must suppress the duplicate from RECOVERED state
+    mem.addData(ev(1, 3, 1, 9.0), ev(2, 4, 1, 2.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).sorted.toSeq
+    assert(got == Seq(1L -> 1.0, 2L -> 2.0),
+      s"expected the post-restart duplicate suppressed, got $got")
+  }
+
+  test("hllDistinctStream's register maxima survive a stop/restart from checkpoint") {
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Files.createTempDirectory("graft_hll_out").toString
+    val ckp = Files.createTempDirectory("graft_hll_ckp").toString
+    def start() = EventStream.hllDistinctStream(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckp)
+      .outputMode("append").start()
+    val q1 = start()
+    mem.addData((1 to 20).map(u => ev(u.toLong, 2, u.toLong, 1.0)): _*)
+    q1.processAllAvailable()
+    q1.stop() // "crash" with half the window's registers in state
+    // the window's OTHER half arrives while the query is down
+    mem.addData((21 to 40).map(u => ev(u.toLong, 7, u.toLong, 1.0)): _*)
+    val q2 = start()
+    q2.processAllAvailable()
+    mem.addData(ev(9999, 300, 1, 1.0)) // watermark pusher finalizes [0,10)
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .filter(_.getAs[Timestamp]("w_start").getTime == base * 60000L)
+    assert(rows.length == 1, rows.mkString(";"))
+    // the estimate must be the BATCH sketch over ALL 40 users — a lost
+    // register store would estimate only the post-restart half
+    import spark.implicits._
+    val batch = ops.Relational.hllDistinct(
+        (1 to 40).map(u => ("w0", u.toString)).toDF("g", "x"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_est")).toMap
+    assert(rows.head.getAs[Double]("hll_est") == batch("w0"), rows.head.toString)
+  }
+
+  test("ivfUpdateStream's running centroid state survives a stop/restart from checkpoint") {
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val centroids = Array(Array(0f, 0f), Array(10f, 10f))
+    def emb(id: Long, x: Float, y: Float) =
+      EventStream.Emb(id, new Timestamp(base * 60000L + id), Array(x, y))
+    val mem = MemoryStream[EventStream.Emb]
+    val out = Files.createTempDirectory("graft_ivf_out").toString
+    val ckp = Files.createTempDirectory("graft_ivf_ckp").toString
+    // the memory sink is not fault-tolerant (refuses checkpoint
+    // recovery); foreachBatch→parquet is, and keeps Update semantics
+    def start() = EventStream.ivfUpdateStream(mem.toDS(), centroids)
+      .writeStream
+      .option("checkpointLocation", ckp)
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStream.CentroidOut],
+          _: Long) =>
+        df.write.mode("append").parquet(out)
+      }.start()
+    val q1 = start()
+    mem.addData(emb(1, 1f, 1f), emb(2, 9f, 9f))
+    q1.processAllAvailable()
+    q1.stop() // "crash" with cell 0 = (sum (1,1), n 1) in state
+    mem.addData(emb(3, 3f, 3f)) // cell 0 again, while the query is down
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // the post-restart emission must fold the PRE-crash point into the
+    // running mean: n=2, centroid (2,2) — a lost store would emit n=1,
+    // centroid (3,3)
+    val cell0 = spark.read.parquet(out).as[EventStream.CentroidOut].collect()
+      .filter(_.cell == 0).sortBy(_.n)
+    assert(cell0.map(_.n).toSeq == Seq(1L, 2L), cell0.mkString(";"))
+    assert(cell0.last.centroid.toSeq == Seq(2.0, 2.0), cell0.last.toString)
+  }
+
+  test("intervalJoin's buffered side state survives a stop/restart from checkpoint") {
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val memA = MemoryStream[Event]
+    val memB = MemoryStream[Event]
+    val out = Files.createTempDirectory("graft_ij_out").toString
+    val ckp = Files.createTempDirectory("graft_ij_ckp").toString
+    def start() = EventStream.intervalJoin(memA.toDF(), memB.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckp)
+      .outputMode("append").start()
+    val q1 = start()
+    memB.addData(ev(101, 10, 3, 1.0)) // buffered in the right-side join state
+    q1.processAllAvailable()
+    q1.stop() // "crash" with the unmatched b-event buffered
+    // its a-side match arrives while the query is down
+    memA.addData(ev(1, 50, 3, 10.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val pairs = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("r_event_id"))).toSet
+    // a lost buffer would never pair them
+    assert(pairs == Set((1L, 101L)), pairs.toString)
   }
 
   test("hllDistinctStream: finalized window estimates equal the batch sketch") {
