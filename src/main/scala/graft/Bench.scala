@@ -89,10 +89,18 @@ object Bench {
     // 79 queries (2029 chars measured); prefixes hold ~1200 chars with
     // headroom past 120 queries, and map 1:1 to SparkEntry.queries keys.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    def shortKey(k: String): String = {
-      val p = k.takeWhile(c => c != '_')
-      if (results.keys.count(_.startsWith(p + "_")) == 1) p else k
+    // qNN prefixes must be unique across the whole registry: a silent
+    // full-name fallback on collision would quietly re-grow the JSON
+    // past the driver's 2000-char stdout tail (and a bare 'qNN' key
+    // next to 'qNN_x' would emit duplicate JSON keys) — fail loudly at
+    // startup instead, like the SPARK_GRAFT_ONLY typo check
+    locally {
+      val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+      val dups = prefixes.groupBy(identity).filter(_._2.length > 1).keys
+      require(dups.isEmpty,
+        s"duplicate qNN prefixes in SparkEntry.queries: ${dups.toSeq.sorted.mkString(", ")}")
     }
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -32,7 +32,18 @@ object Graph {
     * instead of once per operator. Standalone q23 filters it through
     * [[hotEdgesFrom]] — the l_quantity predicate still pushes through
     * the join into the lineitem parquet scan (Catalyst one-side
-    * pushdown), so carrying the column costs nothing when filtered. */
+    * pushdown), so carrying the column costs nothing when filtered.
+    *
+    * SHARED-ID CONVENTION (applies to every operator built on this
+    * base: q20–q23, q47, q66/q67, q73/q75/q80, q86): customer keys
+    * (src) and supplier keys (dst) occupy overlapping numeric ranges
+    * and are treated as ONE node space — customer k and supplier k are
+    * the same vertex, exactly as the reference collapses phone numbers
+    * from both call directions into one node id. The DuckDB oracles
+    * spell the identical convention, so the gate is consistent by
+    * construction. A deployment needing disjoint entity spaces would
+    * tag or offset one side HERE (and in `edgesSql`) — one line, and
+    * every downstream graph operator and oracle inherits it. */
   private[ops] def factBase(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))

@@ -421,7 +421,14 @@ object EventStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[BurstState]) =>
           val (buf0, n0, sum0) = state.getOption.getOrElse((Nil, 0L, 0L))
-          val incoming = rows.map(e => (e.ts.getTime, e.event_id, cents(e.value))).toList
+          // MICROsecond sort key: batch q77 orders by the full
+          // TimestampType ts (µs precision), so two events inside the
+          // same millisecond must still order by true ts here, not fall
+          // back to event_id — getTime alone truncates to ms and would
+          // break the spec-pinned bit-identity on µs-grained data
+          def micros(ts: Timestamp): Long =
+            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+          val incoming = rows.map(e => (micros(e.ts), e.event_id, cents(e.value))).toList
           // recency buffer: merge, newest-first by (ts, event_id), cap 16
           val buf = (incoming ++ buf0)
             .sortBy { case (t, id, _) => (-t, -id) }.take(16)

@@ -622,6 +622,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed((base + 10) * 60000L) == batch("w1"))
   }
 
+  test("ewmaBurstStream orders same-millisecond events by true microsecond ts") {
+    implicit val sq = spark.sqlContext
+    // two events in the SAME millisecond, µs apart, arriving in reverse:
+    // the recency buffer must rank the µs-later event first (weight 2¹⁵),
+    // matching batch q77's full-TimestampType ordering — a ms-truncated
+    // key would fall back to event_id and swap the weights
+    val ms = (base + 5) * 60000L
+    val early = new Timestamp(ms); early.setNanos(100000)   // +100 µs
+    val late = new Timestamp(ms); late.setNanos(900000)     // +900 µs
+    // event_id ORDER OPPOSES µs order: id 2 is the µs-earlier event
+    val e1 = Event(1L, late, 77L, "call", 8.0)
+    val e2 = Event(2L, early, 77L, "call", 2.0)
+    val mem = MemoryStream[Event]
+    val q = EventStream.ewmaBurstStream(mem.toDS())
+      .writeStream.format("memory").queryName("burst_us_out")
+      .outputMode("update").start()
+    mem.addData(e2, e1)
+    q.processAllAvailable()
+    val rows = spark.table("burst_us_out").as[EventStream.BurstOut].collect()
+    q.stop()
+    val last = rows.maxBy(_.n_events)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // µs-later event (8.00) carries 2¹⁵, µs-earlier (2.00) carries 2¹⁴
+    val expected = r6((800L * 32768L + 200L * 16384L).toDouble /
+      (100.0 * (32768L + 16384L)))
+    assert(last.ewma16 == expected,
+      s"µs ordering lost: ewma ${last.ewma16} != $expected")
+  }
+
   test("ewmaBurstStream: final per-user rows are bit-identical to batch q77") {
     implicit val sq = spark.sqlContext
     // stream the WHOLE sf events table, split across two unordered
