@@ -519,8 +519,17 @@ object Corpus {
     * top-k is a TakeOrderedAndProject (per-partition partial top-k, no
     * single-partition window) — the rank column is assigned AFTER the
     * k-row cut. */
-  def q74Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def q74Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopDocs(Tables.documents(spark, dir), bm25Query, bm25TopK)
+
+  /** The q74 scoring core over an arbitrary `(doc_id, text)` frame and
+    * query term set — shared by [[q74Bm25TopK]] (whole corpus, fixed
+    * operator parameters) and `CurationPipeline`'s retrieval gate
+    * (post-decontamination survivors scored against a caller seed, so
+    * df/avgdl reflect the shippable corpus). Exactness and scale notes
+    * on [[q74Bm25TopK]]. */
+  private[graft] def bm25TopDocs(docs: DataFrame, query: Seq[String],
+      topK: Int): DataFrame = {
     // dl feeds the corpus stats AND the per-doc length normalization; tf
     // feeds the df/idf side AND the scoring join — cache both (doc-sized
     // 2-3 column tables, text column dropped, so the cache is scale-safe)
@@ -530,7 +539,7 @@ object Corpus {
     val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("td"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isin(bm25Query: _*))
+      .filter(col("term").isin(query: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .cache()
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -548,7 +557,7 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(Exact.r(sum(col("s")).cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(bm25TopK)
+      .limit(topK)
     // rank over the already-cut k rows — a k-row single partition, not
     // a corpus-wide sort
     scored.withColumn("rk", row_number().over(

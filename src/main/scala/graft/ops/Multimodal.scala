@@ -293,10 +293,11 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** FALLBACK for payloads with no JDK codec (video/unknown):
-    * deterministic fixed-width features from a rolling byte hash. This
-    * is the one remaining stand-in — swapping in an FFmpeg-class
-    * decoder replaces this function and nothing else. */
+  /** FALLBACK for payloads no registered [[PayloadDecoder]] claims
+    * (non-MJPEG video, non-PCM audio, unknown): deterministic
+    * fixed-width features from a rolling byte hash. This is the one
+    * remaining stand-in — registering an FFmpeg-class decoder in the
+    * [[extractFeatures]] registry replaces it and nothing else. */
   private[graft] def hashFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L // deterministic rolling hash over bytes
@@ -312,26 +313,61 @@ object Multimodal {
     out
   }
 
+  /** A pluggable payload decoder — one entry in the codec seam.
+    * `kinds` claims sniffed-kind strings (see [[sniffKind]]); `decode`
+    * returns the raw feature vector or None to fall through to the
+    * deterministic [[hashFeatures]] fallback. Implementations must be
+    * Serializable: they ride the `mapPartitions` closure to executors,
+    * so keep them stateless singletons or small value objects. */
+  trait PayloadDecoder extends Serializable {
+    def kinds: Set[String]
+    def decode(payload: Array[Byte]): Option[Array[Float]]
+  }
+
+  /** JDK-codec image decode (PNG/JPEG/BMP/GIF via javax.imageio). */
+  object ImageDecoder extends PayloadDecoder {
+    val kinds: Set[String] = Set("png", "jpeg", "bmp", "gif")
+    def decode(payload: Array[Byte]): Option[Array[Float]] = decodeImage(payload)
+  }
+
+  /** RIFF/WAVE PCM audio decode. */
+  object WavDecoder extends PayloadDecoder {
+    val kinds: Set[String] = Set("wav")
+    def decode(payload: Array[Byte]): Option[Array[Float]] = decodeWav(payload)
+  }
+
+  /** RIFF/AVI MJPEG video decode. */
+  object AviDecoder extends PayloadDecoder {
+    val kinds: Set[String] = Set("avi")
+    def decode(payload: Array[Byte]): Option[Array[Float]] = decodeAvi(payload)
+  }
+
+  /** The default registry: every codec this engine decodes with the
+    * JDK alone. The FFmpeg seam is now API, not a hardcoded branch —
+    * a deployment with real H.264/MP3 codecs extends the chain:
+    * `extractFeatures(p, dim, Multimodal.builtinDecoders :+ FfmpegDecoder)`
+    * and nothing else changes. First decoder claiming a kind wins. */
+  val builtinDecoders: Seq[PayloadDecoder] =
+    Seq(ImageDecoder, WavDecoder, AviDecoder)
+
   /** Partition-local feature extraction: batches stay on executors,
     * output is a fixed-width vector per payload — the Scala analog of a
     * pandas-batch UDF. `mapPartitions` is justified here (SURVEY.md §4):
     * decode is genuinely imperative per-row work, not relational.
-    * Image kinds decode for real via [[decodeImage]], WAV audio via
-    * [[decodeWav]], MJPEG-AVI video via [[decodeAvi]]; everything else
-    * takes the [[hashFeatures]] fallback
+    * Each payload is routed to the first registry decoder claiming its
+    * sniffed kind ([[builtinDecoders]] by default: real decode for
+    * images, WAV/PCM audio and MJPEG-AVI video); kinds no decoder
+    * claims — or decoder failures — take the [[hashFeatures]] fallback
     * (kind suffixed "-raw" so downstream can tell decoded features from
     * hashed ones). */
-  def extractFeatures(payloads: Dataset[Payload], dim: Int = 16): Dataset[MediaFeature] = {
+  def extractFeatures(payloads: Dataset[Payload], dim: Int = 16,
+      decoders: Seq[PayloadDecoder] = builtinDecoders): Dataset[MediaFeature] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
       it.map { p =>
         val kind = sniffKind(p.payload)
-        val decoded =
-          if (kind == "png" || kind == "jpeg" || kind == "bmp" || kind == "gif")
-            decodeImage(p.payload)
-          else if (kind == "wav") decodeWav(p.payload)
-          else if (kind == "avi") decodeAvi(p.payload)
-          else None
+        val decoded = decoders.find(_.kinds.contains(kind))
+          .flatMap(_.decode(p.payload))
         decoded match {
           case Some(f) =>
             MediaFeature(p.doc_id, kind, p.payload.length.toLong,

@@ -72,6 +72,17 @@ object Sampling {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
+    mixKeep(d, budgetFrac).orderBy(col("doc_id"))
+  }
+
+  /** The q69 mixing core over an arbitrary `(doc_id, source, n_tok)`
+    * frame — shared by [[q69MixSample]] (raw corpus) and
+    * `CurationPipeline`'s terminal mix gate (post-curation survivors,
+    * where source masses must reflect what actually survived the
+    * filters, not the raw crawl). Emits every input row plus its
+    * source's integer keep-threshold (per-million) and the LCG keep
+    * decision; exactness and scale notes on [[q69MixSample]]. */
+  private[graft] def mixKeep(d: DataFrame, budget: Double): DataFrame = {
     val src = d.groupBy(col("source")).agg(sum(col("n_tok")).as("n_s"))
       .withColumn("r", Exact.r(sqrt(col("n_s")), 6).cast("decimal(18,6)"))
     val tot = src.agg(sum(col("r")).as("rsum"), sum(col("n_s")).as("n_total"))
@@ -79,14 +90,13 @@ object Sampling {
       .withColumn("keep_frac",
         least(lit(1.0),
           (col("r").cast("double") / col("rsum").cast("double"))
-            * (col("n_total") / lit(budgetFrac)) / col("n_s")))
+            * (col("n_total") / lit(budget)) / col("n_s")))
       .select(col("source"),
         floor(col("keep_frac") * lit(1000000.0)).cast("long").as("thresh"))
     d.join(broadcast(rates), Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("thresh"),
         (expr(s"((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000000")
           < col("thresh")).as("kept"))
-      .orderBy(col("doc_id"))
   }
 
   val oracles: Map[String, String] = Map(

@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   *             → decontamination (q60: drop every kept doc sharing a
   *               verbatim word-8-gram with the benchmark slice — the
   *               slice itself never enters the corpus)
+  *             → optional retrieval gate (q74's BM25 over the
+  *               survivors against a caller seed query: keep the
+  *               global top-k — retrieve-then-filter targeted
+  *               selection)
+  *             → optional terminal mix gate (q69's √-temperature
+  *               source re-weighting under a token budget over what
+  *               survived every filter — a real curation run ends
+  *               with the mix step)
   *             → packing plan over the SURVIVORS (q62's two-pass
   *               exclusive offsets, 2048-token chunks)
   *             → bucketed lake write (keep-list + chunk plan on
@@ -49,7 +57,10 @@ object CurationPipeline {
       lakePrefix: String = "curation",
       lmFloor: Option[Double] = None,
       dsirFloor: Option[Double] = None,
-      dupRatioCap: Option[Double] = None): Result = {
+      dupRatioCap: Option[Double] = None,
+      retrievalSeed: Option[Seq[String]] = None,
+      retrievalTopK: Int = 1000,
+      mixBudget: Option[Double] = None): Result = {
     // 1. the q57 keep-list: survivors of the language, quality,
     //    exact-dedup and near-dup gates, with per-doc token counts
     val kept = ops.Corpus.q57Kept(spark, dir).cache()
@@ -109,9 +120,42 @@ object CurationPipeline {
     //    benchmark slice from the corpus and keys the flag lookup
     val decon = ops.Corpus.q60Decontaminate(spark, dir)
       .select(col("doc_id"), col("contaminated"))
-    val clean = dupGated.join(decon, Seq("doc_id"))
+    val decontaminated = dupGated.join(decon, Seq("doc_id"))
       .filter(!col("contaminated")).drop("contaminated")
-      .cache() // feeds the pack plan, the lake write AND the stats row
+      .cache() // feeds the optional tail gates AND the stats row
+
+    // 2b. optional retrieval gate (q74): BM25-score the decontaminated
+    //     survivors against the caller's seed query and keep the global
+    //     top `retrievalTopK` — the retrieve-then-filter selection loop
+    //     (quality-targeted curation seeds with exemplar terms and keeps
+    //     what retrieval surfaces). Scores compute over the SURVIVORS,
+    //     not the raw crawl, so df/avgdl describe the shippable corpus;
+    //     the gate therefore composes after decontamination.
+    val retrGated = retrievalSeed match {
+      case Some(seed) =>
+        val hits = ops.Corpus.bm25TopDocs(
+            Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+              .join(decontaminated.select(col("doc_id")), Seq("doc_id")),
+            seed, retrievalTopK)
+          .select(col("doc_id"))
+        decontaminated.join(hits, Seq("doc_id")).cache()
+      case None => decontaminated
+    }
+
+    // 2c. optional terminal mix gate (q69): temperature-reweight the
+    //     surviving sources under a token budget (total/`mixBudget`).
+    //     A real curation run ENDS with the mix step — the budget and
+    //     source balance are properties of what survived every filter,
+    //     so the masses feeding the √-temperature shares are computed
+    //     from the gated survivors, not the raw corpus.
+    val clean = mixBudget match {
+      case Some(b) =>
+        val keep = ops.Sampling.mixKeep(
+            retrGated.select(col("doc_id"), col("source"), col("n_tok")), b)
+          .filter(col("kept")).select(col("doc_id"))
+        retrGated.join(keep, Seq("doc_id")).cache()
+      case None => retrGated
+    }
 
     // 3. chunk the survivors (not the raw corpus) into the training
     //    stream: the offsets/chunk ids a data loader consumes
@@ -134,6 +178,8 @@ object CurationPipeline {
     val gatedAgg = gated.agg(count(lit(1)).as("n_lm_kept"))
     val dsAgg = dsGated.agg(count(lit(1)).as("n_ds_kept"))
     val dupAgg = dupGated.agg(count(lit(1)).as("n_dup_kept"))
+    val deconAgg = decontaminated.agg(count(lit(1)).as("n_decon_kept"))
+    val retrAgg = retrGated.agg(count(lit(1)).as("n_retr_kept"))
     val planAgg = plan.agg(
       count(lit(1)).as("n_final"),
       coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
@@ -143,11 +189,16 @@ object CurationPipeline {
       .crossJoin(broadcast(gatedAgg))
       .crossJoin(broadcast(dsAgg))
       .crossJoin(broadcast(dupAgg))
+      .crossJoin(broadcast(deconAgg))
+      .crossJoin(broadcast(retrAgg))
       .crossJoin(broadcast(planAgg))
       .withColumn("n_lm_dropped", col("n_kept") - col("n_lm_kept"))
       .withColumn("n_dsir_dropped", col("n_lm_kept") - col("n_ds_kept"))
       .withColumn("n_dup_dropped", col("n_ds_kept") - col("n_dup_kept"))
-      .drop("n_lm_kept", "n_ds_kept", "n_dup_kept")
+      .withColumn("n_retr_dropped", col("n_decon_kept") - col("n_retr_kept"))
+      .withColumn("n_mix_dropped", col("n_retr_kept") - col("n_final"))
+      .drop("n_lm_kept", "n_ds_kept", "n_dup_kept", "n_decon_kept",
+        "n_retr_kept")
       .withColumn("n_chunks",
         ceil(col("n_tokens") / lit(ops.Corpus.ctxLen.toDouble)).cast("long"))
       .withColumn("split_frac",

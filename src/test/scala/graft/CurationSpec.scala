@@ -172,4 +172,93 @@ class CurationSpec extends SparkSpec {
       s.getAs[Long]("n_dsir_dropped") == 0L)
     assert(s.getAs[Long]("n_final") == clean.size)
   }
+
+  test("curation pipeline with retrieval gate: BM25 top-k over the survivors, exactly") {
+    scrub("curation_rt_keeplist", "curation_rt_chunks")
+    val baseClean = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_rt").clean
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val seed = ops.Corpus.bm25Query
+    val k = math.max(1, baseClean.size / 2)
+
+    scrub("curation_rt_keeplist", "curation_rt_chunks")
+    val r = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_rt",
+      retrievalSeed = Some(seed), retrievalTopK = k)
+    val clean = r.clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean.nonEmpty && clean.size <= k && clean.subsetOf(baseClean))
+    // every survivor actually matched the seed (BM25 scores matches only)
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(clean.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    assert(clean.forall(id =>
+      texts(id).split(" ").exists(seed.contains)), "non-matching survivor")
+    // algebra: the gate IS the q74 core applied to the survivor corpus
+    val expected = ops.Corpus.bm25TopDocs(
+        graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+          .filter(col("doc_id").isin(baseClean.toSeq: _*)), seed, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == expected)
+    val s = r.stats.head()
+    assert(s.getAs[Long]("n_retr_dropped") == baseClean.size - clean.size)
+    assert(s.getAs[Long]("n_mix_dropped") == 0L)
+    assert(s.getAs[Long]("n_final") == clean.size)
+  }
+
+  test("curation pipeline with terminal mix gate: q69 core over the survivors, exactly") {
+    scrub("curation_mx_keeplist", "curation_mx_chunks")
+    val base = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_mx")
+    val baseClean = base.clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent expectation: the q69 core over the surviving docs —
+    // source masses MUST come from survivors, not the raw corpus
+    val expected = ops.Sampling.mixKeep(
+        base.clean.select(col("doc_id"), col("source"), col("n_tok")), 2.0)
+      .filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < baseClean.size,
+      "mix gate must bite for this spec to mean anything")
+
+    scrub("curation_mx_keeplist", "curation_mx_chunks")
+    val r = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_mx", mixBudget = Some(2.0))
+    val clean = r.clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == expected)
+    val s = r.stats.head()
+    assert(s.getAs[Long]("n_mix_dropped") == baseClean.size - clean.size)
+    assert(s.getAs[Long]("n_retr_dropped") == 0L)
+    assert(s.getAs[Long]("n_final") == clean.size)
+    // the gated lake is what ships: same survivor grain
+    assert(spark.table("curation_mx_keeplist").count() == clean.size)
+    assert(spark.table("curation_mx_chunks").count() == clean.size)
+  }
+
+  test("curation pipeline retrieval→mix composition: mix masses come from the retrieval survivors") {
+    scrub("curation_rm_keeplist", "curation_rm_chunks")
+    val seed = ops.Corpus.bm25Query
+    val baseClean = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_rm").clean
+    val k = math.max(1, baseClean.count().toInt / 2)
+    val retrIds = ops.Corpus.bm25TopDocs(
+        graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+          .join(baseClean.select("doc_id"), Seq("doc_id")), seed, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = ops.Sampling.mixKeep(
+        baseClean.filter(col("doc_id").isin(retrIds.toSeq: _*))
+          .select(col("doc_id"), col("source"), col("n_tok")), 2.0)
+      .filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    scrub("curation_rm_keeplist", "curation_rm_chunks")
+    val r = pipeline.CurationPipeline.run(spark, sf,
+      buckets = 4, lakePrefix = "curation_rm",
+      retrievalSeed = Some(seed), retrievalTopK = k, mixBudget = Some(2.0))
+    val clean = r.clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == expected)
+    val s = r.stats.head()
+    assert(s.getAs[Long]("n_retr_dropped") == baseClean.count() - retrIds.size)
+    assert(s.getAs[Long]("n_mix_dropped") == retrIds.size - clean.size)
+    assert(s.getAs[Long]("n_final") == clean.size)
+  }
 }

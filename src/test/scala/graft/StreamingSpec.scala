@@ -865,6 +865,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.values.forall(_.kind == "bin-raw"))
   }
 
+  test("multimodal decoder registry: injectable seam, first-claim wins, loud fallback") {
+    val ds = Seq(ops.Multimodal.Payload(1L, "hello world".getBytes)).toDS()
+    // injected decoder claims the kind: no "-raw" suffix, padded to dim
+    val out = ops.Multimodal.extractFeatures(ds, dim = 16,
+      decoders = ops.Multimodal.builtinDecoders :+ ConstBinDecoder).collect().head
+    assert(out.kind == "bin")
+    assert(out.features.take(4).forall(_ == 7f) &&
+      out.features.drop(4).forall(_ == 0f))
+    // empty registry: even a decodable kind takes the loud hash fallback
+    val png = pngBytes(4, 4, 0xFF0000)
+    val raw = ops.Multimodal.extractFeatures(
+      Seq(ops.Multimodal.Payload(2L, png)).toDS(), dim = 16,
+      decoders = Nil).collect().head
+    assert(raw.kind == "png-raw")
+    assert(raw.features.sameElements(ops.Multimodal.hashFeatures(png, 16)))
+    // and the default registry is unchanged behavior (decoded for real)
+    val dec = ops.Multimodal.extractFeatures(
+      Seq(ops.Multimodal.Payload(3L, png)).toDS(), dim = 16).collect().head
+    assert(dec.kind == "png")
+  }
+
   /** In-memory PNG of solid `argb` at `w`×`h` via the JDK encoder. */
   private def pngBytes(w: Int, h: Int, argb: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
@@ -1039,4 +1060,14 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L).kind == "avi-raw")
     assert(ops.Multimodal.sniffKind(avi) == "avi")
   }
+}
+
+/** File-scope test decoder (the FFmpeg-seam shape without the external
+  * lib): claims raw "bin" payloads, emits a constant vector. Top-level
+  * so the mapPartitions closure serializes it without dragging the
+  * (non-serializable) suite along. */
+private[graft] object ConstBinDecoder extends ops.Multimodal.PayloadDecoder {
+  val kinds: Set[String] = Set("bin")
+  def decode(payload: Array[Byte]): Option[Array[Float]] =
+    Some(Array.fill(4)(7f))
 }
