@@ -656,26 +656,38 @@ object Corpus {
     * non-ANSI Spark wraps (a silent divergence); double arithmetic is
     * identical in both engines at any scale. ln touches only the
     * bigram-VOCAB-sized result (vocab², corpus-bounded — q68's rule),
-    * 6dp-quantized, margins spec-audited. Scale: two map-side-combined
-    * aggregations over the pair stream (projection-only, never
-    * cached), unigram counts broadcast back, global top-k via
+    * 6dp-quantized, margins spec-audited. Scale: ONE map-side-combined
+    * aggregation over the pair stream (the only corpus-grain work);
+    * unigram masses and the pair total derive from the vocab-sized
+    * count table and broadcast back, global top-k via
     * TakeOrderedAndProject. */
   def q81PmiBigrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // tokenize ONCE per row via the lambda-bound array-wrap (the
+    // shinglesExpr idiom, Text.scala) — split() spelled inline in the
+    // transform lambda re-evaluates per element (O(len²) per doc;
+    // measured dominating the whole query, sf1 24.5 s → 4.3 s fixed)
     val pairExpr = expr(
-      """CASE WHEN size(split(text, ' ')) >= 2 THEN
-        |  transform(sequence(1, size(split(text, ' ')) - 1),
-        |    i -> struct(element_at(split(text, ' '), i) AS a,
-        |                element_at(split(text, ' '), i + 1) AS b))
-        | ELSE array() END""".stripMargin)
+      """flatten(transform(array(split(text, ' ')),
+        | t -> CASE WHEN size(t) >= 2 THEN
+        |   transform(sequence(1, size(t) - 1),
+        |     i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))
+        |  ELSE array() END))""".stripMargin)
     val pairs = docs.select(explode(pairExpr).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= pmiMinCount)
-    val uni = pairs.select(col("a").as("w"))
-      .unionAll(pairs.select(col("b")))
-      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val n = pairs.agg(count(lit(1)).as("n"))
+    // ONE corpus explode + ONE corpus-grain shuffle to (a,b); unigram
+    // masses and the pair total then derive from the bigram-VOCAB-sized
+    // count table (cw = Σ_b cab(w,·) + Σ_a cab(·,w), n = Σ cab — exact
+    // integer identities) instead of re-exploding the corpus three more
+    // times. The cache is vocab²-sized (corpus-bounded — the same bound
+    // that justifies broadcast(uni)).
+    val cabAll = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .cache()
+    val cab = cabAll.filter(col("cab") >= pmiMinCount)
+    val uni = cabAll.select(col("a").as("w"), col("cab"))
+      .unionAll(cabAll.select(col("b").as("w"), col("cab")))
+      .groupBy(col("w")).agg(sum(col("cab")).as("cw"))
+    val n = cabAll.agg(coalesce(sum(col("cab")), lit(0L)).as("n"))
     val scored = cab
       .join(broadcast(uni.select(col("w").as("a"), col("cw").as("ca"))), "a")
       .join(broadcast(uni.select(col("w").as("b"), col("cw").as("cb"))), "b")
