@@ -16,17 +16,22 @@ object PipelineRun {
     // k-core, EWMA burst) — see FraudPipeline.run and the README A/B
     val extended = args.contains("--extended") ||
       sys.env.get("SPARK_GRAFT_EXTENDED").contains("1")
+    // `--slices` trains on the flattened q85 dynamic tensor as well —
+    // the reference model's four stacked time-scale inputs
+    val slices = args.contains("--slices") ||
+      sys.env.get("SPARK_GRAFT_SLICES").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val r = pipeline.FraudPipeline.run(spark, sfDir, extendedFeatures = extended)
+    val r = pipeline.FraudPipeline.run(spark, sfDir,
+      extendedFeatures = extended, sliceFeatures = slices)
     val m = r.metrics.head()
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.schema.fieldNames
       .map(f => s""""$f":${m.getAs[Any](f)}""").mkString(",")
     println(s"""{"metric":"fraud_pipeline","sf":"$sfDir","sec":$secs,""" +
-      s""""extended":$extended,""" +
+      s""""extended":$extended,"slices":$slices,""" +
       s""""n_users":${r.features.count()},"n_scored":${r.scored.count()},$fields}""")
     spark.stop()
   }

@@ -32,9 +32,20 @@ object FraudPipeline {
     * k-core membership + residual degree (q75) and the EWMA burst
     * score (q77) — zero-filled for users outside the graph/core, so
     * the matrix stays one row per user. Off by default: the default
-    * run stays the reference-parity 32-slot matrix. */
+    * run stays the reference-parity 32-slot matrix.
+    *
+    * `sliceFeatures = true` joins in the flattened q85 DYNAMIC tensor —
+    * the reference model's actual input shape (model.py:25 consumes
+    * four stacked time-scale tensors; TemporalAttention pools each
+    * scale's buckets into one per-scale vector, layers.py:10-68). The
+    * linear stand-in pools with uniform weights (bucket-mean per slot)
+    * and pivots the four scales into `s{1..4}_<slot>` columns — 4×32
+    * extra features per user, zero-filled where a user has no events
+    * at a scale. Off by default for the same reason as the tier above:
+    * the default run is the reference-parity static matrix. */
   def run(spark: SparkSession, dir: String,
-      extendedFeatures: Boolean = false): Result = {
+      extendedFeatures: Boolean = false,
+      sliceFeatures: Boolean = false): Result = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.functions.vector_to_array
@@ -43,7 +54,7 @@ object FraudPipeline {
     //    slice_feature incl. signed degrees / neighbor degree /
     //    clustering — data_process.py:159-168)
     val parity = ops.Features.q59FullFeatureMatrix(spark, dir)
-    val features = if (!extendedFeatures) parity else {
+    val extended = if (!extendedFeatures) parity else {
       val pr = ops.Graph.q73PageRank(spark, dir)
         .select(col("node").as("user_id"), col("pr_scaled"))
       val core = ops.Graph.q75KCore(spark, dir)
@@ -56,6 +67,29 @@ object FraudPipeline {
         .join(core, Seq("user_id"), "left")
         .join(burst, Seq("user_id"), "left")
         .na.fill(0.0, Seq("pr_scaled", "in_kcore", "kcore_deg", "burst"))
+    }
+    val features = if (!sliceFeatures) extended else {
+      // bucket-mean per (user, scale, slot) — the uniform-attention
+      // pool — then ONE pivot shuffle turns the four scales into
+      // columns; everything stays user-grain after this join
+      val slices = ops.Features.q85SliceFeatureTensor(spark, dir)
+      val slotCols = slices.columns
+        .filterNot(Set("user_id", "scale", "bucket").contains)
+      val pooled = slices.groupBy(col("user_id"), col("scale"))
+        .agg(avg(col(slotCols.head)).as(slotCols.head),
+          slotCols.tail.map(c => avg(col(c)).as(c)): _*)
+      val pivoted = pooled.groupBy(col("user_id"))
+        .pivot("scale", Seq(1, 2, 3, 4))
+        .agg(first(col(slotCols.head)).as(slotCols.head),
+          slotCols.tail.map(c => first(col(c)).as(c)): _*)
+      val renamed = pivoted.columns.filterNot(_ == "user_id")
+        .foldLeft(pivoted) { (df, c) =>
+          // Spark names pivot outputs "<value>_<agg alias>"
+          df.withColumnRenamed(c, s"s${c.take(1)}_${c.drop(2)}")
+        }
+      val sliceCols = renamed.columns.filterNot(_ == "user_id")
+      extended.join(renamed, Seq("user_id"), "left")
+        .na.fill(0.0, sliceCols)
     }
 
     // 2. labels from the account table (user_id keys into customer)

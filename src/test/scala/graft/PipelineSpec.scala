@@ -68,6 +68,40 @@ class PipelineSpec extends SparkSpec {
     assert(r.features.filter(col("pr_scaled") > 0).count() > 0)
   }
 
+  test("slice features flatten the q85 tensor: 4 scales × 33 pooled slots, exact pooling") {
+    val r = pipeline.FraudPipeline.run(spark, sf, sliceFeatures = true)
+    val sliceCols = r.features.columns.filter(_.matches("s[1-4]_.*"))
+    // 33 per-slice slots (n_events + 4 stats + 24 hour bins + 4 graph) × 4 scales
+    assert(sliceCols.length == 4 * 33, s"${sliceCols.length}: ${sliceCols.take(8).mkString(",")}")
+    for (s <- 1 to 4; c <- Seq("n_events", "clustering", "h00"))
+      assert(r.features.columns.contains(s"s${s}_$c"), s"s${s}_$c")
+    // still one row per user
+    assert(r.features.groupBy("user_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // the pooled value IS the bucket-mean of the q85 tensor for a user
+    // with events: recompute one cell independently
+    val slices = ops.Features.q85SliceFeatureTensor(spark, sf)
+      .select("user_id", "scale", "n_events").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    val uid = slices.head._1
+    for (s <- 1 to 4) {
+      val vals = slices.filter(x => x._1 == uid && x._2 == s).map(_._3)
+      val expected = if (vals.isEmpty) 0.0 else vals.sum.toDouble / vals.length
+      val got = r.features.filter(col("user_id") === uid)
+        .select(s"s${s}_n_events").head().getDouble(0)
+      assert(math.abs(got - expected) < 1e-9, s"scale $s: $got vs $expected")
+    }
+    // a user with NO per-slice rows is zero-filled, not dropped
+    val sliceUsers = slices.map(_._1).toSet
+    val all = r.features.select("user_id").collect().map(_.getLong(0)).toSet
+    val noSlice = all -- sliceUsers
+    if (noSlice.nonEmpty) {
+      val row = r.features.filter(col("user_id") === noSlice.head)
+        .select(sliceCols.map(col): _*).head()
+      assert((0 until sliceCols.length).forall(i => row.getDouble(i) == 0.0))
+    }
+  }
+
   test("pipeline split is reproducible") {
     val a = pipeline.FraudPipeline.run(spark, sf).scored
       .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
