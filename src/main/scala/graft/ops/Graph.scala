@@ -199,9 +199,11 @@ object Graph {
         col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
       .select(keys.map(k => col(s"e1.$k").as(k)) :+
         col("e1.src").as("a") :+ col("e1.dst").as("b") :+ col("e2.dst").as("c"): _*)
-    val perNode = tris.select(keys.map(col) :+ col("a").as("node"): _*)
-      .unionAll(tris.select(keys.map(col) :+ col("b").as("node"): _*))
-      .unionAll(tris.select(keys.map(col) :+ col("c").as("node"): _*))
+    // one corner explode — see q23FromUnd: unionAll of three
+    // projections re-runs the uncached double join per branch
+    val perNode = tris
+      .select(keys.map(col) :+
+        explode(array(col("a"), col("b"), col("c"))).as("node"): _*)
       .groupBy((keys :+ "node").map(col): _*).agg(count(lit(1)).as("t"))
     und.groupBy(keys.map(col) :+ col("src").as("node"): _*)
       .agg(count(lit(1)).as("deg"))
@@ -335,9 +337,12 @@ object Graph {
       .join(canon.as("e3"),
         col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    val perNode = tris.select(col("a").as("node"))
-      .unionAll(tris.select(col("b")))
-      .unionAll(tris.select(col("c")))
+    // ONE corner explode, not unionAll of three projections: tris is
+    // deliberately uncached (triangle-sized), so a 3-way union re-runs
+    // the double join per branch — measured 3× the whole-query cost in
+    // the q85 keyed twin before this fix
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("t"))
     und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .join(perNode, Seq("node"), "left")
