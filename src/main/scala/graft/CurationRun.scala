@@ -6,16 +6,30 @@ package graft
   * as one JSON line.
   *
   *   SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.CurationRun"
+  *
+  * Optional gate flags: `--lm-floor=<f>` `--dsir-floor=<f>`
+  * `--dup-cap=<f>` `--seed=<term,term,…>` (BM25 retrieval gate, with
+  * `--top-k=<n>`, default 1000) `--mix-budget=<f>` (terminal q69 mix:
+  * token budget = surviving total / f).
   */
 object CurationRun {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse(
+    val sfDir = args.filterNot(_.startsWith("--")).headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    def opt(name: String): Option[String] =
+      args.collectFirst { case a if a.startsWith(s"--$name=") =>
+        a.drop(name.length + 3) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val r = pipeline.CurationPipeline.run(spark, sfDir)
+    val r = pipeline.CurationPipeline.run(spark, sfDir,
+      lmFloor = opt("lm-floor").map(_.toDouble),
+      dsirFloor = opt("dsir-floor").map(_.toDouble),
+      dupRatioCap = opt("dup-cap").map(_.toDouble),
+      retrievalSeed = opt("seed").map(_.split(",").map(_.trim).toSeq),
+      retrievalTopK = opt("top-k").map(_.toInt).getOrElse(1000),
+      mixBudget = opt("mix-budget").map(_.toDouble))
     val s = r.stats.head()
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = s.schema.fieldNames

@@ -314,4 +314,21 @@ class PlanSpec extends SparkSpec {
         s.output.map(_.name).mkString(",")))
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("q81: one pair-stream Generate; unigrams derive from the bigram table") {
+    // the pair explode is the ONLY corpus-grain generator — unigram
+    // masses and the pair total must come from the (cached) vocab-sized
+    // bigram counts, not from re-exploded corpus streams (the unionAll
+    // shape re-ran the explode three more times)
+    val p = plan(ops.Corpus.q81PmiBigrams(spark, sf))
+    assert("""\(\d+\) Generate""".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("q23: triangle corners roll up through one explode, not a 3-way union") {
+    // unionAll of three projections of the uncached triangle join
+    // re-ran the double self-join per corner — the plan must contain
+    // NO Union and exactly one corner Generate above the join
+    val p = plan(ops.Graph.q23Triangles(spark, sf))
+    assert(!p.contains("Union"), p.take(3000))
+  }
 }
