@@ -25,8 +25,11 @@ object Features {
     * exploding the scale dimension instead of the reference's 4 re-scans. */
   def q10WindowedStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
+      // date arithmetic BELOW the ×4 scale explode (the Generate is a
+      // projection barrier): once per event, not once per (event, scale)
       .withColumn("day_idx", datediff(col("ts").cast("date"), lit(epoch).cast("date")))
+      .select(col("user_id"), col("value"), col("day_idx"))
+      .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
       .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
       .groupBy(col("user_id"), col("scale"), col("bucket"))
       .agg(
