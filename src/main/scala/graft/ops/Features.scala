@@ -510,7 +510,7 @@ object Features {
       .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
       .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
       .select(col("user_id"), col("ts"), col("event_type"), col("value"),
-        col("scale"), col("bucket"), col("peer"))
+        col("scale"), col("bucket"), col("day_idx"), col("peer"))
       .cache() // three consumers: activity agg, type sets, edge build
     val sliceW = Window.partitionBy(col("user_id"), col("scale"), col("bucket"))
     val hourCols = (0 until 24).map(h =>
@@ -534,7 +534,16 @@ object Features {
           ++ hourCols): _*)
     // slice-local contact repeat: Jaccard of the slice's type set vs the
     // PREVIOUS bucket at the same scale (q14 re-grained)
-    val uw = ev.select(col("user_id"), col("scale"), col("bucket"), col("event_type"))
+    // dedup-first (undFrom's lesson at the slice grain): reduce the
+    // scale-1 slice of the cache to DAY-grain uniques, re-explode the
+    // four scales over the deduped set, then the final slice-grain
+    // distinct — shuffles E + 4D rows instead of the 4E-row distinct
+    // (D = day-grain uniques, bucket = f(day_idx, scale) exactly)
+    val uw = ev.filter(col("scale") === 1)
+      .select(col("user_id"), col("day_idx"), col("event_type")).distinct()
+      .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
+      .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
+      .select(col("user_id"), col("scale"), col("bucket"), col("event_type"))
       .distinct().cache() // both sides of the intersection join + counts
     val cnt = uw.groupBy(col("user_id"), col("scale"), col("bucket"))
       .agg(count(lit(1)).as("n"))
@@ -559,7 +568,12 @@ object Features {
           6).as("repeat_rate"))
     // per-slice call graph: distinct directed (user → peer) per slice
     val keys = Seq("scale", "bucket")
-    val e0 = ev.filter(col("peer").isNotNull)
+    // same dedup-first shape as uw: day-grain edge uniques once, then
+    // the four scales re-explode over the deduped set
+    val e0 = ev.filter(col("scale") === 1 && col("peer").isNotNull)
+      .select(col("user_id"), col("day_idx"), col("peer")).distinct()
+      .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
+      .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
       .select(col("scale"), col("bucket"), col("user_id").as("src"), col("peer").as("dst"))
       .distinct().cache() // degree explode + symmetrize read it twice
     val dg = Graph.q20DegreesKeyed(e0, keys)

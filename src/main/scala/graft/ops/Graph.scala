@@ -536,7 +536,7 @@ object Graph {
       (col("s_acctbal") < 0).cast("int").as("dst_label"),
       Exact.lcgTrain80("s_suppkey").as("dst_train"))
     e.join(outDeg, "src").join(inDeg, "dst")
-      .join(lab, col("src") === col("c_custkey"))
+      .join(gated(lab, custBound), col("src") === col("c_custkey"))
       .join(gated(slab, suppBound), col("dst") === col("s_suppkey"))
       .filter(col("src_train") && col("dst_train"))
       .select(col("src"), col("dst"),
@@ -799,9 +799,17 @@ object Graph {
     * ring member with few heavy ones; same power iteration, message
     * rs·w/Σw in the identical IEEE op order both engines. */
   def q80WeightedPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val adj = symmetrized(
-        factBase(spark, dir).select(col("src"), col("dst")), "src", "dst")
+    // dedup-first like [[undFrom]], carrying the multiplicity: count
+    // the E directed pairs down to E′ weighted rows, then symmetrize
+    // and SUM the doubled copy — w(a,b) = cnt(a→b) + cnt(b→a) exactly
+    // as the one-pass count over the symmetrized raw stream produced
+    val adj = factBase(spark, dir).select(col("src"), col("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .cache()
     pagerankLoop(adj, nodeGate(spark, dir)).orderBy(col("node"))
   }
