@@ -128,7 +128,7 @@ object Graph {
     * outright since E′ ≪ E). Shared by every unweighted graph build
     * (q22/q23/q66/q67/q73/q75/q86); q80 keeps raw multiplicities for
     * its edge weights and q85's keyed build already dedups first. */
-  private[ops] def undFrom(e: DataFrame): DataFrame =
+  private[graft] def undFrom(e: DataFrame): DataFrame =
     symmetrized(e.distinct(), "src", "dst").distinct()
 
   private val hotEdgesSql =

@@ -31,6 +31,21 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("undFrom equals the naive undirected pair set on random multigraphs") {
+    // the dedup-first rewrite must produce EXACTLY the set the old
+    // symmetrize-then-one-distinct shape produced: every directed dupe
+    // collapsed, both directions present, self-loops and pre-existing
+    // reverse pairs (shared node space) handled
+    val rnd = new Random(7)
+    for (_ <- 1 to 5) {
+      val edges = Seq.fill(300)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val got = ops.Graph.undFrom(edges.toDF("src", "dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      assert(got == expected)
+    }
+  }
+
   test("q58 cube equals the union of its four manual grouping sets") {
     val got = ops.Relational.q58CubeStats(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
