@@ -126,11 +126,24 @@ object ScaleGen {
     shifted
   }
 
-  private def write(outDir: String, name: String, df: DataFrame): Unit =
+  /** Replica output must look like real lake data: many splittable
+    * files. The source testdata is one file with ONE 10M-row row group —
+    * unsplittable, so every downstream scan of a large replica ran as a
+    * single task (measured: the q85 sf10 cache build spent 55 s in one
+    * scan thread). Fan the k-replica explode out to bounded file counts
+    * and cap the parquet row-group size so even a single file stays
+    * row-group-splittable. */
+  private def write(outDir: String, name: String, df: DataFrame,
+      parts: Option[Int] = None): Unit = {
+    val n = parts.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     df.drop("_rep")
-      .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      .repartition(n)
+      .write.mode("overwrite")
+      .option("parquet.block.size", 32L * 1024 * 1024)
+      .parquet(s"$outDir/$name.parquet")
+  }
 
   private def copy(spark: SparkSession, srcDir: String, outDir: String,
       name: String): Unit =
-    write(outDir, name, Tables(spark, srcDir, name))
+    write(outDir, name, Tables(spark, srcDir, name), parts = Some(1))
 }

@@ -38,6 +38,15 @@ object Exact {
   def dsumProduct(a: Column, b: Column): Column =
     sum(a.cast(dec) * b.cast(dec)).cast("double")
 
+  /** Reaggregable partials for two-level rollups (q85's day→slice
+    * grain): the decimal sum is kept UNcast so a later sum-of-partials
+    * is still exact and order-independent — decimal addition is
+    * associative, so the rolled-up value is bit-identical to the
+    * single-level [[dsum]]/[[dvarPop]] over the raw rows. Cast to
+    * double only at the final grain. */
+  def dsumPartial(c: Column): Column = sum(c.cast(dec))
+  def dsumSqPartial(c: Column): Column = sum(c.cast(dec) * c.cast(dec))
+
   /** Engine-identical rounding: floor(x·10^d + 0.5)/10^d.
     *
     * `round()` itself is NOT portable at boundaries: Spark rounds the

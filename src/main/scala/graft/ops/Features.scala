@@ -19,6 +19,17 @@ object Features {
 
   private val epoch = "2024-01-01"
 
+  /** q85's cache gate: the narrow events projection is cached only while
+    * the table is at most this many rows (parquet-footer count — the q63
+    * discipline; past it, each consumer re-scans instead of spilling a
+    * corpus-sized cache). ~100M × 6 narrow columns ≈ a few GB resident.
+    * Conf-overridable so the spec can pin the ungated (recompute) branch
+    * on small data; production never sets the key. */
+  private[graft] val q85CacheEventLimitDefault = 100L * 1000 * 1000
+  private[graft] def q85CacheEventLimit(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.q85.cacheEventLimit")
+      .map(_.toLong).getOrElse(q85CacheEventLimitDefault)
+
   /** q10: per-user mean/variance of `value` at multiple time scales
     * (1/2/3/4-week buckets, `for scale in range(1, 5)` —
     * data_process.py:72-79), computed in ONE pass over the fact table by
@@ -496,50 +507,87 @@ object Features {
     * smaller than the static graph, so the triangle join's hub bound
     * (adjCap per (slice, src)) is looser than q23's own. */
   def q85SliceFeatureTensor(spark: SparkSession, dir: String): DataFrame = {
-    // parse ONCE PER EVENT, then explode: the JSON peer extraction and
-    // the date arithmetic sit BELOW the ×4 scale Generate (a projection
-    // barrier Catalyst won't collapse through), so they run once per
-    // event instead of once per (event, scale) — measured 20 s → 6 s
-    // for the cache build at sf1. The pre-cache projection also drops
-    // the raw props string (wider than every kept column combined).
-    val ev = Tables.events(spark, dir)
+    // Day-grain rollup (the §5 partial-aggregate idea, proven on q08,
+    // applied to the tensor): every activity slot is decomposable into
+    // per-(user, day) partials — counts, Σv, Σv² as UNcast decimals
+    // (decimal addition is associative, so the slice-level sum-of-sums
+    // is bit-identical to a one-level aggregation — [[Exact.dsumPartial]]),
+    // per-hour counts, view counts. The slice-local recall numerator
+    // decomposes too: a view on day d converts iff the slice holds a
+    // purchase on a LATER day (any ts there exceeds every ts of day d),
+    // or the day's own max purchase ts exceeds the view's ts — so each
+    // day carries (views, views-before-day-max-purchase, has-purchase)
+    // and the slice resolves them against its last purchase day. The
+    // events table is therefore scanned and shuffled ONCE at the raw
+    // grain; the ×4 scale explode runs over day partials (D rows,
+    // D ≪ E), not raw events. The JSON peer extraction and the date
+    // arithmetic run once per event as before.
+    val evBase = Tables.events(spark, dir)
       .withColumn("day_idx", datediff(col("ts").cast("date"), lit(epoch).cast("date")))
       .withColumn("peer", get_json_object(col("props"), "$.k").cast("long"))
       .select(col("user_id"), col("ts"), col("event_type"), col("value"),
         col("day_idx"), col("peer"))
+    // Three consumers (day partials, type sets, edge build) of a
+    // 1×-corpus narrow projection. Cache only while events is modest —
+    // parquet-footer count, statistics-only, the q63 discipline: past
+    // the bound, one extra scan per consumer beats a corpus-sized cache
+    // spill-thrashing the executors at 100 TB.
+    val ev =
+      if (Tables.events(spark, dir).count() <= q85CacheEventLimit(spark)) evBase.cache()
+      else evBase
+    val dayW = Window.partitionBy(col("user_id"), col("day_idx"))
+    val dayAggExprs = Seq(
+      count(lit(1)).as("dn"),                    // slice n_events / hour denom
+      count(col("value")).as("dnval"),           // mean/var denom (davg counts non-null)
+      Exact.dsumPartial(col("value")).as("ds1"),
+      Exact.dsumSqPartial(col("value")).as("ds2"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("dnv"),
+      sum(when(col("event_type") === "view" && col("mpd") > col("ts"), 1L)
+        .otherwise(0L)).as("dnvl"),
+      max(when(col("event_type") === "purchase", 1).otherwise(0)).as("dhp")) ++
+      (0 until 24).map(h =>
+        sum(when(hour(col("ts")) === h, 1L).otherwise(0L)).as(f"dh$h%02d"))
+    // the per-day window shuffles once on (user, day); the groupBy right
+    // after shares that partitioning — one exchange of raw-grain rows
+    val dayAgg = ev
+      .withColumn("mpd", max(when(col("event_type") === "purchase", col("ts"))).over(dayW))
+      .groupBy(col("user_id"), col("day_idx"))
+      .agg(dayAggExprs.head, dayAggExprs.tail: _*)
+    val sliceW = Window.partitionBy(col("user_id"), col("scale"), col("bucket"))
+    val dx = dayAgg
       .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
       .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
-      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
-        col("scale"), col("bucket"), col("day_idx"), col("peer"))
-      .cache() // three consumers: activity agg, type sets, edge build
-    val sliceW = Window.partitionBy(col("user_id"), col("scale"), col("bucket"))
+      // the slice's last purchase day: days strictly before it convert
+      // all their views; the last day falls back to its own-day count
+      .withColumn("maxpd", max(when(col("dhp") === 1, col("day_idx"))).over(sliceW))
+    val n = sum(col("dn"))
+    val nVal = sum(col("dnval"))
+    val s1 = sum(col("ds1")).cast("double")
+    val s2 = sum(col("ds2")).cast("double")
     val hourCols = (0 until 24).map(h =>
-      Exact.r(sum(when(hour(col("ts")) === h, 1L).otherwise(0L)) * lit(1.0) /
-        count(lit(1)), 6).as(f"h$h%02d"))
-    val nView = sum(when(col("event_type") === "view", 1L).otherwise(0L))
-    val nViewLater = sum(when(col("event_type") === "view" && col("mp") > col("ts"), 1L)
-      .otherwise(0L))
+      Exact.r(sum(col(f"dh$h%02d")) * lit(1.0) / n, 6).as(f"h$h%02d"))
+    val nView = sum(col("dnv"))
+    val nViewLater = sum(when(col("day_idx") < col("maxpd"), col("dnv"))
+      .otherwise(col("dnvl")))
     // recall is slice-local (a view "converts" only if a purchase follows
     // WITHIN the slice); the no-view case must be guarded explicitly —
     // 0/0 on doubles is NaN, not NULL, so coalesce can't paper over it
-    val act = ev
-      .withColumn("mp", max(when(col("event_type") === "purchase", col("ts"))).over(sliceW))
+    val act = dx
       .groupBy(col("user_id"), col("scale"), col("bucket"))
-      .agg(count(lit(1)).as("n_events"),
+      .agg(n.as("n_events"),
         (Seq(
-          Exact.r(Exact.davg(col("value")), 6).as("mean_val"),
-          Exact.r(Exact.dvarPop(col("value")), 6).as("var_val"),
+          Exact.r(s1 / nVal, 6).as("mean_val"),
+          Exact.r(greatest((s2 - s1 * s1 / nVal) / nVal, lit(0.0)), 6).as("var_val"),
           when(nView === 0, lit(0.0))
             .otherwise(Exact.r(nViewLater * lit(1.0) / nView, 6)).as("recall_rate"))
           ++ hourCols): _*)
     // slice-local contact repeat: Jaccard of the slice's type set vs the
     // PREVIOUS bucket at the same scale (q14 re-grained)
-    // dedup-first (undFrom's lesson at the slice grain): reduce the
-    // scale-1 slice of the cache to DAY-grain uniques, re-explode the
-    // four scales over the deduped set, then the final slice-grain
-    // distinct — shuffles E + 4D rows instead of the 4E-row distinct
-    // (D = day-grain uniques, bucket = f(day_idx, scale) exactly)
-    val uw = ev.filter(col("scale") === 1)
+    // dedup-first (undFrom's lesson at the slice grain): reduce to
+    // DAY-grain uniques, re-explode the four scales over the deduped
+    // set, then the final slice-grain distinct — shuffles E + 4D rows
+    // instead of a 4E-row distinct (bucket = f(day_idx, scale) exactly)
+    val uw = ev
       .select(col("user_id"), col("day_idx"), col("event_type")).distinct()
       .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
       .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
@@ -570,7 +618,7 @@ object Features {
     val keys = Seq("scale", "bucket")
     // same dedup-first shape as uw: day-grain edge uniques once, then
     // the four scales re-explode over the deduped set
-    val e0 = ev.filter(col("scale") === 1 && col("peer").isNotNull)
+    val e0 = ev.filter(col("peer").isNotNull)
       .select(col("user_id"), col("day_idx"), col("peer")).distinct()
       .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
       .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))

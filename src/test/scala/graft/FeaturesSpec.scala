@@ -132,6 +132,34 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("q85 cache gate: past the footer bound the uncached branch is bit-identical") {
+    // the q63 discipline on q85's narrow events projection — force the
+    // gate shut (limit 0 < any event count) and pin BOTH properties:
+    // the plan really drops the InMemoryRelation (no silent cache), and
+    // every value is bit-identical to the cached path
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val cached = Features.q85SliceFeatureTensor(spark, sf).collect().toSeq
+    // drop the first run's registrations — CacheManager would otherwise
+    // substitute the still-live raw-projection cache into the gated plan
+    spark.catalog.clearCache()
+    spark.conf.set("spark.graft.q85.cacheEventLimit", "0")
+    try {
+      val df = Features.q85SliceFeatureTensor(spark, sf)
+      // the day-grain uw/e0/und caches stay (bounded by design); only
+      // the RAW events projection — the one with ts+value columns —
+      // must not be cached when the gate is shut
+      val rawImrs = df.queryExecution.executedPlan.collect {
+        case s: InMemoryTableScanExec
+          if s.output.exists(_.name == "ts") && s.output.exists(_.name == "value") => s
+      }
+      assert(rawImrs.isEmpty, "gate shut must mean no raw-projection cache")
+      assert(df.collect().toSeq == cached)
+    } finally {
+      spark.conf.unset("spark.graft.q85.cacheEventLimit")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q19 feature matrix is one row per active user") {
     val rows = Features.q19FeatureMatrix(spark, sf).collect()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()

@@ -185,6 +185,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("q85: ONE events scan feeds day partials, type sets and edges") {
+    // the day-grain rollup's whole point: raw events are scanned once
+    // (into the gated narrow cache) and only DAY PARTIALS explode ×4 —
+    // a second distinct events scan means a consumer regressed to
+    // re-reading the fact table outside the shared cache
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = ops.Features.q85SliceFeatureTensor(spark, sf)
+        .queryExecution.executedPlan
+      def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p.collect {
+          case s: FileSourceScanExec => Seq(s)
+          case im: InMemoryTableScanExec =>
+            fileScans(im.relation.cachedPlan)
+        }.flatten
+      val eventsScans = fileScans(plan)
+        .filter(_.relation.location.inputFiles.exists(_.contains("events")))
+      assert(eventsScans.map(_.id).distinct.size <= 1,
+        eventsScans.map(_.simpleString(80)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("q19: gap and recall windows share one sort (single 3-key SortExec)") {
     // lag (preceding frame) and later-purchase max (following frame) are
     // two WindowExecs but share partition=user_id, order=(ts,event_id) —
