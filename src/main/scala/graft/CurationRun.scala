@@ -13,8 +13,37 @@ package graft
   * token budget = surviving total / f).
   */
 object CurationRun {
+  private[graft] val flagNames =
+    Seq("lm-floor", "dsir-floor", "dup-cap", "seed", "top-k", "mix-budget")
+
+  private[graft] val usage: String =
+    """usage: sbt "runMain graft.CurationRun [<sfDir>] [gates]"
+      |  <sfDir>             scale-factor directory (default $SPARK_GRAFT_SF_DIR
+      |                      or /root/testdata/sf0.01)
+      |  --lm-floor=<f>      drop docs with q68 avg_logp below f
+      |  --dsir-floor=<f>    drop docs with q71 log importance weight below f
+      |  --dup-cap=<f>       drop docs with q78 dup_ratio above f
+      |  --seed=<t1,t2,...>  BM25 retrieval gate seeded with these terms
+      |  --top-k=<n>         retrieval gate keep count (default 1000)
+      |  --mix-budget=<f>    terminal q69 mix: token budget = total / f
+      |  --help              print this and exit
+      |env: SPARK_GRAFT_CPUS (threads)
+      |prints one JSON report line (per-gate drop counts, chunks, tokens)""".stripMargin
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.filterNot(_.startsWith("--")).headOption.getOrElse(
+    if (args.contains("--help")) { println(usage); return }
+    // every '--' arg must be a known '--name=value' — a value-typed flag
+    // without '=' (e.g. '--seed foo') or a misspelled one would silently
+    // run an ungated pipeline (and its bare value would misparse as
+    // sfDir), so fail loudly before touching Spark
+    val badFlags = args.filter(_.startsWith("--"))
+      .filterNot(a => flagNames.exists(n => a.startsWith(s"--$n=")))
+    require(badFlags.isEmpty,
+      s"unknown or malformed flags: ${badFlags.mkString(", ")}\n$usage")
+    val positional = args.filterNot(_.startsWith("--"))
+    require(positional.length <= 1,
+      s"at most one positional <sfDir> allowed, got: ${positional.mkString(", ")}\n$usage")
+    val sfDir = positional.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     def opt(name: String): Option[String] =
       args.collectFirst { case a if a.startsWith(s"--$name=") =>

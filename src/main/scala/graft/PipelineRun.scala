@@ -10,7 +10,10 @@ package graft
   */
 object PipelineRun {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.filterNot(_.startsWith("--")).headOption.getOrElse(
+    val positional = args.filterNot(_.startsWith("--"))
+    require(positional.length <= 1,
+      s"at most one positional <sfDir> allowed, got: ${positional.mkString(", ")}\n$usage")
+    val sfDir = positional.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     // `--extended` joins in the beyond-parity feature tier (PageRank,
     // k-core, EWMA burst) — see FraudPipeline.run and the README A/B
@@ -20,19 +23,39 @@ object PipelineRun {
     // the reference model's four stacked time-scale inputs
     val slices = args.contains("--slices") ||
       sys.env.get("SPARK_GRAFT_SLICES").contains("1")
+    // `--slices-attn` pools the tensor with q87's temporal attention
+    // instead of the bucket mean (implies the slice tier)
+    val slicesAttn = args.contains("--slices-attn") ||
+      sys.env.get("SPARK_GRAFT_SLICES_ATTN").contains("1")
+    if (args.contains("--help")) { println(usage); return }
+    val unknown = args.filter(_.startsWith("--"))
+      .filterNot(Set("--extended", "--slices", "--slices-attn", "--help"))
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}\n$usage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val r = pipeline.FraudPipeline.run(spark, sfDir,
-      extendedFeatures = extended, sliceFeatures = slices)
+      extendedFeatures = extended, sliceFeatures = slices,
+      sliceAttention = slicesAttn)
     val m = r.metrics.head()
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.schema.fieldNames
       .map(f => s""""$f":${m.getAs[Any](f)}""").mkString(",")
     println(s"""{"metric":"fraud_pipeline","sf":"$sfDir","sec":$secs,""" +
-      s""""extended":$extended,"slices":$slices,""" +
+      s""""extended":$extended,"slices":$slices,"slices_attn":$slicesAttn,""" +
       s""""n_users":${r.features.count()},"n_scored":${r.scored.count()},$fields}""")
     spark.stop()
   }
+
+  private[graft] val usage: String =
+    """usage: sbt "runMain graft.PipelineRun [<sfDir>] [flags]"
+      |  <sfDir>        scale-factor directory (default $SPARK_GRAFT_SF_DIR
+      |                 or /root/testdata/sf0.01)
+      |  --extended     add the beyond-parity tier: PageRank, k-core, EWMA burst
+      |  --slices       add the flattened q85 dynamic tensor (bucket-mean pool)
+      |  --slices-attn  as --slices, pooled by q87 temporal attention
+      |  --help         print this and exit
+      |env: SPARK_GRAFT_CPUS (threads), SPARK_GRAFT_EXTENDED/SLICES/SLICES_ATTN=1
+      |prints one JSON metric line (accuracy, macro P/R/F1, AUC, AP)""".stripMargin
 }

@@ -506,7 +506,14 @@ object Features {
     * (user/node, scale, bucket). Per-slice subgraphs are strictly
     * smaller than the static graph, so the triangle join's hub bound
     * (adjCap per (slice, src)) is looser than q23's own. */
-  def q85SliceFeatureTensor(spark: SparkSession, dir: String): DataFrame = {
+  def q85SliceFeatureTensor(spark: SparkSession, dir: String): DataFrame =
+    q85Core(spark, dir).orderBy(col("user_id"), col("scale"), col("bucket"))
+
+  /** The q85 tensor without the presentation sort — the shared input of
+    * [[q87TemporalAttentionPool]] and FraudPipeline's pooling tiers
+    * (both re-aggregate immediately, so a sort below them is pure
+    * wasted work Catalyst won't always eliminate). */
+  private[graft] def q85Core(spark: SparkSession, dir: String): DataFrame = {
     // Day-grain rollup (the §5 partial-aggregate idea, proven on q08,
     // applied to the tensor): every activity slot is decomposable into
     // per-(user, day) partials — counts, Σv, Σv² as UNcast decimals
@@ -645,10 +652,113 @@ object Features {
           coalesce(col("in_deg"), lit(0L)).as("in_deg"),
           coalesce(col("nbr_avg_deg"), lit(0.0)).as("nbr_avg_deg"),
           coalesce(col("clustering"), lit(0.0)).as("clustering")): _*)
-      .orderBy(col("user_id"), col("scale"), col("bucket"))
   }
 
-  private val q85OracleSql: String = {
+  /** q87 feature-attention weights — the driver-literal stand-in for the
+    * reference MultiLstm's trained `feature_attn` (Code for Sichuan/src/
+    * layers.py:15-16, applied post-softmax at layers.py:41-48): these
+    * literals ARE the post-softmax distribution (they sum to exactly 1),
+    * the q86-gate / q35-Rademacher pattern — inference weights live in
+    * the plan, training stays q54's MLlib seam. Every weight is a DYADIC
+    * rational (k/64), so the pooled scalar is the same IEEE op chain in
+    * both engines; the seq order is the evaluation order the oracle SQL
+    * mirrors term-for-term. n_events carries the largest mass (the
+    * reference's activity-volume prior), the 24 hour shares split one
+    * tail share. */
+  private[graft] val q87FeatureAttn: Seq[(String, Double)] =
+    Seq("n_events" -> 0.125, "mean_val" -> 0.0625, "var_val" -> 0.0625,
+      "recall_rate" -> 0.0625, "repeat_rate" -> 0.0625,
+      "out_deg" -> 0.0625, "in_deg" -> 0.0625,
+      "nbr_avg_deg" -> 0.0625, "clustering" -> 0.0625) ++
+      (0 until 24).map(h => f"h$h%02d" -> 0.015625)
+
+  /** q87 temporal gate literals (dyadic, like [[Graph.faGateWDst]]):
+    * score = tanh(w·pooled + b) per bucket before the softmax. */
+  private[graft] val q87GateW = 0.03125 // 1/32
+  private[graft] val q87GateB = 0.0625 // 1/16
+
+  /** q87: temporal-attention pooling of the q85 slice tensor — the
+    * inference analog of the reference's MultiLstm temporal stage
+    * (layers.py:9-68: per scale, the bucket sequence pools to ONE
+    * per-scale vector; `weekmonthattn`/`get_timeattn` at layers.py:27,
+    * 70-71 is the attention variant of that pooling). FraudPipeline's
+    * `--slices` tier pools by bucket MEAN (uniform attention); this
+    * operator closes the last reference inference stage without a
+    * relational analog: each bucket's slots reduce through the
+    * feature-attention weights to a scalar, a tanh gate scores it, the
+    * scores softmax WITHIN (user, scale) into attention weights, and
+    * every slot pools as Σ aₜ·xₜ — high-activity buckets dominate the
+    * per-scale summary instead of diluting into the mean.
+    *
+    * Numerics (q86's discipline end-to-end): dyadic weights make the
+    * pooled scalar and gate argument the same IEEE chain in both
+    * engines; tanh is spelled overflow-safe (1 − 2/(e²ˣ+1)) and
+    * quantizes at 6dp; the softmax numerator e^s quantizes at 6dp
+    * (s ∈ [−1,1] so e^s ∈ [e⁻¹, e] — no overflow, no max-shift
+    * needed); the denominator sums those 6dp values as exact
+    * DECIMAL(18,6) (order-independent); per-bucket messages aₜ·xₜ
+    * quantize to DECIMAL(28,12) before the sum (q66's rule); one 6dp
+    * round on every pooled output.
+    *
+    * Scale: the attention window and the pooling groupBy share the
+    * (user_id, scale) partitioning — ONE exchange of 4D tensor rows on
+    * top of the q85 plan; nothing re-touches raw events. */
+  def q87TemporalAttentionPool(spark: SparkSession, dir: String): DataFrame = {
+    val t = q85Core(spark, dir)
+    val pooled = q87FeatureAttn.map { case (c, w) => lit(w) * col(c) }.reduce(_ + _)
+    val arg = lit(q87GateW) * pooled + lit(q87GateB)
+    val sQ = Exact.r(lit(1.0) - lit(2.0) / (exp(lit(2.0) * arg) + lit(1.0)), 6)
+    val attW = Window.partitionBy(col("user_id"), col("scale"))
+    val withA = t
+      .withColumn("e_att", Exact.r(exp(sQ), 6))
+      .withColumn("den",
+        sum(col("e_att").cast("decimal(18,6)")).over(attW).cast("double"))
+      .withColumn("a", col("e_att") / col("den"))
+    val aggs = Seq(
+      count(lit(1)).as("n_buckets"),
+      Exact.r(max(col("a")), 6).as("att_max")) ++
+      q87FeatureAttn.map { case (c, _) =>
+        Exact.r(sum((col("a") * col(c)).cast("decimal(28,12)")).cast("double"), 6)
+          .as(c)
+      }
+    withA.groupBy(col("user_id"), col("scale"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"), col("scale"))
+  }
+
+  /** The q87 oracle: q85's body as a CTE, then the attention math
+    * spelled op-for-op (dyadic literals to DOUBLE, the same
+    * left-associated term order as [[q87FeatureAttn]], tanh and e^s
+    * quantized at 6dp, DECIMAL(18,6) denominator, DECIMAL(28,12)
+    * messages). */
+  private def q87OracleSql: String = {
+    def w(d: Double): String = new java.math.BigDecimal(d).toPlainString
+    val pSql = q87FeatureAttn
+      .map { case (c, wt) => s"${w(wt)}::DOUBLE * $c" }.mkString(" + ")
+    val argSql = s"${w(q87GateW)}::DOUBLE * ($pSql) + ${w(q87GateB)}::DOUBLE"
+    val sqSql =
+      s"floor((1.0 - 2.0 / (exp(2.0 * ($argSql)) + 1.0)) * 1e6 + 0.5) / 1e6"
+    val slotSql = q87FeatureAttn.map { case (c, _) =>
+      s"floor(CAST(sum(CAST(a * $c AS DECIMAL(28,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS $c"
+    }.mkString(",\n ")
+    s"""WITH t AS ($q85OracleBody),
+       | s AS (SELECT t.*, $sqSql AS sq FROM t),
+       | e AS (SELECT s.*, floor(exp(sq) * 1e6 + 0.5) / 1e6 AS e_att FROM s),
+       | d AS (SELECT e.*, e_att / CAST(sum(CAST(e_att AS DECIMAL(18,6)))
+       |    OVER (PARTITION BY user_id, scale) AS DOUBLE) AS a FROM e)
+       |SELECT user_id, scale, count(*) AS n_buckets,
+       | floor(max(a) * 1e6 + 0.5) / 1e6 AS att_max,
+       | $slotSql
+       |FROM d GROUP BY 1, 2
+       |ORDER BY user_id, scale""".stripMargin
+  }
+
+  private val q85OracleSql: String =
+    q85OracleBody + "\nORDER BY act.user_id, act.scale, act.bucket"
+
+  /** The q85 oracle without the trailing ORDER BY, so [[q87OracleSql]]
+    * can wrap it as a CTE. */
+  private def q85OracleBody: String = {
     val hourSql = (0 until 24).map(h =>
       f"floor((sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END)*1.0/count(*)) * 1e6 + 0.5) / 1e6 AS h$h%02d")
       .mkString(",\n  ")
@@ -726,12 +836,12 @@ object Features {
        | LEFT JOIN rep ON rep.user_id=act.user_id AND rep.scale=act.scale AND rep.bucket=act.bucket
        | LEFT JOIN dg ON dg.node=act.user_id AND dg.scale=act.scale AND dg.bucket=act.bucket
        | LEFT JOIN nad ON nad.node=act.user_id AND nad.scale=act.scale AND nad.bucket=act.bucket
-       | LEFT JOIN cc ON cc.node=act.user_id AND cc.scale=act.scale AND cc.bucket=act.bucket
-       |ORDER BY act.user_id, act.scale, act.bucket""".stripMargin
+       | LEFT JOIN cc ON cc.node=act.user_id AND cc.scale=act.scale AND cc.bucket=act.bucket""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q85_slice_feature_tensor" -> q85OracleSql,
+    "q87_temporal_attention_pool" -> q87OracleSql,
     "q83_activity_gini" ->
       """WITH pu AS (SELECT event_type AS grp, user_id, count(*) AS x
         |  FROM events GROUP BY 1, 2
@@ -880,6 +990,7 @@ object Features {
     "q77_ewma_burst" -> (q77EwmaBurst _),
     "q79_transitions" -> (q79Transitions _),
     "q83_activity_gini" -> (q83ActivityGini _),
-    "q85_slice_feature_tensor" -> (q85SliceFeatureTensor _)
+    "q85_slice_feature_tensor" -> (q85SliceFeatureTensor _),
+    "q87_temporal_attention_pool" -> (q87TemporalAttentionPool _)
   )
 }

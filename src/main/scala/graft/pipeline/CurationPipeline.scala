@@ -205,6 +205,18 @@ object CurationPipeline {
         when(col("n_final") > 0,
           round(col("n_split_docs") * lit(1.0) / col("n_final"), 6))
           .otherwise(lit(0.0)))
-    Result(kept, clean, plan, stats)
+    // Materialize the one-row report while every stage cache is alive,
+    // then drop the intermediate caches — a long-lived session running
+    // repeated curations would otherwise accrete up to five overlapping
+    // corpus-sized cached frames per run. Gates that are off alias
+    // their input frame, so only frames that are not (reference-)equal
+    // to a Result member may be unpersisted.
+    val statsOut = stats.cache()
+    statsOut.head()
+    val exposed = Seq(kept, clean, plan)
+    Seq[DataFrame](gated, dsGated, dupGated, decontaminated, retrGated)
+      .filterNot(df => exposed.exists(_ eq df))
+      .foreach(_.unpersist())
+    Result(kept, clean, plan, statsOut)
   }
 }

@@ -42,10 +42,20 @@ object FraudPipeline {
     * and pivots the four scales into `s{1..4}_<slot>` columns — 4×32
     * extra features per user, zero-filled where a user has no events
     * at a scale. Off by default for the same reason as the tier above:
-    * the default run is the reference-parity static matrix. */
+    * the default run is the reference-parity static matrix.
+    *
+    * `sliceAttention = true` (implies the slice tier) swaps the
+    * bucket-mean pool for q87's temporal-attention pool — the
+    * MultiLstm/`weekmonthattn` analog (layers.py:27,70-71): a tanh
+    * gate scores each bucket and a per-(user, scale) softmax weights
+    * the pooling, so high-activity buckets dominate the per-scale
+    * summary instead of diluting into the mean. Same output shape
+    * (the q87 bookkeeping columns are dropped for slot parity), so
+    * the README A/B isolates the pooling change alone. */
   def run(spark: SparkSession, dir: String,
       extendedFeatures: Boolean = false,
-      sliceFeatures: Boolean = false): Result = {
+      sliceFeatures: Boolean = false,
+      sliceAttention: Boolean = false): Result = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.functions.vector_to_array
@@ -68,25 +78,36 @@ object FraudPipeline {
         .join(burst, Seq("user_id"), "left")
         .na.fill(0.0, Seq("pr_scaled", "in_kcore", "kcore_deg", "burst"))
     }
-    val features = if (!sliceFeatures) extended else {
-      // bucket-mean per (user, scale, slot) — the uniform-attention
-      // pool — then ONE pivot shuffle turns the four scales into
-      // columns; everything stays user-grain after this join
-      val slices = ops.Features.q85SliceFeatureTensor(spark, dir)
-      val slotCols = slices.columns
-        .filterNot(Set("user_id", "scale", "bucket").contains)
-      val pooled = slices.groupBy(col("user_id"), col("scale"))
-        .agg(avg(col(slotCols.head)).as(slotCols.head),
-          slotCols.tail.map(c => avg(col(c)).as(c)): _*)
+    val features = if (!sliceFeatures && !sliceAttention) extended else {
+      // one per-(user, scale, slot) pool — bucket-mean (uniform
+      // attention) or q87's temporal attention — then ONE pivot
+      // shuffle turns the four scales into columns; everything stays
+      // user-grain after this join
+      val pooled =
+        if (sliceAttention)
+          ops.Features.q87TemporalAttentionPool(spark, dir)
+            .drop("n_buckets", "att_max") // slot parity with the mean tier
+        else {
+          val slices = ops.Features.q85Core(spark, dir)
+          val slotCols = slices.columns
+            .filterNot(Set("user_id", "scale", "bucket").contains)
+          slices.groupBy(col("user_id"), col("scale"))
+            .agg(avg(col(slotCols.head)).as(slotCols.head),
+              slotCols.tail.map(c => avg(col(c)).as(c)): _*)
+        }
+      val slotCols = pooled.columns.filterNot(Set("user_id", "scale").contains)
       val pivoted = pooled.groupBy(col("user_id"))
         .pivot("scale", Seq(1, 2, 3, 4))
         .agg(first(col(slotCols.head)).as(slotCols.head),
           slotCols.tail.map(c => first(col(c)).as(c)): _*)
-      val renamed = pivoted.columns.filterNot(_ == "user_id")
-        .foldLeft(pivoted) { (df, c) =>
-          // Spark names pivot outputs "<value>_<agg alias>"
-          df.withColumnRenamed(c, s"s${c.take(1)}_${c.drop(2)}")
-        }
+      // rebuild the `s{scale}_{slot}` names from the known
+      // (scale, slot) cross product — never by slicing Spark's
+      // "<value>_<alias>" pivot naming, which would silently mangle
+      // if the convention or the scale count ever changed
+      val renamed = pivoted.select(
+        col("user_id") +:
+          (for { s <- Seq(1, 2, 3, 4); c <- slotCols }
+            yield col(s"${s}_$c").as(s"s${s}_$c")): _*)
       val sliceCols = renamed.columns.filterNot(_ == "user_id")
       extended.join(renamed, Seq("user_id"), "left")
         .na.fill(0.0, sliceCols)

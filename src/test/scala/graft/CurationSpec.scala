@@ -18,6 +18,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("CLI usage text: every flag documented, unknown flags rejected loudly") {
+    // both mains must document every flag they accept — a new flag
+    // without a usage line ships undiscoverable
+    CurationRun.flagNames.foreach { f =>
+      assert(CurationRun.usage.contains(s"--$f="), s"--$f missing from usage")
+    }
+    Seq("--extended", "--slices", "--slices-attn").foreach { f =>
+      assert(PipelineRun.usage.contains(f), s"$f missing from usage")
+    }
+    // the ADVICE failure mode: a value-taking flag typed without '=' or
+    // a misspelled gate must abort, never silently run ungated
+    for (bad <- Seq(Array("--seed", "foo"), Array("--lmfloor=0.5"),
+        Array("--dup-cap", "0.2"))) {
+      val e = intercept[IllegalArgumentException](CurationRun.main(bad))
+      assert(e.getMessage.contains("unknown or malformed"), bad.mkString(" "))
+    }
+    // two bare positionals (e.g. a flag value separated by a space that
+    // survived flag validation) must abort, not misparse as sfDir
+    val e2 = intercept[IllegalArgumentException](
+      CurationRun.main(Array("dirA", "dirB")))
+    assert(e2.getMessage.contains("one positional"))
+    val e3 = intercept[IllegalArgumentException](
+      PipelineRun.main(Array("dirA", "dirB")))
+    assert(e3.getMessage.contains("one positional"))
+  }
+
   test("curation pipeline: gates → decontaminate → pack → lake, consistent end to end") {
     scrub("curation_t_keeplist", "curation_t_chunks")
     val r = pipeline.CurationPipeline.run(spark, sf,

@@ -34,7 +34,9 @@ class EmptyInputSpec extends SparkSpec {
     "q44_percentiles", "q68_lm_quality", "q69_mix_sample", "q70_pii_scrub",
     "q71_dsir_weight", "q72_gopher_rules", "q73_pagerank", "q74_bm25",
     "q75_kcore", "q76_hll_distinct", "q77_ewma_burst", "q78_dup_spans",
-    "q79_transitions", "q80_weighted_pagerank", "q81_pmi_bigrams", "q82_source_kl", "q83_activity_gini", "q84_countmin")
+    "q79_transitions", "q80_weighted_pagerank", "q81_pmi_bigrams", "q82_source_kl",
+    "q83_activity_gini", "q84_countmin", "q85_slice_feature_tensor",
+    "q86_attention_propagate", "q87_temporal_attention_pool")
 
   reps.foreach { name =>
     test(s"$name runs on an all-empty scale factor") {

@@ -160,6 +160,61 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("q87 attention pool: driver replay + quantization margin audit + weight sanity") {
+    // the feature-attention literals are a post-softmax distribution
+    assert(Features.q87FeatureAttn.map(_._2).sum == 1.0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val tensor = Features.q85SliceFeatureTensor(spark, sf).collect()
+    // per-bucket raw score chain, exactly the plan's op order
+    def pooledOf(r: org.apache.spark.sql.Row): Double =
+      Features.q87FeatureAttn.map { case (c, w) =>
+        w * (r.get(r.fieldIndex(c)) match {
+          case l: Long => l.toDouble
+          case d: Double => d
+        })
+      }.reduce(_ + _)
+    def sRaw(r: org.apache.spark.sql.Row): Double = {
+      val arg = Features.q87GateW * pooledOf(r) + Features.q87GateB
+      1.0 - 2.0 / (math.exp(2.0 * arg) + 1.0)
+    }
+    // margin audit (q86's discipline): both 6dp quantizations — tanh
+    // score and softmax numerator — must sit ≥1e-8 grid steps from the
+    // floor(x+0.5) jump; cross-engine exp disagreement is ulp-scale
+    val margins = tensor.flatMap { r =>
+      val s = sRaw(r)
+      Seq(s, math.exp(r6(s))).map { x =>
+        math.abs(x * 1e6 - math.floor(x * 1e6) - 0.5)
+      }
+    }
+    assert(margins.min > 1e-8, s"quantization margin ${margins.min} too tight")
+    // full replay: 6dp e^s, exact DECIMAL(18,6) denominator,
+    // DECIMAL(28,12) messages, 6dp outputs
+    val out = Features.q87TemporalAttentionPool(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("scale")) -> r).toMap
+    tensor.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[Int]("scale")))
+      .foreach { case (key, rows) =>
+        val es = rows.map(r => r6(math.exp(r6(sRaw(r)))))
+        val den = es.map(q6).sum.toDouble
+        val as = es.map(_ / den)
+        val got = out(key)
+        assert(got.getAs[Long]("n_buckets") == rows.length)
+        assert(got.getAs[Double]("att_max") == r6(as.max), s"att_max $key")
+        for ((c, _) <- Features.q87FeatureAttn.take(5)) {
+          val exp0 = r6(as.zip(rows).map { case (a, r) =>
+            q12(a * (r.get(r.fieldIndex(c)) match {
+              case l: Long => l.toDouble
+              case d: Double => d
+            }))
+          }.sum.toDouble)
+          assert(got.getAs[Double](c) == exp0, s"$c $key")
+        }
+        // attention is a distribution over the buckets
+        assert(math.abs(as.sum - 1.0) < 1e-9)
+      }
+  }
+
   test("q19 feature matrix is one row per active user") {
     val rows = Features.q19FeatureMatrix(spark, sf).collect()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
