@@ -210,6 +210,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("q87: attention adds exactly ONE exchange over the q85 plan") {
+    // the attention window and the pooling groupBy both key on
+    // (user_id, scale) — they must share a single new shuffle; a second
+    // one means the window/groupBy co-partitioning regressed
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s
+        }.size
+      val base = shuffles(ops.Features.q85SliceFeatureTensor(spark, sf))
+      val attn = shuffles(ops.Features.q87TemporalAttentionPool(spark, sf))
+      assert(attn == base + 1, s"q85=$base q87=$attn")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("q19: gap and recall windows share one sort (single 3-key SortExec)") {
     // lag (preceding frame) and later-purchase max (following frame) are
     // two WindowExecs but share partition=user_id, order=(ts,event_id) —
