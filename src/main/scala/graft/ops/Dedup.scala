@@ -221,8 +221,12 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so filter-then-distinct
+      // equals distinct-then-filter — but the filter drops the vast
+      // majority of candidate pairs BEFORE the distinct shuffle, which
+      // is what keeps the bucket self-join near-linear at corpus scale
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 
