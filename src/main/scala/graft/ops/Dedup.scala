@@ -221,10 +221,12 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-      // hamming is a pure function of the pair, so filter-then-distinct
-      // equals distinct-then-filter — but the filter drops the vast
-      // majority of candidate pairs BEFORE the distinct shuffle, which
-      // is what keeps the bucket self-join near-linear at corpus scale
+      // hamming is a pure function of the pair, so the cut belongs below
+      // the distinct — spelled explicitly here, though Catalyst's
+      // PushPredicateThroughNonJoin produces the IDENTICAL plan either
+      // way (verified by optimized-plan diff): a deterministic predicate
+      // over grouping keys always sinks through a distinct, so the
+      // distinct exchange only ever carries the final pair set
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy(col("id1"), col("id2"))
