@@ -39,9 +39,19 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, kStr) = args
     val k = kStr.toInt
-    require(k >= 1 && k <= 100, "replication factor out of range")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, srcDir, outDir, k)
+    finally spark.stop()
+  }
+
+  /** Session-lifecycle-free body, callable from specs against a shared
+    * session. Restores the nanos-read conf it flips. */
+  private[graft] def run(spark: SparkSession, srcDir: String, outDir: String,
+      k: Int): Unit = {
+    require(k >= 1 && k <= 100, "replication factor out of range")
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = spark.conf.getOption(nanosKey)
     try {
       copy(spark, srcDir, outDir, "region")
       copy(spark, srcDir, outDir, "nation")
@@ -102,7 +112,10 @@ object ScaleGen {
                 slice(col("embedding"), lit(1), col("_rot")))))
           .drop("_rot"))
       println(s"[scalegen] wrote ${k}x replica of $srcDir to $outDir")
-    } finally spark.stop()
+    } finally nanosPrev match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None => spark.conf.unset(nanosKey)
+    }
   }
 
   /** K replicas with each listed key column shifted by replica·stride.
