@@ -10,6 +10,10 @@ package graft
   */
 object PipelineRun {
   def main(args: Array[String]): Unit = {
+    // --help wins over every validation error, matching CurationRun: a
+    // user asking for help from a botched invocation gets the usage
+    // text, not the complaint about the botch
+    if (args.contains("--help")) { println(usage); return }
     val positional = args.filterNot(_.startsWith("--"))
     require(positional.length <= 1,
       s"at most one positional <sfDir> allowed, got: ${positional.mkString(", ")}\n$usage")
@@ -27,7 +31,6 @@ object PipelineRun {
     // instead of the bucket mean (implies the slice tier)
     val slicesAttn = args.contains("--slices-attn") ||
       sys.env.get("SPARK_GRAFT_SLICES_ATTN").contains("1")
-    if (args.contains("--help")) { println(usage); return }
     val unknown = args.filter(_.startsWith("--"))
       .filterNot(Set("--extended", "--slices", "--slices-attn", "--help"))
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}\n$usage")

@@ -37,6 +37,10 @@ object ScaleGen {
   private val stride = 10L * 1000 * 1000
 
   def main(args: Array[String]): Unit = {
+    // loud usage instead of a bare MatchError, like the other two mains
+    require(args.length == 3 && args(2).forall(_.isDigit),
+      "usage: sbt \"runMain graft.ScaleGen <srcDir> <outDir> <k>\" " +
+        "(k an integer in 1..100)")
     val Array(srcDir, outDir, kStr) = args
     val k = kStr.toInt
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)

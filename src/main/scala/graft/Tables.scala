@@ -18,6 +18,18 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Memoized table row count for cache-gate decisions (q63/q85): the
+    * count itself is statistics-only (parquet footers, no data read) but
+    * still schedules a job with a footer read per file — at lake scale
+    * that is real per-invocation metadata work, so gate decisions reuse
+    * one count per (dir, table) for the session. Testdata dirs are
+    * immutable within a session; a regenerated dir under the same path
+    * needs a new session (or this map cleared) to re-gate. */
+  private val rowCounts =
+    new scala.collection.concurrent.TrieMap[(String, String), Long]
+  def cachedRowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCounts.getOrElseUpdate((dir, name), apply(spark, dir, name).count())
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -258,7 +258,8 @@ object Corpus {
     // recompute the projection-only explode (one extra scan) past it.
     val cacheDocLimit = 10L * 1000 * 1000
     val lines =
-      if (Tables.documents(spark, dir).count() <= cacheDocLimit) linesBase.cache()
+      if (Tables.cachedRowCount(spark, dir, "documents") <= cacheDocLimit)
+        linesBase.cache()
       else linesBase
     val hot = lines.groupBy(col("line")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 2)

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -540,7 +540,8 @@ object Features {
     // the bound, one extra scan per consumer beats a corpus-sized cache
     // spill-thrashing the executors at 100 TB.
     val ev =
-      if (Tables.events(spark, dir).count() <= q85CacheEventLimit(spark)) evBase.cache()
+      if (Tables.cachedRowCount(spark, dir, "events") <= q85CacheEventLimit(spark))
+        evBase.cache()
       else evBase
     val dayW = Window.partitionBy(col("user_id"), col("day_idx"))
     val dayAggExprs = Seq(
@@ -703,9 +704,25 @@ object Features {
     * Scale: the attention window and the pooling groupBy share the
     * (user_id, scale) partitioning — ONE exchange of 4D tensor rows on
     * top of the q85 plan; nothing re-touches raw events. */
-  def q87TemporalAttentionPool(spark: SparkSession, dir: String): DataFrame = {
-    val t = q85Core(spark, dir)
-    val pooled = q87FeatureAttn.map { case (c, w) => lit(w) * col(c) }.reduce(_ + _)
+  def q87TemporalAttentionPool(spark: SparkSession, dir: String): DataFrame =
+    q87PoolFrom(q85Core(spark, dir)).orderBy(col("user_id"), col("scale"))
+
+  /** The sort-free pooling core over any frame with the q85 tensor
+    * columns — FraudPipeline consumes THIS (its pivot re-aggregates, so
+    * the presentation sort above would be a pure wasted exchange+sort;
+    * the q85Core lesson applied to q87), and specs can feed it a
+    * synthetic tensor.
+    *
+    * NULL discipline: mean_val/var_val are NULL for a slice whose
+    * values are all NULL (q85 reports the honest per-slice stat). The
+    * pool must treat such a slot as zero mass, NOT drop the bucket —
+    * un-coalesced, one NULL slot would null the gate score, vanish the
+    * bucket from the softmax denominator and null every pooled slot for
+    * the (user, scale). Coalesce every slot uniformly (a no-op on the
+    * always-defined ones); the oracle mirrors the same COALESCE. */
+  private[graft] def q87PoolFrom(t: DataFrame): DataFrame = {
+    def slot(c: String): Column = coalesce(col(c).cast("double"), lit(0.0))
+    val pooled = q87FeatureAttn.map { case (c, w) => lit(w) * slot(c) }.reduce(_ + _)
     val arg = lit(q87GateW) * pooled + lit(q87GateB)
     val sQ = Exact.r(lit(1.0) - lit(2.0) / (exp(lit(2.0) * arg) + lit(1.0)), 6)
     val attW = Window.partitionBy(col("user_id"), col("scale"))
@@ -718,12 +735,11 @@ object Features {
       count(lit(1)).as("n_buckets"),
       Exact.r(max(col("a")), 6).as("att_max")) ++
       q87FeatureAttn.map { case (c, _) =>
-        Exact.r(sum((col("a") * col(c)).cast("decimal(28,12)")).cast("double"), 6)
+        Exact.r(sum((col("a") * slot(c)).cast("decimal(28,12)")).cast("double"), 6)
           .as(c)
       }
     withA.groupBy(col("user_id"), col("scale"))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("user_id"), col("scale"))
   }
 
   /** The q87 oracle: q85's body as a CTE, then the attention math
@@ -734,12 +750,14 @@ object Features {
   private def q87OracleSql: String = {
     def w(d: Double): String = new java.math.BigDecimal(d).toPlainString
     val pSql = q87FeatureAttn
-      .map { case (c, wt) => s"${w(wt)}::DOUBLE * $c" }.mkString(" + ")
+      .map { case (c, wt) =>
+        s"${w(wt)}::DOUBLE * COALESCE(CAST($c AS DOUBLE), 0.0)" }
+      .mkString(" + ")
     val argSql = s"${w(q87GateW)}::DOUBLE * ($pSql) + ${w(q87GateB)}::DOUBLE"
     val sqSql =
       s"floor((1.0 - 2.0 / (exp(2.0 * ($argSql)) + 1.0)) * 1e6 + 0.5) / 1e6"
     val slotSql = q87FeatureAttn.map { case (c, _) =>
-      s"floor(CAST(sum(CAST(a * $c AS DECIMAL(28,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS $c"
+      s"floor(CAST(sum(CAST(a * COALESCE(CAST($c AS DOUBLE), 0.0) AS DECIMAL(28,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS $c"
     }.mkString(",\n ")
     s"""WITH t AS ($q85OracleBody),
        | s AS (SELECT t.*, $sqSql AS sq FROM t),

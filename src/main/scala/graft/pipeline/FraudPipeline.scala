@@ -85,7 +85,10 @@ object FraudPipeline {
       // user-grain after this join
       val pooled =
         if (sliceAttention)
-          ops.Features.q87TemporalAttentionPool(spark, dir)
+          // the sort-free core: the pivot below re-aggregates, so the
+          // operator's presentation orderBy would be a wasted
+          // exchange+sort (the same reason the mean tier uses q85Core)
+          ops.Features.q87PoolFrom(ops.Features.q85Core(spark, dir))
             .drop("n_buckets", "att_max") // slot parity with the mean tier
         else {
           val slices = ops.Features.q85Core(spark, dir)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Features
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class FeaturesSpec extends SparkSpec {
 
@@ -158,6 +158,41 @@ class FeaturesSpec extends SparkSpec {
       spark.conf.unset("spark.graft.q85.cacheEventLimit")
       spark.catalog.clearCache()
     }
+  }
+
+  test("q87 pooling: an all-NULL-value bucket keeps its softmax mass") {
+    // q85 reports mean_val/var_val as NULL for a slice whose values are
+    // all NULL; the pool must treat the slot as zero mass, not drop the
+    // bucket — un-coalesced, the NULL would null the gate score, vanish
+    // the bucket from the denominator and null every pooled output.
+    // (Driver testdata has no NULL values, so only a synthetic tensor
+    // exercises this.)
+    def bucket(b: Long, nEvents: Long, meanVal: Option[Double]) = {
+      val slots = Features.q87FeatureAttn.map {
+        case ("n_events", _) => lit(nEvents).as("n_events")
+        case ("mean_val", _) => meanVal.map(lit(_))
+          .getOrElse(lit(null)).cast("double").as("mean_val")
+        case ("var_val", _) => meanVal.map(_ => lit(0.25))
+          .getOrElse(lit(null)).cast("double").as("var_val")
+        case (c, _) => lit(0.125).as(c)
+      }
+      spark.range(1).select(
+        lit(1L).as("user_id") +: lit(1).as("scale") +: lit(b).as("bucket") +:
+          slots: _*)
+    }
+    val t = bucket(0, 10L, Some(2.0)).unionByName(bucket(1, 40L, None))
+    val out = Features.q87PoolFrom(t).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_buckets") == 2)
+    // both buckets hold softmax mass — were the NULL bucket dropped,
+    // the surviving bucket's attention would be exactly 1.0
+    assert(r.getAs[Double]("att_max") < 1.0, r.toString)
+    for ((c, _) <- Features.q87FeatureAttn)
+      assert(!r.isNullAt(r.fieldIndex(c)), s"pooled $c must not be NULL")
+    // the NULL bucket's n_events (40, the larger activity) still
+    // dominates the pooled activity slot
+    assert(r.getAs[Double]("n_events") > 10.0, r.toString)
   }
 
   test("q87 attention pool: driver replay + quantization margin audit + weight sanity") {

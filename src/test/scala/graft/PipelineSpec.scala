@@ -102,6 +102,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("attention tier: 4 scales × 33 slots, one row per user, q87 pooling") {
+    val r = pipeline.FraudPipeline.run(spark, sf, sliceAttention = true)
+    val sliceCols = r.features.columns.filter(_.matches("s[1-4]_.*"))
+    assert(sliceCols.length == 4 * 33,
+      s"${sliceCols.length}: ${sliceCols.take(8).mkString(",")}")
+    assert(r.features.groupBy("user_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // the pivoted cells ARE q87's pooled outputs: cross-check one user
+    // against the operator itself
+    val pooled = ops.Features.q87TemporalAttentionPool(spark, sf)
+      .select("user_id", "scale", "n_events").collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    val uid = pooled.keys.head._1
+    for (s <- 1 to 4 if pooled.contains((uid, s))) {
+      val got = r.features.filter(col("user_id") === uid)
+        .select(s"s${s}_n_events").head().getDouble(0)
+      assert(got == pooled((uid, s)), s"scale $s")
+    }
+  }
+
   test("pipeline split is reproducible") {
     val a = pipeline.FraudPipeline.run(spark, sf).scored
       .select("user_id").collect().map(_.getLong(0)).sorted.toSeq

@@ -12,6 +12,22 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  test("partition-less windows appear ONLY in the known bounded top-k queries") {
+    // Bench silences WindowExec's single-partition WARN session-wide, so
+    // this pin is what actually guards the warning's regression class: a
+    // global (unpartitioned) window moving all data to one task. The two
+    // allowed sites rank already-limit()-cut <=100-row top-k sets.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val global = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        if (global.nonEmpty) Some(name) else None
+    }
+    assert(offenders.toSet == Set("q74_bm25", "q81_pmi_bigrams"),
+      s"unexpected global-window queries: $offenders")
+  }
+
   test("q02: filters and projection reach the parquet scan") {
     val p = plan(ops.Relational.q02FilterProject(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
