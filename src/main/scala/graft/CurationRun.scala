@@ -31,23 +31,9 @@ object CurationRun {
       |prints one JSON report line (per-gate drop counts, chunks, tokens)""".stripMargin
 
   def main(args: Array[String]): Unit = {
-    if (args.contains("--help")) { println(usage); return }
-    // every '--' arg must be a known '--name=value' — a value-typed flag
-    // without '=' (e.g. '--seed foo') or a misspelled one would silently
-    // run an ungated pipeline (and its bare value would misparse as
-    // sfDir), so fail loudly before touching Spark
-    val badFlags = args.filter(_.startsWith("--"))
-      .filterNot(a => flagNames.exists(n => a.startsWith(s"--$n=")))
-    require(badFlags.isEmpty,
-      s"unknown or malformed flags: ${badFlags.mkString(", ")}\n$usage")
-    val positional = args.filterNot(_.startsWith("--"))
-    require(positional.length <= 1,
-      s"at most one positional <sfDir> allowed, got: ${positional.mkString(", ")}\n$usage")
-    val sfDir = positional.headOption.getOrElse(
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
-    def opt(name: String): Option[String] =
-      args.collectFirst { case a if a.startsWith(s"--$name=") =>
-        a.drop(name.length + 3) }
+    val sfDir = Cli.sfDirOf(args, usage, valueFlags = flagNames.toSet)
+      .getOrElse(return)
+    def opt(name: String): Option[String] = Cli.value(args, name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")

@@ -10,15 +10,8 @@ package graft
   */
 object PipelineRun {
   def main(args: Array[String]): Unit = {
-    // --help wins over every validation error, matching CurationRun: a
-    // user asking for help from a botched invocation gets the usage
-    // text, not the complaint about the botch
-    if (args.contains("--help")) { println(usage); return }
-    val positional = args.filterNot(_.startsWith("--"))
-    require(positional.length <= 1,
-      s"at most one positional <sfDir> allowed, got: ${positional.mkString(", ")}\n$usage")
-    val sfDir = positional.headOption.getOrElse(
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val sfDir = Cli.sfDirOf(args, usage,
+      boolFlags = Set("extended", "slices", "slices-attn")).getOrElse(return)
     // `--extended` joins in the beyond-parity feature tier (PageRank,
     // k-core, EWMA burst) — see FraudPipeline.run and the README A/B
     val extended = args.contains("--extended") ||
@@ -31,9 +24,6 @@ object PipelineRun {
     // instead of the bucket mean (implies the slice tier)
     val slicesAttn = args.contains("--slices-attn") ||
       sys.env.get("SPARK_GRAFT_SLICES_ATTN").contains("1")
-    val unknown = args.filter(_.startsWith("--"))
-      .filterNot(Set("--extended", "--slices", "--slices-attn", "--help"))
-    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}\n$usage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")

@@ -42,6 +42,15 @@ class CurationSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       PipelineRun.main(Array("dirA", "dirB")))
     assert(e3.getMessage.contains("one positional"))
+    // both mains share ONE Cli behavior: identical unknown-flag message,
+    // and --help wins over any validation error (usage, not a complaint)
+    val e4 = intercept[IllegalArgumentException](
+      PipelineRun.main(Array("--exteneded")))
+    assert(e4.getMessage.contains("unknown or malformed"))
+    for (badButHelp <- Seq(Array("dirA", "dirB", "--help"),
+        Array("--lmfloor=0.5", "--help")))
+      CurationRun.main(badButHelp) // must print usage and return, not throw
+    PipelineRun.main(Array("dirA", "dirB", "--help"))
   }
 
   test("curation pipeline: gates → decontaminate → pack → lake, consistent end to end") {

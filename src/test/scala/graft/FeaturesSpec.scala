@@ -202,14 +202,17 @@ class FeaturesSpec extends SparkSpec {
     def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
     val tensor = Features.q85SliceFeatureTensor(spark, sf).collect()
-    // per-bucket raw score chain, exactly the plan's op order
+    // per-bucket raw score chain, exactly the plan's op order (null →
+    // 0.0 mirrors the operator's slot coalesce)
+    def slotOf(r: org.apache.spark.sql.Row, c: String): Double =
+      r.get(r.fieldIndex(c)) match {
+        case null => 0.0
+        case l: Long => l.toDouble
+        case d: Double => d
+      }
     def pooledOf(r: org.apache.spark.sql.Row): Double =
-      Features.q87FeatureAttn.map { case (c, w) =>
-        w * (r.get(r.fieldIndex(c)) match {
-          case l: Long => l.toDouble
-          case d: Double => d
-        })
-      }.reduce(_ + _)
+      Features.q87FeatureAttn.map { case (c, w) => w * slotOf(r, c) }
+        .reduce(_ + _)
     def sRaw(r: org.apache.spark.sql.Row): Double = {
       val arg = Features.q87GateW * pooledOf(r) + Features.q87GateB
       1.0 - 2.0 / (math.exp(2.0 * arg) + 1.0)
@@ -238,10 +241,7 @@ class FeaturesSpec extends SparkSpec {
         assert(got.getAs[Double]("att_max") == r6(as.max), s"att_max $key")
         for ((c, _) <- Features.q87FeatureAttn.take(5)) {
           val exp0 = r6(as.zip(rows).map { case (a, r) =>
-            q12(a * (r.get(r.fieldIndex(c)) match {
-              case l: Long => l.toDouble
-              case d: Double => d
-            }))
+            q12(a * slotOf(r, c))
           }.sum.toDouble)
           assert(got.getAs[Double](c) == exp0, s"$c $key")
         }
