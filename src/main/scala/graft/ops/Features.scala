@@ -543,31 +543,54 @@ object Features {
       if (Tables.cachedRowCount(spark, dir, "events") <= q85CacheEventLimit(spark))
         evBase.cache()
       else evBase
-    val dayW = Window.partitionBy(col("user_id"), col("day_idx"))
     val dayAggExprs = Seq(
       count(lit(1)).as("dn"),                    // slice n_events / hour denom
       count(col("value")).as("dnval"),           // mean/var denom (davg counts non-null)
       Exact.dsumPartial(col("value")).as("ds1"),
       Exact.dsumSqPartial(col("value")).as("ds2"),
       sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("dnv"),
-      sum(when(col("event_type") === "view" && col("mpd") > col("ts"), 1L)
-        .otherwise(0L)).as("dnvl"),
       max(when(col("event_type") === "purchase", 1).otherwise(0)).as("dhp")) ++
       (0 until 24).map(h =>
         sum(when(hour(col("ts")) === h, 1L).otherwise(0L)).as(f"dh$h%02d"))
-    // the per-day window shuffles once on (user, day); the groupBy right
-    // after shares that partitioning — one exchange of raw-grain rows
+    // No raw-grain window anywhere in the activity path: a window over
+    // (user, day) would shuffle AND SORT every event; every slot here is
+    // a decomposable aggregate, so the main pass map-side-combines down
+    // to day partials before its (tiny) exchange. The one slot that
+    // needs a post-aggregation value — dnvl, views before the day's last
+    // purchase — joins the view rows against the (user, day) purchase
+    // maxima instead: the view side shuffles sort-FREE, the purchase-max
+    // side is day-grain (AQE broadcasts it when small), and the count
+    // re-uses the join's partitioning for its exchange-free groupBy.
+    val dayPurch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("day_idx")).agg(max(col("ts")).as("mpd"))
+    val dayConv = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("day_idx"), col("ts"))
+      .join(dayPurch, Seq("user_id", "day_idx"))
+      .groupBy(col("user_id"), col("day_idx"))
+      .agg(sum(when(col("mpd") > col("ts"), 1L).otherwise(0L)).as("dnvl"))
     val dayAgg = ev
-      .withColumn("mpd", max(when(col("event_type") === "purchase", col("ts"))).over(dayW))
       .groupBy(col("user_id"), col("day_idx"))
       .agg(dayAggExprs.head, dayAggExprs.tail: _*)
-    val sliceW = Window.partitionBy(col("user_id"), col("scale"), col("bucket"))
-    val dx = dayAgg
+      .join(dayConv, Seq("user_id", "day_idx"), "left")
+      // view days without a same-day purchase carry no converted views
+      .withColumn("dnvl", coalesce(col("dnvl"), lit(0L)))
+    val dx0 = dayAgg
       .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
       .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
-      // the slice's last purchase day: days strictly before it convert
-      // all their views; the last day falls back to its own-day count
-      .withColumn("maxpd", max(when(col("dhp") === 1, col("day_idx"))).over(sliceW))
+    // the slice's last purchase day: days strictly before it convert
+    // all their views; the last day falls back to its own-day count.
+    // groupBy + join instead of a max window — same single slice-key
+    // exchange for the day partials, minus the window's sort; derived
+    // from dayPurch (purchase days ⇔ dhp = 1 days), so the day-agg
+    // subtree is never re-evaluated (the left join keeps no-purchase
+    // slices NULL, exactly the window's semantics)
+    val dx = dx0.join(
+      dayPurch
+        .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
+        .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
+        .groupBy(col("user_id"), col("scale"), col("bucket"))
+        .agg(max(col("day_idx")).as("maxpd")),
+      Seq("user_id", "scale", "bucket"), "left")
     val n = sum(col("dn"))
     val nVal = sum(col("dnval"))
     val s1 = sum(col("ds1")).cast("double")
