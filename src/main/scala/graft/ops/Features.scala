@@ -848,14 +848,10 @@ object Features {
        |  FROM und u JOIN deg g ON u.scale=g.scale AND u.bucket=g.bucket AND u.dst=g.n
        |  GROUP BY 1,2,3),
        | undn AS (SELECT scale, bucket, src, dst FROM und WHERE src <> dst),
-       | cdeg AS (SELECT scale, bucket, src AS node, count(*) AS deg FROM undn GROUP BY 1,2,3),
-       | ori AS (SELECT u.scale, u.bucket, u.src, u.dst FROM undn u
-       |   JOIN cdeg da ON u.scale=da.scale AND u.bucket=da.bucket AND u.src=da.node
-       |   JOIN cdeg db ON u.scale=db.scale AND u.bucket=db.bucket AND u.dst=db.node
-       |   WHERE da.deg < db.deg OR (da.deg = db.deg AND u.src < u.dst)),
+       | canon0 AS (SELECT scale, bucket, src, dst FROM undn WHERE src < dst),
        | canon AS (SELECT scale, bucket, src, dst FROM
        |   (SELECT *, row_number() OVER (PARTITION BY scale, bucket, src ORDER BY dst) AS rn
-       |    FROM ori) WHERE rn <= ${Graph.adjCap}),
+       |    FROM canon0) WHERE rn <= ${Graph.adjCap}),
        | tri AS (SELECT e1.scale, e1.bucket, e1.src AS a, e1.dst AS b, e2.dst AS c
        |   FROM canon e1
        |   JOIN canon e2 ON e2.scale=e1.scale AND e2.bucket=e1.bucket AND e2.src=e1.dst
@@ -865,6 +861,7 @@ object Features {
        |   (SELECT scale, bucket, a AS node FROM tri
        |    UNION ALL SELECT scale, bucket, b FROM tri
        |    UNION ALL SELECT scale, bucket, c FROM tri) GROUP BY 1,2,3),
+       | cdeg AS (SELECT scale, bucket, src AS node, count(*) AS deg FROM undn GROUP BY 1,2,3),
        | cc AS (SELECT d.scale, d.bucket, d.node,
        |   floor((CASE WHEN d.deg >= 2
        |     THEN coalesce(p.t,0) * 2.0 / (d.deg * (d.deg - 1)) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS clustering

@@ -206,26 +206,13 @@ object Graph {
   }
 
   /** q23's triangle/clustering core per (keys…, node), over an already
-    * symmetrized+deduped, self-loop-free pair set; adjacency is
-    * degree-order oriented (see [[q23FromUnd]]) then capped per
-    * (keys…, src) — see [[adjCap]]. */
+    * symmetrized+deduped, self-loop-free pair set; hub adjacency is
+    * capped per (keys…, src) — see [[adjCap]]. */
   private[ops] def q23FromUndKeyed(und: DataFrame, keys: Seq[String]): DataFrame = {
+    val canon = capPerKeys(und.filter(col("src") < col("dst")), keys :+ "src", "dst", adjCap)
+      .cache() // three references in the triangle join
     def kEq(a: String, b: String) =
       keys.map(k => col(s"$a.$k") === col(s"$b.$k")).reduce(_ && _)
-    // same degree-ordered orientation as the static core, slice-keyed:
-    // the per-slice degree table is slice×node-sized, so both joins stay
-    // shuffle joins co-partitioned on (keys…, node) — the 100 TB shape
-    val degk = und.groupBy((keys :+ "src").map(col): _*)
-      .agg(count(lit(1)).as("d")).withColumnRenamed("src", "n")
-    val ori = und.as("u")
-      .join(degk.as("da"), kEq("u", "da") && col("u.src") === col("da.n"))
-      .join(degk.as("db"), kEq("u", "db") && col("u.dst") === col("db.n"))
-      .filter(col("da.d") < col("db.d") ||
-        (col("da.d") === col("db.d") && col("u.src") < col("u.dst")))
-      .select(keys.map(k => col(s"u.$k").as(k)) :+
-        col("u.src").as("src") :+ col("u.dst").as("dst"): _*)
-    val canon = capPerKeys(ori, keys :+ "src", "dst", adjCap)
-      .cache() // three references in the triangle join
     val tris = canon.as("e1")
       .join(canon.as("e2"), kEq("e1", "e2") && col("e2.src") === col("e1.dst"))
       .join(canon.as("e3"), kEq("e1", "e3") &&
@@ -238,7 +225,8 @@ object Graph {
       .select(keys.map(col) :+
         explode(array(col("a"), col("b"), col("c"))).as("node"): _*)
       .groupBy((keys :+ "node").map(col): _*).agg(count(lit(1)).as("t"))
-    degk.select(keys.map(col) :+ col("n").as("node") :+ col("d").as("deg"): _*)
+    und.groupBy(keys.map(col) :+ col("src").as("node"): _*)
+      .agg(count(lit(1)).as("deg"))
       .join(perNode, keys :+ "node", "left")
       .select((keys :+ "node").map(col) :+ col("deg") :+
         coalesce(col("t"), lit(0L)).as("triangles") :+
@@ -353,28 +341,11 @@ object Graph {
   /** q23 core over an ALREADY symmetrized+deduped, self-loop-free
     * (and cached) pair set — q59 shares one such build with q22. */
   private[ops] def q23FromUnd(und: DataFrame): DataFrame = {
-    // Degree-ordered orientation (the compact-forward ordering of the
-    // triangle-listing literature): each undirected pair keeps the one
-    // direction low→high by (degree, id), so a wedge fans out from a
-    // vertex's ORIENTED out-adjacency — bounded by O(√E) on any graph —
-    // instead of its raw hub degree. Measured on the sf1 slice graphs:
-    // 5.6× fewer wedge candidates, and max oriented degree 71 where the
-    // id-ordering hit the adjCap wall (256, truncating) — the cap both
-    // binds far later (more exact counts) and guards a smaller worst
-    // case. The node-sized degree table joins twice; AQE broadcasts it
-    // when small and keeps the co-partitioned shuffle join at scale.
-    val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
-    val ori = und.as("u")
-      .join(deg.as("da"), col("u.src") === col("da.n"))
-      .join(deg.as("db"), col("u.dst") === col("db.n"))
-      .filter(col("da.d") < col("db.d") ||
-        (col("da.d") === col("db.d") && col("u.src") < col("u.dst")))
-      .select(col("u.src").as("src"), col("u.dst").as("dst"))
     // canon appears three times in the triangle join — persist, or the
-    // orientation build runs 3×; oriented out-adjacency is additionally
-    // capped BEFORE the two-hop pairing (bounds candidates at cap² per
-    // vertex — adjCap); `deg` stays the TRUE degree of the uncapped graph
-    val canon = capPerKey(ori, "src", "dst", adjCap)
+    // edge build runs 3×; hub out-adjacency is degree-capped BEFORE the
+    // two-hop pairing (bounds candidates at cap² per vertex — adjCap);
+    // `deg` below stays the TRUE degree from the uncapped graph
+    val canon = capPerKey(und.filter(col("src") < col("dst")), "src", "dst", adjCap)
       .cache()
     val tris = canon.as("e1")
       .join(canon.as("e2"), col("e2.src") === col("e1.dst"))
@@ -388,7 +359,7 @@ object Graph {
     val perNode = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("t"))
-    deg.select(col("n").as("node"), col("d").as("deg"))
+    und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("t"), lit(0L)).as("triangles"),
@@ -1093,17 +1064,15 @@ object Graph {
         | und AS (SELECT DISTINCT src, dst FROM
         |   (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
         |   WHERE src <> dst),
-        | deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
-        | ori AS (SELECT u.src, u.dst FROM und u
-        |   JOIN deg da ON u.src = da.node JOIN deg db ON u.dst = db.node
-        |   WHERE da.deg < db.deg OR (da.deg = db.deg AND u.src < u.dst)),
-        | canon AS (${capSql("ori", "src", "dst", adjCap)}),
+        | canon0 AS (SELECT src, dst FROM und WHERE src < dst),
+        | canon AS (${capSql("canon0", "src", "dst", adjCap)}),
         | tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         |   FROM canon e1 JOIN canon e2 ON e2.src = e1.dst
         |   JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
         | pern AS (SELECT node, count(*) AS t FROM
         |   (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
-        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+        | deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1)
         |SELECT deg.node, deg, coalesce(t, 0) AS triangles,
         | floor((CASE WHEN deg >= 2
         |   THEN coalesce(t, 0) * 2.0 / (deg * (deg - 1)) ELSE 0.0 END) * 1e6 + 0.5) / 1e6
