@@ -115,6 +115,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // "reps" = timed passes that actually ran (budget-gated), so the
+    // artifact self-describes whether each per-query number is a
+    // min-of-N or a single shot — round-over-round totals are only
+    // comparable at equal reps, and the consumer can now tell.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${passes.length},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }

@@ -219,9 +219,8 @@ object Components {
     // gate as q22 (LSN nodes ⊆ customers); past it, the shuffle join
     // falls under AQE's skew-join splitting, which a window never gets.
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
-    val broadcastNodeLimit = 50L * 1000 * 1000
     val sizeSide =
-      if (graft.Tables.customer(spark, dir).count() <= broadcastNodeLimit)
+      if (graft.Tables.cachedRowCount(spark, dir, "customer") <= Graph.broadcastNodeLimit)
         broadcast(sizes)
       else sizes
     labels.join(sizeSide, "comp")

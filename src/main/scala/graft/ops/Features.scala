@@ -516,145 +516,28 @@ object Features {
   private[graft] def q85Core(spark: SparkSession, dir: String): DataFrame = {
     // Day-grain rollup (the §5 partial-aggregate idea, proven on q08,
     // applied to the tensor): every activity slot is decomposable into
-    // per-(user, day) partials — counts, Σv, Σv² as UNcast decimals
-    // (decimal addition is associative, so the slice-level sum-of-sums
-    // is bit-identical to a one-level aggregation — [[Exact.dsumPartial]]),
-    // per-hour counts, view counts. The slice-local recall numerator
-    // decomposes too: a view on day d converts iff the slice holds a
-    // purchase on a LATER day (any ts there exceeds every ts of day d),
-    // or the day's own max purchase ts exceeds the view's ts — so each
-    // day carries (views, views-before-day-max-purchase, has-purchase)
-    // and the slice resolves them against its last purchase day. The
-    // events table is therefore scanned and shuffled ONCE at the raw
-    // grain; the ×4 scale explode runs over day partials (D rows,
-    // D ≪ E), not raw events. The JSON peer extraction and the date
-    // arithmetic run once per event as before.
-    val evBase = Tables.events(spark, dir)
-      .withColumn("day_idx", datediff(col("ts").cast("date"), lit(epoch).cast("date")))
-      .withColumn("peer", get_json_object(col("props"), "$.k").cast("long"))
-      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
-        col("day_idx"), col("peer"))
+    // per-(user, day) partials — see [[q85DayAgg]]. The events table is
+    // scanned and shuffled ONCE at the raw grain; the ×4 scale explode
+    // runs over day partials (D rows, D ≪ E), not raw events. The
+    // sub-DAGs live in the q85* builders below, SHARED with ProfileQ85
+    // and the rollup property test so a profiler/spec mirror can never
+    // desynchronize from the production spelling.
+    //
     // Three consumers (day partials, type sets, edge build) of a
     // 1×-corpus narrow projection. Cache only while events is modest —
     // parquet-footer count, statistics-only, the q63 discipline: past
     // the bound, one extra scan per consumer beats a corpus-sized cache
     // spill-thrashing the executors at 100 TB.
+    val evBase = q85EvBase(spark, dir)
     val ev =
       if (Tables.cachedRowCount(spark, dir, "events") <= q85CacheEventLimit(spark))
         evBase.cache()
       else evBase
-    val dayAggExprs = Seq(
-      count(lit(1)).as("dn"),                    // slice n_events / hour denom
-      count(col("value")).as("dnval"),           // mean/var denom (davg counts non-null)
-      Exact.dsumPartial(col("value")).as("ds1"),
-      Exact.dsumSqPartial(col("value")).as("ds2"),
-      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("dnv"),
-      max(when(col("event_type") === "purchase", 1).otherwise(0)).as("dhp")) ++
-      (0 until 24).map(h =>
-        sum(when(hour(col("ts")) === h, 1L).otherwise(0L)).as(f"dh$h%02d"))
-    // No raw-grain window anywhere in the activity path: a window over
-    // (user, day) would shuffle AND SORT every event; every slot here is
-    // a decomposable aggregate, so the main pass map-side-combines down
-    // to day partials before its (tiny) exchange. The one slot that
-    // needs a post-aggregation value — dnvl, views before the day's last
-    // purchase — joins the view rows against the (user, day) purchase
-    // maxima instead: the view side shuffles sort-FREE, the purchase-max
-    // side is day-grain (AQE broadcasts it when small), and the count
-    // re-uses the join's partitioning for its exchange-free groupBy.
-    val dayPurch = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("day_idx")).agg(max(col("ts")).as("mpd"))
-    val dayConv = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("day_idx"), col("ts"))
-      .join(dayPurch, Seq("user_id", "day_idx"))
-      .groupBy(col("user_id"), col("day_idx"))
-      .agg(sum(when(col("mpd") > col("ts"), 1L).otherwise(0L)).as("dnvl"))
-    val dayAgg = ev
-      .groupBy(col("user_id"), col("day_idx"))
-      .agg(dayAggExprs.head, dayAggExprs.tail: _*)
-      .join(dayConv, Seq("user_id", "day_idx"), "left")
-      // view days without a same-day purchase carry no converted views
-      .withColumn("dnvl", coalesce(col("dnvl"), lit(0L)))
-    val dx0 = dayAgg
-      .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
-      .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
-    // the slice's last purchase day: days strictly before it convert
-    // all their views; the last day falls back to its own-day count.
-    // groupBy + join instead of a max window — same single slice-key
-    // exchange for the day partials, minus the window's sort; derived
-    // from dayPurch (purchase days ⇔ dhp = 1 days), so the day-agg
-    // subtree is never re-evaluated (the left join keeps no-purchase
-    // slices NULL, exactly the window's semantics)
-    val dx = dx0.join(
-      dayPurch
-        .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
-        .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
-        .groupBy(col("user_id"), col("scale"), col("bucket"))
-        .agg(max(col("day_idx")).as("maxpd")),
-      Seq("user_id", "scale", "bucket"), "left")
-    val n = sum(col("dn"))
-    val nVal = sum(col("dnval"))
-    val s1 = sum(col("ds1")).cast("double")
-    val s2 = sum(col("ds2")).cast("double")
-    val hourCols = (0 until 24).map(h =>
-      Exact.r(sum(col(f"dh$h%02d")) * lit(1.0) / n, 6).as(f"h$h%02d"))
-    val nView = sum(col("dnv"))
-    val nViewLater = sum(when(col("day_idx") < col("maxpd"), col("dnv"))
-      .otherwise(col("dnvl")))
-    // recall is slice-local (a view "converts" only if a purchase follows
-    // WITHIN the slice); the no-view case must be guarded explicitly —
-    // 0/0 on doubles is NaN, not NULL, so coalesce can't paper over it
-    val act = dx
-      .groupBy(col("user_id"), col("scale"), col("bucket"))
-      .agg(n.as("n_events"),
-        (Seq(
-          Exact.r(s1 / nVal, 6).as("mean_val"),
-          Exact.r(greatest((s2 - s1 * s1 / nVal) / nVal, lit(0.0)), 6).as("var_val"),
-          when(nView === 0, lit(0.0))
-            .otherwise(Exact.r(nViewLater * lit(1.0) / nView, 6)).as("recall_rate"))
-          ++ hourCols): _*)
-    // slice-local contact repeat: Jaccard of the slice's type set vs the
-    // PREVIOUS bucket at the same scale (q14 re-grained)
-    // dedup-first (undFrom's lesson at the slice grain): reduce to
-    // DAY-grain uniques, re-explode the four scales over the deduped
-    // set, then the final slice-grain distinct — shuffles E + 4D rows
-    // instead of a 4E-row distinct (bucket = f(day_idx, scale) exactly)
-    val uw = ev
-      .select(col("user_id"), col("day_idx"), col("event_type")).distinct()
-      .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
-      .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
-      .select(col("user_id"), col("scale"), col("bucket"), col("event_type"))
-      .distinct().cache() // both sides of the intersection join + counts
-    val cnt = uw.groupBy(col("user_id"), col("scale"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
-    val inter = uw.as("a").join(uw.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a.scale") === col("b.scale") &&
-        col("b.bucket") === col("a.bucket") - 1 &&
-        col("a.event_type") === col("b.event_type"))
-      .groupBy(col("a.user_id").as("user_id"), col("a.scale").as("scale"),
-        col("a.bucket").as("bucket"))
-      .agg(count(lit(1)).as("i"))
-    val rep = cnt.as("c")
-      .join(cnt.as("p"),
-        col("p.user_id") === col("c.user_id") && col("p.scale") === col("c.scale") &&
-        col("p.bucket") === col("c.bucket") - 1, "left")
-      .join(inter.as("x"),
-        col("x.user_id") === col("c.user_id") && col("x.scale") === col("c.scale") &&
-        col("x.bucket") === col("c.bucket"), "left")
-      .select(col("c.user_id").as("user_id"), col("c.scale").as("scale"),
-        col("c.bucket").as("bucket"),
-        Exact.r(coalesce(col("x.i"), lit(0L)) /
-          (col("c.n") + coalesce(col("p.n"), lit(0L)) - coalesce(col("x.i"), lit(0L))),
-          6).as("repeat_rate"))
+    val act = q85Activity(ev)
+    val rep = q85Repeat(q85Uw(ev))
     // per-slice call graph: distinct directed (user → peer) per slice
     val keys = Seq("scale", "bucket")
-    // same dedup-first shape as uw: day-grain edge uniques once, then
-    // the four scales re-explode over the deduped set
-    val e0 = ev.filter(col("peer").isNotNull)
-      .select(col("user_id"), col("day_idx"), col("peer")).distinct()
-      .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
-      .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
-      .select(col("scale"), col("bucket"), col("user_id").as("src"), col("peer").as("dst"))
-      .distinct().cache() // degree explode + symmetrize read it twice
+    val e0 = q85Edges(ev)
     val dg = Graph.q20DegreesKeyed(e0, keys)
     val und = Graph.symmetrizedKeyed(e0, keys).distinct().cache()
     val nad = Graph.q22FromUndKeyed(und, keys)
@@ -677,6 +560,166 @@ object Features {
           coalesce(col("nbr_avg_deg"), lit(0.0)).as("nbr_avg_deg"),
           coalesce(col("clustering"), lit(0.0)).as("clustering")): _*)
   }
+
+  // ---- q85 sub-DAG builders -----------------------------------------
+  // Shared by q85Core, ProfileQ85 (component timing) and the rollup
+  // property test (FeaturesSpec): ONE spelling of each sub-DAG.
+
+  /** The narrow per-event projection every q85 sub-DAG reads: the JSON
+    * peer extraction and the date arithmetic run once per event. */
+  private[graft] def q85EvBase(spark: SparkSession, dir: String): DataFrame =
+    q85EvBaseFrom(Tables.events(spark, dir))
+
+  /** Same projection over ANY events-shaped frame (user_id, ts,
+    * event_type, value, props) — the property-test seam: a randomized
+    * fixture runs through the identical production projection. */
+  private[graft] def q85EvBaseFrom(events: DataFrame): DataFrame =
+    events
+      .withColumn("day_idx", datediff(col("ts").cast("date"), lit(epoch).cast("date")))
+      .withColumn("peer", get_json_object(col("props"), "$.k").cast("long"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+        col("day_idx"), col("peer"))
+
+  /** Re-grain a day-grain frame to the four (scale, bucket) slices —
+    * bucket = day_idx div 7·scale, so the explode is exact re-keying. */
+  private[graft] def q85WithScaleBucket(df: DataFrame): DataFrame = df
+    .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
+    .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
+
+  /** Per-(user, day) purchase-timestamp maxima — shared between the
+    * converted-view resolution and the slice last-purchase-day join. */
+  private[graft] def q85DayPurch(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("day_idx")).agg(max(col("ts")).as("mpd"))
+
+  /** Day-grain partials of every activity slot: counts, Σv, Σv² as
+    * UNcast decimals (decimal addition is associative, so the
+    * slice-level sum-of-sums is bit-identical to a one-level
+    * aggregation — [[Exact.dsumPartial]]), per-hour counts, view
+    * counts. The slice-local recall numerator decomposes too: a view on
+    * day d converts iff the slice holds a purchase on a LATER day (any
+    * ts there exceeds every ts of day d), or the day's own max purchase
+    * ts exceeds the view's ts — so each day carries (views,
+    * views-before-day-max-purchase, has-purchase) and the slice
+    * resolves them against its last purchase day ([[q85Activity]]).
+    *
+    * No raw-grain window anywhere: a window over (user, day) would
+    * shuffle AND SORT every event; every slot here is a decomposable
+    * aggregate, so the main pass map-side-combines down to day partials
+    * before its (tiny) exchange. The one slot that needs a
+    * post-aggregation value — dnvl, views before the day's last
+    * purchase — joins the view rows against the (user, day) purchase
+    * maxima instead: the view side shuffles sort-FREE, the purchase-max
+    * side is day-grain (AQE broadcasts it when small), and the count
+    * re-uses the join's partitioning for its exchange-free groupBy. */
+  private[graft] def q85DayAgg(ev: DataFrame): DataFrame = {
+    val dayAggExprs = Seq(
+      count(lit(1)).as("dn"),                    // slice n_events / hour denom
+      count(col("value")).as("dnval"),           // mean/var denom (davg counts non-null)
+      Exact.dsumPartial(col("value")).as("ds1"),
+      Exact.dsumSqPartial(col("value")).as("ds2"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("dnv"),
+      max(when(col("event_type") === "purchase", 1).otherwise(0)).as("dhp")) ++
+      (0 until 24).map(h =>
+        sum(when(hour(col("ts")) === h, 1L).otherwise(0L)).as(f"dh$h%02d"))
+    val dayConv = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("day_idx"), col("ts"))
+      .join(q85DayPurch(ev), Seq("user_id", "day_idx"))
+      .groupBy(col("user_id"), col("day_idx"))
+      .agg(sum(when(col("mpd") > col("ts"), 1L).otherwise(0L)).as("dnvl"))
+    ev.groupBy(col("user_id"), col("day_idx"))
+      .agg(dayAggExprs.head, dayAggExprs.tail: _*)
+      .join(dayConv, Seq("user_id", "day_idx"), "left")
+      // view days without a same-day purchase carry no converted views
+      .withColumn("dnvl", coalesce(col("dnvl"), lit(0L)))
+  }
+
+  /** Activity slots per (user, scale, bucket), folded from the day
+    * partials ([[q85DayAgg]] → scale explode → slice aggregation). */
+  private[graft] def q85Activity(ev: DataFrame): DataFrame = {
+    // the slice's last purchase day: days strictly before it convert
+    // all their views; the last day falls back to its own-day count.
+    // groupBy + join instead of a max window — same single slice-key
+    // exchange for the day partials, minus the window's sort; derived
+    // from dayPurch (purchase days ⇔ dhp = 1 days), so the day-agg
+    // subtree is never re-evaluated (the left join keeps no-purchase
+    // slices NULL, exactly the window's semantics)
+    val dx = q85WithScaleBucket(q85DayAgg(ev)).join(
+      q85WithScaleBucket(q85DayPurch(ev))
+        .groupBy(col("user_id"), col("scale"), col("bucket"))
+        .agg(max(col("day_idx")).as("maxpd")),
+      Seq("user_id", "scale", "bucket"), "left")
+    val n = sum(col("dn"))
+    val nVal = sum(col("dnval"))
+    val s1 = sum(col("ds1")).cast("double")
+    val s2 = sum(col("ds2")).cast("double")
+    val hourCols = (0 until 24).map(h =>
+      Exact.r(sum(col(f"dh$h%02d")) * lit(1.0) / n, 6).as(f"h$h%02d"))
+    val nView = sum(col("dnv"))
+    val nViewLater = sum(when(col("day_idx") < col("maxpd"), col("dnv"))
+      .otherwise(col("dnvl")))
+    // recall is slice-local (a view "converts" only if a purchase follows
+    // WITHIN the slice); the no-view case must be guarded explicitly —
+    // 0/0 on doubles is NaN, not NULL, so coalesce can't paper over it
+    dx.groupBy(col("user_id"), col("scale"), col("bucket"))
+      .agg(n.as("n_events"),
+        (Seq(
+          Exact.r(s1 / nVal, 6).as("mean_val"),
+          Exact.r(greatest((s2 - s1 * s1 / nVal) / nVal, lit(0.0)), 6).as("var_val"),
+          when(nView === 0, lit(0.0))
+            .otherwise(Exact.r(nViewLater * lit(1.0) / nView, 6)).as("recall_rate"))
+          ++ hourCols): _*)
+  }
+
+  /** Slice-grain distinct (user, type) sets, CACHED — both sides of the
+    * intersection join + the counts read it. Dedup-first (undFrom's
+    * lesson at the slice grain): reduce to DAY-grain uniques,
+    * re-explode the four scales over the deduped set, then the final
+    * slice-grain distinct — shuffles E + 4D rows instead of a 4E-row
+    * distinct (bucket = f(day_idx, scale) exactly). */
+  private[graft] def q85Uw(ev: DataFrame): DataFrame =
+    q85WithScaleBucket(
+        ev.select(col("user_id"), col("day_idx"), col("event_type")).distinct())
+      .select(col("user_id"), col("scale"), col("bucket"), col("event_type"))
+      .distinct().cache()
+
+  /** repeat_rate per slice: slice-local contact repeat — Jaccard of the
+    * slice's type set vs the PREVIOUS bucket at the same scale (q14
+    * re-grained), over a (cached) [[q85Uw]]. */
+  private[graft] def q85Repeat(uw: DataFrame): DataFrame = {
+    val cnt = uw.groupBy(col("user_id"), col("scale"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val inter = uw.as("a").join(uw.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.scale") === col("b.scale") &&
+        col("b.bucket") === col("a.bucket") - 1 &&
+        col("a.event_type") === col("b.event_type"))
+      .groupBy(col("a.user_id").as("user_id"), col("a.scale").as("scale"),
+        col("a.bucket").as("bucket"))
+      .agg(count(lit(1)).as("i"))
+    cnt.as("c")
+      .join(cnt.as("p"),
+        col("p.user_id") === col("c.user_id") && col("p.scale") === col("c.scale") &&
+        col("p.bucket") === col("c.bucket") - 1, "left")
+      .join(inter.as("x"),
+        col("x.user_id") === col("c.user_id") && col("x.scale") === col("c.scale") &&
+        col("x.bucket") === col("c.bucket"), "left")
+      .select(col("c.user_id").as("user_id"), col("c.scale").as("scale"),
+        col("c.bucket").as("bucket"),
+        Exact.r(coalesce(col("x.i"), lit(0L)) /
+          (col("c.n") + coalesce(col("p.n"), lit(0L)) - coalesce(col("x.i"), lit(0L))),
+          6).as("repeat_rate"))
+  }
+
+  /** Per-slice distinct directed (user → peer) edges, CACHED — the
+    * degree explode and the symmetrize read it twice. Same dedup-first
+    * shape as [[q85Uw]]: day-grain edge uniques once, then the four
+    * scales re-explode over the deduped set. */
+  private[graft] def q85Edges(ev: DataFrame): DataFrame =
+    q85WithScaleBucket(
+        ev.filter(col("peer").isNotNull)
+          .select(col("user_id"), col("day_idx"), col("peer")).distinct())
+      .select(col("scale"), col("bucket"), col("user_id").as("src"), col("peer").as("dst"))
+      .distinct().cache()
 
   /** q87 feature-attention weights — the driver-literal stand-in for the
     * reference MultiLstm's trained `feature_attn` (Code for Sichuan/src/

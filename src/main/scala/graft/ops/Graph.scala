@@ -50,6 +50,19 @@ object Graph {
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"),
         col("l_quantity"))
 
+  /** Node-count broadcast gate shared by every graph operator that
+    * broadcasts a node-sized side (degree tables, rank tables, label
+    * tables): a per-node broadcast is a driver killer past ~50M nodes,
+    * so the hint is size-GATED on an UPPER BOUND of the node count read
+    * from the dimension tables' parquet footers (count(*) over parquet
+    * is statistics-only; nodes ⊆ customers ∪ suppliers). The counts are
+    * memoized via [[Tables.cachedRowCount]] — one footer job per
+    * (dir, table) per session, not two fresh jobs per operator call. */
+  private[ops] val broadcastNodeLimit = 50L * 1000 * 1000
+  private[ops] def nodeBound(spark: SparkSession, dir: String): Long =
+    Tables.cachedRowCount(spark, dir, "customer") +
+      Tables.cachedRowCount(spark, dir, "supplier")
+
   /** RAW (non-distinct) edge rows: q22On/q23On symmetrize and THEN
     * dedup, so a distinct here would be a wasted extra shuffle of the
     * fact rows — symmetrize-raw → one distinct does the same work in
@@ -309,17 +322,11 @@ object Graph {
       und: DataFrame): DataFrame = {
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     // deg is one row per NODE — orders of magnitude under the edge list;
-    // broadcasting it keeps und partitioned in place. The hint is
-    // size-GATED, not hardcoded: past ~50M nodes a per-node broadcast
-    // is a driver killer, so fall back to a shuffle join (AQE may still
-    // choose better at runtime). The gate reads an UPPER BOUND on the
-    // node count from the dimension tables' parquet footers (count(*)
-    // over parquet is statistics-only — no data scan, no extra pass
-    // over the edge build; nodes ⊆ customers ∪ suppliers).
-    val broadcastNodeLimit = 50L * 1000 * 1000
-    val nodeBound = Tables.customer(spark, dir).count() +
-      Tables.supplier(spark, dir).count()
-    val degSide = if (nodeBound <= broadcastNodeLimit) broadcast(deg) else deg
+    // broadcasting it keeps und partitioned in place (falling back to a
+    // shuffle join past the shared [[nodeBound]] gate; AQE may still
+    // choose better at runtime).
+    val degSide =
+      if (nodeBound(spark, dir) <= broadcastNodeLimit) broadcast(deg) else deg
     und.join(degSide, col("dst") === col("n"))
       .groupBy(col("src").as("node"))
       .agg(Exact.r(sum(col("d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
@@ -522,9 +529,8 @@ object Graph {
     * through the SAME gate. */
   private def trainEdgeBase(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).cache() // degree aggs + the edge join itself
-    val broadcastNodeLimit = 50L * 1000 * 1000
-    val custBound = Tables.customer(spark, dir).count()
-    val suppBound = Tables.supplier(spark, dir).count()
+    val custBound = Tables.cachedRowCount(spark, dir, "customer")
+    val suppBound = Tables.cachedRowCount(spark, dir, "supplier")
     def gated(df: DataFrame, bound: Long): DataFrame =
       if (bound <= broadcastNodeLimit) broadcast(df) else df
     val outDeg = gated(e.groupBy(col("src")).agg(count(lit(1)).as("sd")), custBound)
@@ -644,11 +650,9 @@ object Graph {
     val und = undFrom(factBase(spark, dir).select(col("src"), col("dst")))
       .cache() // degree agg + one message join per round
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
-    val broadcastNodeLimit = 50L * 1000 * 1000
-    val nodeBound = Tables.customer(spark, dir).count() +
-      Tables.supplier(spark, dir).count()
+    val bound = nodeBound(spark, dir) // memoized footer counts, no per-call jobs
     def gated(df: DataFrame): DataFrame =
-      if (nodeBound <= broadcastNodeLimit) broadcast(df) else df
+      if (bound <= broadcastNodeLimit) broadcast(df) else df
     val di = gated(deg.select(col("n").as("src"), col("d").as("di")))
     val dj = gated(deg.select(col("n").as("dst"), col("d").as("dj")))
     val norm = (lit(1.0) / sqrt(col("di"))) * (lit(1.0) / sqrt(col("dj")))
@@ -815,10 +819,8 @@ object Graph {
   }
 
   private def nodeGate(spark: SparkSession, dir: String): DataFrame => DataFrame = {
-    val broadcastNodeLimit = 50L * 1000 * 1000
-    val nodeBound = Tables.customer(spark, dir).count() +
-      Tables.supplier(spark, dir).count()
-    df => if (nodeBound <= broadcastNodeLimit) broadcast(df) else df
+    val bound = nodeBound(spark, dir) // memoized footer counts
+    df => if (bound <= broadcastNodeLimit) broadcast(df) else df
   }
 
   /** The damped power iteration behind q73/q80 over ANY symmetric

@@ -160,6 +160,83 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("q85 rollup property: day-grain rollup ≡ naive one-level aggregation " +
+      "on a randomized adversarial fixture") {
+    // The bit-exactness of the day→slice rollup (q85Activity) vs the
+    // oracle's one-level spelling was previously proven only by a
+    // manual ProfileQ85 --check run at sf0.01; this pins it in CI on a
+    // fixture with every adversarial shape: exact duplicate rows, NULL
+    // values (incl. all-NULL users ⇒ NULL mean/var), purchase-less and
+    // view-only users, day-boundary + pre-epoch timestamps (negative
+    // day_idx ⇒ negative trunc-div buckets) and US-DST-straddling dates
+    // (inert under the UTC session, pinned so a TZ change would trip).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(20260815L)
+    def ts(s: String) = Timestamp.valueOf(s)
+    val epochMs = ts("2024-01-01 00:00:00").getTime
+    val types = Seq("view", "purchase", "click")
+    val base = (1 to 1500).map { i =>
+      val u = 1L + rnd.nextInt(20)
+      val t = new Timestamp(epochMs + (rnd.nextInt(240) - 40).toLong * 86400000L +
+        rnd.nextInt(86400000))
+      val ty = u match {
+        case 1L => if (rnd.nextBoolean()) "view" else "click" // purchase-less
+        case 2L => "purchase"                                 // view-less
+        case _  => types(rnd.nextInt(3))
+      }
+      val v: java.lang.Double =
+        if (u == 3L || rnd.nextInt(10) == 0) null
+        else rnd.nextInt(100000) / 100.0
+      val props = if (rnd.nextInt(4) == 0) """{"x":1}"""
+        else s"""{"k": ${1 + rnd.nextInt(20)}}"""
+      (u, t, ty, v, props)
+    } ++ Seq( // pinned boundary stamps
+      (1L, ts("2024-03-10 02:30:00"), "view", java.lang.Double.valueOf(1.25), """{"k": 2}"""),
+      (2L, ts("2024-11-03 01:30:00"), "purchase", java.lang.Double.valueOf(2.50), """{"k": 3}"""),
+      (4L, ts("2024-01-01 00:00:00"), "view", java.lang.Double.valueOf(0.01), """{"k": 4}"""),
+      (4L, ts("2024-01-07 23:59:59"), "purchase", null.asInstanceOf[java.lang.Double], """{"k": 5}"""),
+      (5L, ts("2023-12-31 23:59:59"), "purchase", java.lang.Double.valueOf(9.99), """{"k": 6}"""))
+    val rows = base ++ rnd.shuffle(base).take(150) // exact duplicates
+    import spark.implicits._
+    val fixture = rows.toDF("user_id", "ts", "event_type", "value", "props")
+    val ev = Features.q85EvBaseFrom(fixture)
+    // the naive one-level spelling: explode raw events to all four
+    // scales, window-resolve the slice's max purchase ts, aggregate in
+    // one level — the oracle's a0/act CTEs in Spark clothing
+    val exploded = ev
+      .withColumn("scale", explode(array(lit(1), lit(2), lit(3), lit(4))))
+      .withColumn("bucket", expr("CAST(day_idx AS BIGINT) div CAST(7 * scale AS BIGINT)"))
+    val w = Window.partitionBy(col("user_id"), col("scale"), col("bucket"))
+    val a0 = exploded.withColumn("mp",
+      max(when(col("event_type") === "purchase", col("ts"))).over(w))
+    val nView = sum(when(col("event_type") === "view", 1L).otherwise(0L))
+    val aggs = Seq(
+      count(lit(1)).as("n_events"),
+      ops.Exact.r(ops.Exact.davg(col("value")), 6).as("mean_val"),
+      ops.Exact.r(ops.Exact.dvarPop(col("value")), 6).as("var_val"),
+      when(nView === 0, lit(0.0)).otherwise(ops.Exact.r(
+        sum(when(col("event_type") === "view" && col("mp") > col("ts"), 1L)
+          .otherwise(0L)) * lit(1.0) / nView, 6)).as("recall_rate")) ++
+      (0 until 24).map(h => ops.Exact.r(
+        sum(when(hour(col("ts")) === h, 1L).otherwise(0L)) * lit(1.0) /
+          count(lit(1)), 6).as(f"h$h%02d"))
+    val naive = a0.groupBy(col("user_id"), col("scale"), col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+    val rollup = Features.q85Activity(ev)
+    // exact multiset equality — doubles compare bit-for-bit, which is
+    // the rollup's whole claim (decimal partials are associative)
+    assert(rollup.count() == naive.count())
+    assert(rollup.exceptAll(naive).count() == 0, "rollup-only rows")
+    assert(naive.exceptAll(rollup).count() == 0, "naive-only rows")
+    // the fixture really exercised the adversarial branches
+    assert(ev.filter(col("value").isNull).count() > 0)
+    assert(ev.filter(col("day_idx") < 0).count() > 0)
+    val allNull = rollup.filter(col("user_id") === 3L && col("mean_val").isNull)
+    assert(allNull.count() > 0, "all-NULL user must yield NULL mean_val slices")
+  }
+
   test("q87 pooling: an all-NULL-value bucket keeps its softmax mass") {
     // q85 reports mean_val/var_val as NULL for a slice whose values are
     // all NULL; the pool must treat the slot as zero mass, not drop the
