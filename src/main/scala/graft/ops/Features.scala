@@ -721,28 +721,65 @@ object Features {
       .select(col("scale"), col("bucket"), col("user_id").as("src"), col("peer").as("dst"))
       .distinct().cache()
 
-  /** q87 feature-attention weights — the driver-literal stand-in for the
-    * reference MultiLstm's trained `feature_attn` (Code for Sichuan/src/
-    * layers.py:15-16, applied post-softmax at layers.py:41-48): these
-    * literals ARE the post-softmax distribution (they sum to exactly 1),
-    * the q86-gate / q35-Rademacher pattern — inference weights live in
-    * the plan, training stays q54's MLlib seam. Every weight is a DYADIC
-    * rational (k/64), so the pooled scalar is the same IEEE op chain in
-    * both engines; the seq order is the evaluation order the oracle SQL
-    * mirrors term-for-term. n_events carries the largest mass (the
-    * reference's activity-volume prior), the 24 hour shares split one
-    * tail share. */
+  /** q87 feature-attention weights — TRAINED plan literals for the
+    * reference MultiLstm's `feature_attn` (Code for Sichuan/src/
+    * layers.py:15-16, applied at layers.py:41-48). Earlier rounds
+    * shipped a fixed uniform-prior distribution; these are the
+    * MLlib-FITTED values (the reference trains its attention end-to-end
+    * — closing that semantic delta was round-7's ask): a bucket-grain
+    * LogisticRegression on the sf0.1 q85 tensor, TRAIN fold only
+    * (graft.AttnFit; bucket AUC 0.581), so the weights are the learned
+    * per-bucket fraud-logit direction — recall_rate and the evening/
+    * night hour bins push attention UP, clustering and the afternoon
+    * bins push it DOWN. Each value is dyadic-rounded to 1/2²⁰, so the
+    * pooled scalar is the same IEEE op chain in both engines; the seq
+    * order is the evaluation order the oracle SQL mirrors
+    * term-for-term (training stays in the MLlib seam — the q35
+    * Rademacher / q71 dsirTable pattern). */
   private[graft] val q87FeatureAttn: Seq[(String, Double)] =
-    Seq("n_events" -> 0.125, "mean_val" -> 0.0625, "var_val" -> 0.0625,
-      "recall_rate" -> 0.0625, "repeat_rate" -> 0.0625,
-      "out_deg" -> 0.0625, "in_deg" -> 0.0625,
-      "nbr_avg_deg" -> 0.0625, "clustering" -> 0.0625) ++
-      (0 until 24).map(h => f"h$h%02d" -> 0.015625)
+    Seq(
+      "n_events" -> -0.0020799636840820312,
+      "mean_val" -> 8.306503295898438E-4,
+      "var_val" -> 3.910064697265625E-5,
+      "recall_rate" -> 0.058144569396972656,
+      "repeat_rate" -> -0.025121688842773438,
+      "out_deg" -> 0.0015764236450195312,
+      "in_deg" -> 0.0011043548583984375,
+      "nbr_avg_deg" -> -3.719329833984375E-5,
+      "clustering" -> -0.31247806549072266,
+      "h00" -> -0.1247854232788086,
+      "h01" -> -0.3940105438232422,
+      "h02" -> -0.7409267425537109,
+      "h03" -> 0.5528535842895508,
+      "h04" -> 1.019047737121582,
+      "h05" -> 0.9210786819458008,
+      "h06" -> -0.3743886947631836,
+      "h07" -> -0.3172035217285156,
+      "h08" -> -0.8111658096313477,
+      "h09" -> -0.1984262466430664,
+      "h10" -> 0.42482948303222656,
+      "h11" -> -0.24325942993164062,
+      "h12" -> -0.41883373260498047,
+      "h13" -> -1.0283432006835938,
+      "h14" -> -0.8209705352783203,
+      "h15" -> -0.47772979736328125,
+      "h16" -> 0.26769065856933594,
+      "h17" -> 0.7558870315551758,
+      "h18" -> 1.5148086547851562,
+      "h19" -> 0.4534034729003906,
+      "h20" -> 0.4982643127441406,
+      "h21" -> -0.6351032257080078,
+      "h22" -> 0.6235265731811523,
+      "h23" -> -0.4684009552001953)
 
-  /** q87 temporal gate literals (dyadic, like [[Graph.faGateWDst]]):
-    * score = tanh(w·pooled + b) per bucket before the softmax. */
-  private[graft] val q87GateW = 0.03125 // 1/32
-  private[graft] val q87GateB = 0.0625 // 1/16
+  /** q87 temporal gate literals (dyadic): score = tanh(w·pooled + b)
+    * per bucket before the softmax. Fitted alongside [[q87FeatureAttn]]
+    * (AttnFit): w = 1 (the train-fold |logit − mean| q99 of 0.83 already
+    * sits in tanh's responsive range) and b centers the pooled logit —
+    * b = intercept − mean — so the softmax discriminates around the
+    * corpus base rate instead of saturating at it. */
+  private[graft] val q87GateW = 1.0
+  private[graft] val q87GateB = -0.07498455047607422
 
   /** q87: temporal-attention pooling of the q85 slice tensor — the
     * inference analog of the reference's MultiLstm temporal stage

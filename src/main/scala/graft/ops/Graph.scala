@@ -679,19 +679,29 @@ object Graph {
     h.orderBy(col("node"))
   }
 
-  /** q86 gate weights — the FALayer attention analog's driver-literal
-    * stand-in for the trained `nn.Linear(2·in_dim, 1)` gate (the q35
-    * Rademacher / q71 dsirTable pattern: inference-side weights are
-    * plan literals, training stays in q54's MLlib seam). All three are
-    * DYADIC rationals (3/64, −5/128, 5/64), so every product with an
-    * integer degree and their sum is EXACT in an IEEE double — the only
-    * approximate op in the whole attention expression is tanh itself,
-    * which immediately quantizes at 6dp (q68's ln discipline; margins
-    * spec-audited in GraphSpec). With h₂ ≡ 1 the three constant terms
-    * w₂·1 + w₄·1 + b fold into the single literal [[faGateBias]]. */
-  private[graft] val faGateWDst = 0.046875 // 3/64 — weight on the aggregating node's h₁ = deg
-  private[graft] val faGateWSrc = -0.0390625 // −5/128 — weight on the neighbor's h₁ = deg
-  private[graft] val faGateBias = 0.078125 // 5/64 — w₂ + w₄ + b folded (h₂ ≡ 1)
+  /** q86 gate weights — TRAINED plan literals for the FALayer gate (the
+    * reference trains `nn.Linear(2·in_dim, 1)` end-to-end,
+    * new_model_1.py:23-31; inference weights live in the plan, training
+    * stays in the MLlib seam — the q35/q71 pattern). Fitted by
+    * graft.AttnFit at sf0.1: an edge-grain LogisticRegression over
+    * [[q86GateFitBase]] — do the edge's endpoints share the fraud
+    * label? — which is FALayer's objective made explicit (homophilic ≡
+    * low-frequency edges get positive attention). HONEST finding: on
+    * this data homophily is nearly degree-flat (train AUC 0.539), so
+    * the fitted gate is mildly positive everywhere — the learned
+    * weights keep the negative-attention EXPRESSIVENESS (a deployment
+    * whose data has the reference's high-frequency structure refits via
+    * AttnFit and only these three literals change) without fabricating
+    * sign structure the data doesn't support. All three are DYADIC
+    * (1/2²⁰ grain: 261/2²⁰, 261/2²⁰, 1608550/2²⁰), so every product
+    * with an integer degree and their sum is EXACT in an IEEE double —
+    * the only approximate op in the whole attention expression is tanh
+    * itself, which immediately quantizes at 6dp (q68's ln discipline;
+    * margins spec-audited in GraphSpec). With h₂ ≡ 1 the constant terms
+    * fold into the single literal [[faGateBias]]. */
+  private[graft] val faGateWDst = 2.4890899658203125E-4 // 261/2^20 — weight on the aggregating node's h₁ = deg
+  private[graft] val faGateWSrc = 2.4890899658203125E-4 // 261/2^20 — weight on the neighbor's h₁ = deg
+  private[graft] val faGateBias = 1.534041404724121 // 1608550/2^20 — w₂ + w₄ + b folded (h₂ ≡ 1)
 
   /** q86: ONE attention-weighted propagation round — the inference
     * analog of the reference's OTHER channel (the FALayer-style gate of
@@ -816,6 +826,42 @@ object Graph {
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .cache()
     pagerankLoop(adj, nodeGate(spark, dir)).orderBy(col("node"))
+  }
+
+  /** Per-edge fit base for the FALayer gate's training seam
+    * ([[graft.AttnFit]]): undirected purchase-graph edges with both
+    * endpoints' degrees and a HOMOPHILY label — do the endpoints share
+    * the fraud label? — the trainable analog of what FALayer's gate
+    * learns end-to-end (low-frequency ≡ same-community edges take
+    * positive attention, high-frequency ≡ cross-community edges
+    * negative; new_model_1.py:23-31). Node labels follow the shared-id
+    * convention: a key that is a customer uses its customer label, else
+    * its supplier label. TRAIN fold only on BOTH endpoints (q18's LCG
+    * split — the inference literals must never see held-out labels). */
+  private[graft] def q86GateFitBase(spark: SparkSession, dir: String): DataFrame = {
+    val und = undFrom(factBase(spark, dir).select(col("src"), col("dst")))
+      .cache() // degree agg + the edge join
+    val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val lab = Tables.customer(spark, dir).select(col("c_custkey").as("n"),
+        (col("c_acctbal") < 0).cast("int").as("clab"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey").as("n"),
+        (col("s_acctbal") < 0).cast("int").as("slab")), Seq("n"), "full")
+      .select(col("n"), coalesce(col("clab"), col("slab")).as("lab"),
+        Exact.lcgTrain80("n").as("tr"))
+    val bound = nodeBound(spark, dir)
+    def gated(df: DataFrame): DataFrame =
+      if (bound <= broadcastNodeLimit) broadcast(df) else df
+    und
+      .join(gated(deg.select(col("n").as("src"), col("d").as("di"))), "src")
+      .join(gated(deg.select(col("n").as("dst"), col("d").as("dj"))), "dst")
+      .join(gated(lab.select(col("n").as("src"), col("lab").as("li"),
+        col("tr").as("ti"))), "src")
+      .join(gated(lab.select(col("n").as("dst"), col("lab").as("lj"),
+        col("tr").as("tj"))), "dst")
+      .filter(col("ti") && col("tj"))
+      .select(col("di").cast("double").as("di"),
+        col("dj").cast("double").as("dj"),
+        (col("li") === col("lj")).cast("double").as("label"))
   }
 
   private def nodeGate(spark: SparkSession, dir: String): DataFrame => DataFrame = {

@@ -90,6 +90,16 @@ object Multimodal {
           p(11) == ' ') "avi"
       else "wav"
     }
+    // Netpbm (P5 gray / P6 color) — a format the JDK's imageio does NOT
+    // ship a reader for: the kind exists so a third-party PayloadDecoder
+    // can claim it through the registry (exercised end-to-end by the
+    // test-scope PPM decoder in StreamingSpec); with no decoder
+    // registered it takes the loud "pnm-raw" hash fallback like any
+    // other unclaimed kind. The magic requires 'P','5'|'6' AND a
+    // whitespace third byte, so ordinary text ("P6 is…" matches — real
+    // prose starting exactly that way is as unlikely as fake RIFF).
+    else if (p.length >= 3 && p(0) == 'P' && (p(1) == '5' || p(1) == '6') &&
+        (p(2) == ' ' || p(2) == '\n' || p(2) == '\t' || p(2) == '\r')) "pnm"
     else "bin"
 
   /** REAL image decode via the JDK's javax.imageio (PNG/JPEG/BMP/GIF —

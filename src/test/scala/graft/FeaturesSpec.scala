@@ -273,8 +273,15 @@ class FeaturesSpec extends SparkSpec {
   }
 
   test("q87 attention pool: driver replay + quantization margin audit + weight sanity") {
-    // the feature-attention literals are a post-softmax distribution
-    assert(Features.q87FeatureAttn.map(_._2).sum == 1.0)
+    // the trained feature-attention literals are dyadic at 1/2^20 (the
+    // cross-engine exactness contract) and carry real signal (not all 0)
+    for ((c, w) <- Features.q87FeatureAttn) {
+      assert(w * (1L << 20) == math.rint(w * (1L << 20)), s"$c weight not dyadic")
+      assert(math.abs(w) < 16.0, s"$c weight out of the audited range")
+    }
+    assert(Features.q87FeatureAttn.count(_._2 != 0.0) > 10)
+    assert(Features.q87GateW * (1L << 20) == math.rint(Features.q87GateW * (1L << 20)))
+    assert(Features.q87GateB * (1L << 20) == math.rint(Features.q87GateB * (1L << 20)))
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)

@@ -1060,6 +1060,48 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L).kind == "avi-raw")
     assert(ops.Multimodal.sniffKind(avi) == "avi")
   }
+
+  /** Binary P6 PPM bytes of solid (r,g,b) at w×h — a REAL image format
+    * the JDK's imageio ships NO reader for (Netpbm), so only a
+    * third-party decoder can claim it. */
+  private def ppmBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val header = s"P6\n# ppm fixture\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate(w * h * 3)(i =>
+      (i % 3 match { case 0 => r; case 1 => g; case _ => b }).toByte)
+    header ++ px
+  }
+
+  test("multimodal codec seam: a REAL not-in-JDK codec (PPM) decodes end-to-end " +
+      "through the registry") {
+    val ppm = ppmBytes(8, 4, 10, 200, 30)
+    // the format genuinely has no JDK reader — the seam is real, not a
+    // re-route of a codec imageio would have handled anyway
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ppm)) == null)
+    assert(ops.Multimodal.sniffKind(ppm) == "pnm")
+    // prose starting with "P6" but no whitespace stays bin
+    assert(ops.Multimodal.sniffKind("P6=fast".getBytes) == "bin")
+    val ds = Seq(ops.Multimodal.Payload(1L, ppm)).toDS()
+    // default registry: unclaimed kind → loud hash fallback
+    val raw = ops.Multimodal.extractFeatures(ds, dim = 16).collect().head
+    assert(raw.kind == "pnm-raw")
+    assert(raw.features.sameElements(ops.Multimodal.hashFeatures(ppm, 16)))
+    // with the third-party decoder registered: claimed + really decoded
+    val dec = ops.Multimodal.extractFeatures(ds, dim = 16,
+      decoders = ops.Multimodal.builtinDecoders :+ PpmDecoder).collect().head
+    assert(dec.kind == "pnm")
+    val f = dec.features
+    assert(f(0) == 8f && f(1) == 4f && f(2) == 2.0f)    // w, h, aspect
+    assert(f(3) == 10f && f(4) == 200f && f(5) == 30f)  // exact solid RGB
+    assert(f(7) == 0f)                                   // solid → zero luma std
+    // a malformed PPM (truncated pixel data) falls back loudly, like
+    // every other decoder failure
+    val bad = ppm.take(20)
+    val fb = ops.Multimodal.extractFeatures(
+      Seq(ops.Multimodal.Payload(2L, bad)).toDS(), dim = 16,
+      decoders = ops.Multimodal.builtinDecoders :+ PpmDecoder).collect().head
+    assert(fb.kind == "pnm-raw")
+  }
 }
 
 /** File-scope test decoder (the FFmpeg-seam shape without the external
@@ -1070,4 +1112,48 @@ private[graft] object ConstBinDecoder extends ops.Multimodal.PayloadDecoder {
   val kinds: Set[String] = Set("bin")
   def decode(payload: Array[Byte]): Option[Array[Float]] =
     Some(Array.fill(4)(7f))
+}
+
+/** A REAL third-party codec for the registry seam: binary P6 PPM
+  * (Netpbm) — a format `javax.imageio` ships no reader for, so the only
+  * way its payloads decode is through an injected [[PayloadDecoder]].
+  * Shaped exactly like an FFmpeg adapter would be: parse the foreign
+  * format into a BufferedImage, re-encode losslessly (PNG) and reuse
+  * the engine's SINGLE feature extractor — the stat math stays
+  * one-sourced in [[ops.Multimodal.decodeImage]]. Top-level for the
+  * same serialization reason as [[ConstBinDecoder]]. */
+private[graft] object PpmDecoder extends ops.Multimodal.PayloadDecoder {
+  val kinds: Set[String] = Set("pnm")
+  def decode(payload: Array[Byte]): Option[Array[Float]] = {
+    try {
+      // whitespace/comment-tolerant header scan: magic, w, h, maxval
+      var i = 0
+      def token(): String = {
+        while (i < payload.length &&
+            (payload(i).toChar.isWhitespace || payload(i) == '#')) {
+          if (payload(i) == '#') // comment runs to end of line
+            while (i < payload.length && payload(i) != '\n') i += 1
+          else i += 1
+        }
+        val s = i
+        while (i < payload.length && !payload(i).toChar.isWhitespace) i += 1
+        new String(payload, s, i - s, "US-ASCII")
+      }
+      if (token() != "P6") return None
+      val w = token().toInt; val h = token().toInt; val maxv = token().toInt
+      i += 1 // the single whitespace byte after maxval
+      if (w <= 0 || h <= 0 || maxv != 255 ||
+          i + w * h * 3 > payload.length) return None
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = i + (y * w + x) * 3
+        img.setRGB(x, y, ((payload(o) & 0xFF) << 16) |
+          ((payload(o + 1) & 0xFF) << 8) | (payload(o + 2) & 0xFF))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      ops.Multimodal.decodeImage(bos.toByteArray)
+    } catch { case _: Exception => None }
+  }
 }
