@@ -435,6 +435,27 @@ object Graph {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** DISTINCT relation-tagged directed edges — the three relation
+    * graphs of the Amazon/Yelp pipelines (R-U-R/R-T-R/R-S-R,
+    * new_utlis_1.py:36-50), stood in by the purchase edges sliced by
+    * order priority class. Shared by q45 (per-relation degrees) and
+    * q88 (per-relation propagation): one fact scan, one distinct. */
+  private[ops] def relEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .when(col("o_orderpriority") === "3-MEDIUM", 2)
+          .otherwise(3).as("rel"))
+      .distinct()
+
+  private val relEdgesSql =
+    """SELECT DISTINCT o_custkey AS src, l_suppkey AS dst,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1
+      |       WHEN o_orderpriority = '3-MEDIUM' THEN 2
+      |       ELSE 3 END AS rel
+      | FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+
   /** q45: multi-relation in-degrees — the Amazon/Yelp pipelines build
     * THREE relation graphs (R-U-R/R-T-R/R-S-R) and sum per-node
     * in-degrees clamped at 1 (new_utlis_1.py:53
@@ -443,13 +464,7 @@ object Graph {
     * One scan, conditional distinct-counts per relation — no per-graph
     * passes. */
   def q45MultiRelationDegrees(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
-          .when(col("o_orderpriority") === "3-MEDIUM", 2)
-          .otherwise(3).as("rel"))
-      .distinct()
+    val e = relEdges(spark, dir)
     // e is DISTINCT (src, dst, rel): per (dst, rel) the srcs are already
     // unique, so each distinct-count is a plain conditional count —
     // one-phase hash agg instead of three expand/dedup passes
@@ -553,24 +568,32 @@ object Graph {
   }
 
   /** Shared normalizer: quantized scores → probabilities summing to 1
-    * (1-row broadcast total, never a single-partition window). */
-  private def normalizeProb(scored: DataFrame): DataFrame = {
+    * (1-row broadcast total, never a single-partition window).
+    * Unordered — q46/q65 add the output-determinism orderBy, q89
+    * consumes it as a plain edge frame. */
+  private def normalizeProbU(scored: DataFrame): DataFrame = {
     val total = scored.agg(sum(col("sc")).as("tot"))
     scored.crossJoin(broadcast(total))
       .select(col("src"), col("dst"), col("edge_class"),
         Exact.r(col("sc").cast("double") / col("tot").cast("double"), 8).as("prob"))
-      .orderBy(col("src"), col("dst"))
   }
+  private def normalizeProb(scored: DataFrame): DataFrame =
+    normalizeProbU(scored).orderBy(col("src"), col("dst"))
 
-  def q46EdgeSamplingProb(spark: SparkSession, dir: String): DataFrame = {
+  /** q46's probability frame without the presentation orderBy (q89's
+    * input — the sort would be thrown away by the sampling window). */
+  private def q46ProbsU(spark: SparkSession, dir: String): DataFrame = {
     val scored = trainEdgeBase(spark, dir)
       .withColumn("sc", col("base").cast("decimal(28,10)"))
       .drop("base")
       // dual consumer (normalizer agg + final projection): persist, or
       // the 4-way join above runs twice
       .persist()
-    normalizeProb(scored)
+    normalizeProbU(scored)
   }
+
+  def q46EdgeSamplingProb(spark: SparkSession, dir: String): DataFrame =
+    q46ProbsU(spark, dir).orderBy(col("src"), col("dst"))
 
   /** q65: CLASS-BALANCED edge sampling probability — the
     * edge_probability(g1, idx_train, labels, w1, w2) variant
@@ -601,6 +624,51 @@ object Graph {
       .withColumn("sc", (col("base") / col("rate")).cast("decimal(28,10)"))
       .persist() // normalizer agg + final projection
     normalizeProb(scored)
+  }
+
+  /** Neighbors drawn per node by the reference's minibatch sampler
+    * (new_model_*.py forward pass: per-epoch neighbor subsets under the
+    * edge-sampling weights). */
+  private val neighborSampleK = 10
+
+  /** q89: deterministic WEIGHTED NEIGHBOR SAMPLING — executes the
+    * sample that q46's probabilities only parameterize: per source
+    * node, the k=10 train-edge neighbors drawn with inclusion
+    * likelihood monotone in the edge's sampling probability
+    * (new_utlis_1.py:66-97 edge_probability feeding the per-epoch
+    * neighbor draw in the reference's forward pass).
+    *
+    * The draw is a deterministic priority race, not an RNG: each edge
+    * gets `priority = prob / (u + 1)` where u is the portable-md5 hash
+    * of the edge key (q51's hash-not-RNG discipline) — a fixed "race
+    * time" per edge, so higher-probability neighbors win more often,
+    * yet the same edge set survives on every engine/rerun/partitioning,
+    * which is what makes the sampler HASH-ORACLEABLE (DuckDB computes
+    * the identical priorities). Division is by an integer ≥ 1 — no
+    * zero-divisor branch even for edges whose prob rounds to 0 (they
+    * race at priority 0 and lose to any positive edge, tie-broken by
+    * dst). Every op in the priority is IEEE-identical in both engines:
+    * md5 bytes, exact integer hex fold, one long→double conversion,
+    * one divide.
+    *
+    * Scale: the rank filter (rn ≤ 10) rewrites to WindowGroupLimit
+    * (PlanSpec-pinned) — per-partition partial top-k BEFORE the
+    * exchange, so a celebrity node's million-edge neighbor list never
+    * assembles anywhere; the shuffle carries ≤ k rows per (partition,
+    * node). This is q05's shape keyed by the graph, exactly how an
+    * epoch-sampler runs on a cluster: one bounded pass, no per-node
+    * driver loop like the reference's Python sampler. */
+  def q89NeighborSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = Exact.portableHash(
+      concat(col("src").cast("string"), lit("|"), col("dst").cast("string")), 15)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("priority").desc, col("dst"))
+    q46ProbsU(spark, dir)
+      .withColumn("priority", col("prob") / (u + lit(1L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= neighborSampleK)
+      .select(col("src"), col("dst"), col("edge_class"), col("prob"), col("rk"))
+      .orderBy(col("src"), col("rk"))
   }
 
   /** q66: one symmetric-normalized GCN message-passing round — the
@@ -677,6 +745,85 @@ object Graph {
       h = propagate(col("p_deg"), col("p_cnt"), Some(prev))
     }
     h.orderBy(col("node"))
+  }
+
+  /** ε-residual weight of the reference's layer recurrence
+    * (new_model_1.py:41 `eps` constructor default 0.5, used at :97-112).
+    * Dyadic, so ε·h with an integer h is EXACT in an IEEE double. */
+  private val residualEps = 0.5
+
+  /** q88: the ε-residual MULTI-RELATION propagation layer — the actual
+    * layer algebra of the reference's Amazon/Yelp model
+    * (new_model_1.py:97-112): per relation graph r it computes
+    * `h'_r = ε·h + Â_r·h` (residual + one symmetric-normalized
+    * message-passing round on THAT relation's graph), then concatenates
+    * the three relation outputs (`torch.cat((h1_1, h1_2, h1_3))`) —
+    * here the concat is the three column groups h_r1/h_r2/h_r3 of one
+    * node-keyed row. The trained parts (hw_r weight matrices, the tanh
+    * gate, dropout) are model internals that stay in the MLlib seam
+    * (the q86/q87 convention); this operator is the relational algebra
+    * the layer runs every forward pass.
+    *
+    * Input features h: the node's total cross-relation symmetrized
+    * degree (self-derived like q66's h⁰, and exactly the quantity the
+    * reference clamps and feeds its samplers from, new_utlis_1.py:53).
+    * Nodes absent from relation r keep the pure residual ε·h — the
+    * aggregation contributes nothing, which is also what DGL's
+    * update_all yields for an isolated node.
+    *
+    * Exactness: per-edge messages norm_r·h_j quantize to
+    * DECIMAL(28,12) BEFORE the sum (q66's order-independence rule);
+    * ε·h is exact (dyadic × integer); one double add per relation, then
+    * 6dp quantization — bit-identical in DuckDB's chained-CTE twin.
+    *
+    * Scale: ONE fact scan → distinct (rel,src,dst) → per-relation
+    * symmetrize+dedup; the three relation graphs stay in ONE edge
+    * DataFrame tagged by `rel`, so all three SpMVs ride a single
+    * message shuffle (groupBy(node) with per-relation conditional
+    * sums) instead of three passes; degree/h⁰ sides are node-sized and
+    * broadcast-gated like every graph operator here. */
+  def q88RelationResidualPropagate(spark: SparkSession, dir: String): DataFrame = {
+    // dedup-first (undFrom's discipline, keyed by rel): distinct
+    // directed triples, THEN symmetrize and re-dedup the doubled set
+    val und = relEdges(spark, dir)
+      .select(col("rel"), explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("rel"), col("p.src"), col("p.dst"))
+      .distinct()
+      .cache() // degree agg + message join
+    val deg = und.groupBy(col("rel"), col("src").as("n"))
+      .agg(count(lit(1)).as("d"))
+      .cache() // di + dj + h0 all derive from it
+    // h⁰: total symmetrized degree across the three relation graphs
+    val h0 = deg.groupBy(col("n").as("node")).agg(sum(col("d")).as("h0"))
+    val bound = nodeBound(spark, dir)
+    def gated(df: DataFrame): DataFrame =
+      if (bound <= broadcastNodeLimit) broadcast(df) else df
+    val di = gated(deg.select(col("rel"), col("n").as("src"), col("d").as("di")))
+    val dj = gated(deg.select(col("rel"), col("n").as("dst"), col("d").as("dj")))
+    val hj = gated(h0.select(col("node").as("dst"), col("h0").as("hj")))
+    val norm = (lit(1.0) / sqrt(col("di"))) * (lit(1.0) / sqrt(col("dj")))
+    // all three relations' messages through ONE exchange: each edge
+    // belongs to exactly one rel, so the pivot is three conditional sums
+    val z = und.join(di, Seq("rel", "src")).join(dj, Seq("rel", "dst"))
+      .join(hj, Seq("dst"))
+      .select(col("src"), col("rel"),
+        (norm * col("hj")).cast("decimal(28,12)").as("m"))
+      .groupBy(col("src").as("node"))
+      .agg(
+        sum(when(col("rel") === 1, col("m"))).as("z1"),
+        sum(when(col("rel") === 2, col("m"))).as("z2"),
+        sum(when(col("rel") === 3, col("m"))).as("z3"))
+    def hr(zc: Column): Column =
+      Exact.r(lit(residualEps) * col("h0") +
+        coalesce(zc.cast("double"), lit(0.0)), 6)
+    h0.join(z, Seq("node"), "left")
+      .select(col("node"),
+        hr(col("z1")).as("h_r1"),
+        hr(col("z2")).as("h_r2"),
+        hr(col("z3")).as("h_r3"))
+      .orderBy(col("node"))
   }
 
   /** q86 gate weights — TRAINED plan literals for the FALayer gate (the
@@ -1288,6 +1435,63 @@ object Graph {
         | floor((w / (sum(w) OVER (PARTITION BY dst) * 1.0
         |   / count(*) OVER (PARTITION BY dst))) * 1e6 + 0.5) / 1e6 AS norm_w
         |FROM adj ORDER BY 1, 2""".stripMargin,
+    // q88: chains the per-relation symmetrize → per-(rel,node) degrees →
+    // cross-relation h⁰ → one message pass with per-relation conditional
+    // sums — the same DECIMAL(28,12)-before-sum discipline as q66/q67, so
+    // the ε-residual adds are bit-identical doubles in both engines
+    "q88_relation_residual_propagate" ->
+      s"""WITH e AS ($relEdgesSql),
+        | und AS (SELECT rel, src, dst FROM e
+        |   UNION SELECT rel, dst, src FROM e),
+        | dg AS (SELECT rel, src AS n, count(*) AS d FROM und GROUP BY 1, 2),
+        | base AS (SELECT n AS node, sum(d) AS h0 FROM dg GROUP BY 1),
+        | m AS (SELECT u.src, u.rel,
+        |   CAST((1.0 / sqrt(di.d)) * (1.0 / sqrt(dj.d)) * h.h0 AS DECIMAL(28,12)) AS m
+        |  FROM und u
+        |  JOIN dg di ON u.rel = di.rel AND u.src = di.n
+        |  JOIN dg dj ON u.rel = dj.rel AND u.dst = dj.n
+        |  JOIN base h ON u.dst = h.node),
+        | z AS (SELECT src AS node,
+        |   sum(CASE WHEN rel = 1 THEN m END) AS z1,
+        |   sum(CASE WHEN rel = 2 THEN m END) AS z2,
+        |   sum(CASE WHEN rel = 3 THEN m END) AS z3
+        |  FROM m GROUP BY 1)
+        |SELECT base.node,
+        | floor((0.5 * base.h0 + coalesce(CAST(z1 AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6 AS h_r1,
+        | floor((0.5 * base.h0 + coalesce(CAST(z2 AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6 AS h_r2,
+        | floor((0.5 * base.h0 + coalesce(CAST(z3 AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6 AS h_r3
+        |FROM base LEFT JOIN z ON base.node = z.node ORDER BY 1""".stripMargin,
+    // q89: q46's probability chain + the deterministic priority race —
+    // md5-hash race times, row_number per src, keep rk <= 10
+    "q89_neighbor_sample" ->
+      s"""WITH e AS ($edgesSql),
+        | od AS (SELECT src, count(*) AS sd FROM e GROUP BY 1),
+        | idg AS (SELECT dst, count(*) AS dd FROM e GROUP BY 1),
+        | lab AS (SELECT c_custkey,
+        |   CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS src_label,
+        |   (((c_custkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80 AS src_train
+        |  FROM customer),
+        | slab AS (SELECT s_suppkey,
+        |   CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS dst_label,
+        |   (((s_suppkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80 AS dst_train
+        |  FROM supplier),
+        | sc AS (SELECT src, dst,
+        |   CASE WHEN src_label <> dst_label THEN 0
+        |        WHEN src_label = 1 THEN 1 ELSE 2 END AS edge_class,
+        |   CAST(sqrt(sd * sqrt(sd)) * sqrt(dd * sqrt(dd)) AS DECIMAL(28,10)) AS sc
+        |  FROM e JOIN od USING (src) JOIN idg USING (dst)
+        |   JOIN lab ON src = c_custkey JOIN slab ON dst = s_suppkey
+        |  WHERE src_train AND dst_train),
+        | p AS (SELECT src, dst, edge_class,
+        |   floor((CAST(sc AS DOUBLE) / CAST((SELECT sum(sc) FROM sc) AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS prob
+        |  FROM sc),
+        | r AS (SELECT src, dst, edge_class, prob,
+        |   row_number() OVER (PARTITION BY src ORDER BY
+        |     prob / (${Exact.sql.portableHash("CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)", 15)} + 1) DESC,
+        |     dst) AS rk
+        |  FROM p)
+        |SELECT src, dst, edge_class, prob, rk FROM r
+        |WHERE rk <= 10 ORDER BY src, rk""".stripMargin,
     "q73_pagerank" -> pagerankOracleSql,
     "q80_weighted_pagerank" -> weightedPagerankOracleSql,
     "q75_kcore" -> kcoreOracleSql,
@@ -1309,6 +1513,8 @@ object Graph {
     "q65_edge_class_balanced_prob" -> (q65EdgeClassBalancedProb _),
     "q66_gcn_propagate" -> (q66GcnPropagate _),
     "q67_gcn_propagate2" -> (q67GcnPropagate2 _),
+    "q88_relation_residual_propagate" -> (q88RelationResidualPropagate _),
+    "q89_neighbor_sample" -> (q89NeighborSample _),
     "q73_pagerank" -> (q73PageRank _),
     "q80_weighted_pagerank" -> (q80WeightedPagerank _),
     "q75_kcore" -> (q75KCore _),

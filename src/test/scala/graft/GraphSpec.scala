@@ -307,4 +307,90 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(more == rows.map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
+
+  test("q88 eps-residual layer matches a driver-side per-relation SpMV") {
+    val out = ops.Graph.q88RelationResidualPropagate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // independent recompute straight from the raw tables: relation-tagged
+    // distinct pairs, symmetrized per relation
+    val rel = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"), col("o_orderpriority"))
+      .collect()
+      .map { r =>
+        val rl = r.getString(2) match {
+          case "1-URGENT" | "2-HIGH" => 1
+          case "3-MEDIUM" => 2
+          case _ => 3
+        }
+        (rl, r.getLong(0), r.getLong(1))
+      }.distinct
+      .flatMap { case (rl, s, d) => Seq((rl, s, d), (rl, d, s)) }.distinct
+    val deg: Map[(Int, Long), Long] =
+      rel.groupBy(t => (t._1, t._2)).map { case (k, es) => k -> es.length.toLong }
+    val h0: Map[Long, Long] =
+      deg.groupBy(_._1._2).map { case (n, m) => n -> m.values.sum }
+    val adj = rel.groupBy(t => (t._1, t._2))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.keySet == h0.keySet)
+    h0.keys.foreach { i =>
+      val expected = (1 to 3).map { k =>
+        val nbrs = adj.getOrElse((k, i), Array.empty[(Int, Long, Long)]).map(_._3)
+        val z = nbrs.map { j =>
+          BigDecimal(1.0 / math.sqrt(deg((k, i)).toDouble) *
+            (1.0 / math.sqrt(deg((k, j)).toDouble)) * h0(j))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        r6(0.5 * h0(i) + z.toDouble)
+      }
+      assert(out(i) == ((expected(0), expected(1), expected(2))), s"node $i")
+    }
+    // isolated-in-relation nodes keep the pure residual eps*h0: at least
+    // one node must miss some relation at this SF, or the coalesce path
+    // is untested
+    assert(h0.keys.exists(i => (1 to 3).exists(k => !deg.contains((k, i)))),
+      "every node present in every relation — residual-only path unexercised")
+  }
+
+  test("q89 neighbor sample: k bound, rank contiguity, prob-monotone inclusion") {
+    // sf0.01: at sf0.001 no node has train-degree > k, so the sampler
+    // never drops anyone and the monotonicity claim would be vacuous
+    val sf = "/root/testdata/sf0.01"
+    val sample = ops.Graph.q89NeighborSample(spark, sf).collect()
+    assert(sample.nonEmpty)
+    val probs = ops.Graph.q46EdgeSamplingProb(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val pmap = probs.toMap
+    val bySrc = sample.groupBy(_.getLong(0))
+    val trainDeg = probs.groupBy(_._1._1).map { case (s, es) => s -> es.length }
+    // every train-edge node sampled, exactly min(k, train-degree) rows,
+    // ranks contiguous from 1
+    assert(bySrc.keySet == trainDeg.keySet)
+    bySrc.foreach { case (s, rows) =>
+      assert(rows.length == math.min(10, trainDeg(s)), s"src $s row count")
+      assert(rows.map(_.getInt(4)).sorted.sameElements(1 to rows.length),
+        s"src $s ranks not contiguous")
+    }
+    // sampled edges are real candidates carrying q46's exact prob
+    sample.foreach { r =>
+      assert(pmap((r.getLong(0), r.getLong(1))) == r.getDouble(3))
+    }
+    // inclusion monotone in probability WITHIN each contested node
+    // (train-degree > k, so the sampler actually drops someone): kept
+    // neighbors' mean prob exceeds dropped neighbors' on aggregate and
+    // for a clear majority of nodes — the per-class sample-rate claim
+    val kept = sample.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contested = trainDeg.filter(_._2 > 10).keySet
+    assert(contested.nonEmpty, "no contested nodes at this SF")
+    val deltas = contested.toSeq.map { s =>
+      val es = probs.filter(_._1._1 == s)
+      val (in, outE) = es.partition(e => kept(e._1))
+      in.map(_._2).sum / in.length - outE.map(_._2).sum / outE.length
+    }
+    assert(deltas.sum > 0,
+      s"aggregate kept-vs-dropped prob delta not positive: ${deltas.sum}")
+    val posFrac = deltas.count(_ > 0).toDouble / deltas.length
+    assert(posFrac > 0.5, s"only $posFrac of contested nodes prob-monotone")
+  }
 }

@@ -115,9 +115,12 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 3, p.take(2000))
   }
 
-  test("q05/q34: rank-filter plans as per-partition WindowGroupLimit") {
+  test("q05/q34/q89: rank-filter plans as per-partition WindowGroupLimit") {
     assert(plan(ops.Relational.q05WindowRank(spark, sf)).contains("WindowGroupLimit"))
     assert(plan(ops.Ann.q34AnnCosineTopk(spark, sf)).contains("WindowGroupLimit"))
+    // the neighbor sampler: a celebrity node's edge list must cut to k
+    // per partition BEFORE the exchange
+    assert(plan(ops.Graph.q89NeighborSample(spark, sf)).contains("WindowGroupLimit"))
   }
 
   test("q56: tf aggregation is map-side partial, top-k is WindowGroupLimit") {
