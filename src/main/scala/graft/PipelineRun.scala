@@ -11,7 +11,8 @@ package graft
 object PipelineRun {
   def main(args: Array[String]): Unit = {
     val sfDir = Cli.sfDirOf(args, usage,
-      boolFlags = Set("extended", "slices", "slices-attn")).getOrElse(return)
+      boolFlags = Set("extended", "slices", "slices-attn", "residual"))
+      .getOrElse(return)
     // `--extended` joins in the beyond-parity feature tier (PageRank,
     // k-core, EWMA burst) — see FraudPipeline.run and the README A/B
     val extended = args.contains("--extended") ||
@@ -24,19 +25,24 @@ object PipelineRun {
     // instead of the bucket mean (implies the slice tier)
     val slicesAttn = args.contains("--slices-attn") ||
       sys.env.get("SPARK_GRAFT_SLICES_ATTN").contains("1")
+    // `--residual` joins in q88's eps-residual multi-relation layer
+    // outputs — the reference's per-relation channel as features
+    val residual = args.contains("--residual") ||
+      sys.env.get("SPARK_GRAFT_RESIDUAL").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val r = pipeline.FraudPipeline.run(spark, sfDir,
       extendedFeatures = extended, sliceFeatures = slices,
-      sliceAttention = slicesAttn)
+      sliceAttention = slicesAttn, residualFeatures = residual)
     val m = r.metrics.head()
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.schema.fieldNames
       .map(f => s""""$f":${m.getAs[Any](f)}""").mkString(",")
     println(s"""{"metric":"fraud_pipeline","sf":"$sfDir","sec":$secs,""" +
       s""""extended":$extended,"slices":$slices,"slices_attn":$slicesAttn,""" +
+      s""""residual":$residual,""" +
       s""""n_users":${r.features.count()},"n_scored":${r.scored.count()},$fields}""")
     spark.stop()
   }
@@ -48,7 +54,9 @@ object PipelineRun {
       |  --extended     add the beyond-parity tier: PageRank, k-core, EWMA burst
       |  --slices       add the flattened q85 dynamic tensor (bucket-mean pool)
       |  --slices-attn  as --slices, pooled by q87 temporal attention
+      |  --residual     add q88's eps-residual multi-relation layer outputs
       |  --help         print this and exit
-      |env: SPARK_GRAFT_CPUS (threads), SPARK_GRAFT_EXTENDED/SLICES/SLICES_ATTN=1
+      |env: SPARK_GRAFT_CPUS (threads),
+      |     SPARK_GRAFT_EXTENDED/SLICES/SLICES_ATTN/RESIDUAL=1
       |prints one JSON metric line (accuracy, macro P/R/F1, AUC, AP)""".stripMargin
 }

@@ -782,7 +782,13 @@ object Graph {
     * message shuffle (groupBy(node) with per-relation conditional
     * sums) instead of three passes; degree/h⁰ sides are node-sized and
     * broadcast-gated like every graph operator here. */
-  def q88RelationResidualPropagate(spark: SparkSession, dir: String): DataFrame = {
+  def q88RelationResidualPropagate(spark: SparkSession, dir: String): DataFrame =
+    q88Core(spark, dir).orderBy(col("node"))
+
+  /** q88 without the presentation orderBy — FraudPipeline's `--residual`
+    * tier joins this straight into the feature matrix, where the sort
+    * would be a wasted exchange (the q85Core convention). */
+  private[graft] def q88Core(spark: SparkSession, dir: String): DataFrame = {
     // dedup-first (undFrom's discipline, keyed by rel): distinct
     // directed triples, THEN symmetrize and re-dedup the doubled set
     val und = relEdges(spark, dir)
@@ -823,7 +829,6 @@ object Graph {
         hr(col("z1")).as("h_r1"),
         hr(col("z2")).as("h_r2"),
         hr(col("z3")).as("h_r3"))
-      .orderBy(col("node"))
   }
 
   /** q86 gate weights — TRAINED plan literals for the FALayer gate (the

@@ -52,10 +52,18 @@ object FraudPipeline {
     * summary instead of diluting into the mean. Same output shape
     * (the q87 bookkeeping columns are dropped for slot parity), so
     * the README A/B isolates the pooling change alone. */
+  /** `residualFeatures = true` joins in q88's ε-residual multi-relation
+    * layer outputs h_r1/h_r2/h_r3 — the reference model's actual layer
+    * algebra (new_model_1.py:97-112: `eps*raw1 + layer1_r(h)` →
+    * `torch.cat`) as three per-user columns, zero-filled for users
+    * outside the purchase graph. The reference's thesis is that the
+    * per-relation channel beats a plain GCN summary; the README A/B
+    * row tests exactly that against the other tiers. */
   def run(spark: SparkSession, dir: String,
       extendedFeatures: Boolean = false,
       sliceFeatures: Boolean = false,
-      sliceAttention: Boolean = false): Result = {
+      sliceAttention: Boolean = false,
+      residualFeatures: Boolean = false): Result = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.functions.vector_to_array
@@ -116,8 +124,19 @@ object FraudPipeline {
         .na.fill(0.0, sliceCols)
     }
 
+    val withResidual = if (!residualFeatures) features else {
+      // q88's node space shares ids with user_id (the graph family's
+      // shared-id convention); users outside the graph get the
+      // zero vector, the same fill semantics as every other tier
+      val res = ops.Graph.q88Core(spark, dir)
+        .select(col("node").as("user_id"), col("h_r1").as("res_r1"),
+          col("h_r2").as("res_r2"), col("h_r3").as("res_r3"))
+      features.join(res, Seq("user_id"), "left")
+        .na.fill(0.0, Seq("res_r1", "res_r2", "res_r3"))
+    }
+
     // 2. labels from the account table (user_id keys into customer)
-    val labeled = features.join(
+    val labeled = withResidual.join(
       Tables.customer(spark, dir).select(
         col("c_custkey").as("user_id"),
         (col("c_acctbal") < 0).cast("double").as("label")),
@@ -130,7 +149,7 @@ object FraudPipeline {
     // 4. assemble + train on the train fold only. `assembled` feeds the
     //    LBFGS iterations AND the held-out scoring pass below, so it
     //    stays cached until `scored` has materialized from it.
-    val featCols = features.columns.filterNot(_ == "user_id")
+    val featCols = withResidual.columns.filterNot(_ == "user_id")
     val assembler = new VectorAssembler()
       .setInputCols(featCols).setOutputCol("fvec").setHandleInvalid("keep")
     val assembled = assembler.transform(withSplit).cache()
@@ -161,6 +180,6 @@ object FraudPipeline {
         .avgPrecisionFrom(scored.select(col("user_id"), col("y"), col("score")),
           "user_id")
         .select(col("avg_precision")))
-    Result(features, scored, metrics)
+    Result(withResidual, scored, metrics)
   }
 }

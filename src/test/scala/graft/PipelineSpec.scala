@@ -122,6 +122,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("residual tier joins q88's layer outputs, zero-filled off-graph") {
+    val r = pipeline.FraudPipeline.run(spark, sf, residualFeatures = true)
+    for (c <- Seq("res_r1", "res_r2", "res_r3"))
+      assert(r.features.columns.contains(c), c)
+    // one row per user, no fan-out from the node join
+    assert(r.features.count() ==
+      pipeline.FraudPipeline.run(spark, sf).features.count())
+    // the columns ARE q88's values where the user is in the graph
+    val q88 = ops.Graph.q88RelationResidualPropagate(spark, sf).collect()
+      .map(row => row.getLong(0) ->
+        ((row.getDouble(1), row.getDouble(2), row.getDouble(3)))).toMap
+    val got = r.features.select("user_id", "res_r1", "res_r2", "res_r3")
+      .collect()
+    assert(got.exists(row => q88.contains(row.getLong(0))))
+    got.foreach { row =>
+      val expected = q88.getOrElse(row.getLong(0), (0.0, 0.0, 0.0))
+      assert((row.getDouble(1), row.getDouble(2), row.getDouble(3)) == expected,
+        s"user ${row.getLong(0)}")
+    }
+  }
+
   test("pipeline split is reproducible") {
     val a = pipeline.FraudPipeline.run(spark, sf).scored
       .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
