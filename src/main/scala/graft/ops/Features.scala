@@ -620,8 +620,18 @@ object Features {
       Exact.dsumSqPartial(col("value")).as("ds2"),
       sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("dnv"),
       max(when(col("event_type") === "purchase", 1).otherwise(0)).as("dhp")) ++
-      (0 until 24).map(h =>
-        sum(when(hour(col("ts")) === h, 1L).otherwise(0L)).as(f"dh$h%02d"))
+      // 24 hour-bin counts PACKED two-per-long (hours 2k/2k+1 in the
+      // low/high 32 bits of dp{k}): each event adds 1 or 2³² to its
+      // long, and field-wise long addition IS the pair of counts as
+      // long as neither field crosses 2³² — integer-exact, and the
+      // sf100 post-mortem's fix: 12 shuffle columns instead of 24
+      // through BOTH tensor exchanges (raw→day, day→slice). Bound
+      // documented on [[unpackHour]]; spec-pinned incl. the >2³¹
+      // high-field case (shiftrightunsigned, not arithmetic shift).
+      (0 until 12).map(k =>
+        sum(when(hour(col("ts")) === 2 * k, lit(1L))
+          .when(hour(col("ts")) === 2 * k + 1, lit(1L << 32))
+          .otherwise(lit(0L))).as(f"dp$k%02d"))
     val dayConv = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("day_idx"), col("ts"))
       .join(q85DayPurch(ev), Seq("user_id", "day_idx"))
@@ -633,6 +643,20 @@ object Features {
       // view days without a same-day purchase carry no converted views
       .withColumn("dnvl", coalesce(col("dnvl"), lit(0L)))
   }
+
+  /** Hour count for hour `h` out of its packed pair column dp{h div 2}
+    * (see [[q85DayAgg]]): low 32 bits hold hour 2k, high bits 2k+1.
+    * shiftrightunsigned, NOT shiftright — a high-field count ≥ 2³¹
+    * makes the long negative and an arithmetic shift would
+    * sign-extend. Exactness bound: each field must stay < 2³² at its
+    * WIDEST grain, the per-(user, scale-slice, hour) count — 4.29
+    * billion events from one user inside one hour-of-day of one
+    * ≤28-day slice, beyond any physical event stream (it is >1M
+    * events/sec sustained); below the bound every packed sum is
+    * bit-exact integer arithmetic. */
+  private[graft] def unpackHour(packed: Column, h: Int): Column =
+    if (h % 2 == 0) packed.bitwiseAND(lit(0xFFFFFFFFL))
+    else shiftrightunsigned(packed, 32)
 
   /** Activity slots per (user, scale, bucket), folded from the day
     * partials ([[q85DayAgg]] → scale explode → slice aggregation). */
@@ -654,7 +678,8 @@ object Features {
     val s1 = sum(col("ds1")).cast("double")
     val s2 = sum(col("ds2")).cast("double")
     val hourCols = (0 until 24).map(h =>
-      Exact.r(sum(col(f"dh$h%02d")) * lit(1.0) / n, 6).as(f"h$h%02d"))
+      Exact.r(unpackHour(sum(col(f"dp${h / 2}%02d")), h) * lit(1.0) / n, 6)
+        .as(f"h$h%02d"))
     val nView = sum(col("dnv"))
     val nViewLater = sum(when(col("day_idx") < col("maxpd"), col("dnv"))
       .otherwise(col("dnvl")))

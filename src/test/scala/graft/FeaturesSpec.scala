@@ -160,6 +160,30 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("q85 packed hour pairs: unpack inverts packing, incl. high fields past 2^31") {
+    import org.apache.spark.sql.functions._
+    // a packed long whose HIGH field exceeds 2^31 is a negative long —
+    // an arithmetic shiftright would sign-extend and corrupt the count;
+    // this pins shiftrightunsigned semantics plus the low-field mask
+    val hi = (1L << 31) + 5L // odd-hour count past the sign bit
+    val lo = 3L
+    val packed = (hi << 32) | lo
+    assert(packed < 0, "fixture must exercise the negative-long case")
+    val df = spark.range(1).select(
+      Features.unpackHour(lit(packed), 0).as("low"),
+      Features.unpackHour(lit(packed), 1).as("high"))
+    val r = df.head()
+    assert(r.getLong(0) == lo && r.getLong(1) == hi, r.toString)
+    // and the additive claim the day→slice rollup relies on: packed
+    // longs SUM field-wise while both fields stay below 2^32
+    val a = (7L << 32) | 11L
+    val b = (9L << 32) | 2L
+    val s = spark.range(1).select(
+      Features.unpackHour(lit(a) + lit(b), 0).as("low"),
+      Features.unpackHour(lit(a) + lit(b), 1).as("high")).head()
+    assert(s.getLong(0) == 13L && s.getLong(1) == 16L, s.toString)
+  }
+
   test("q85 rollup property: day-grain rollup ≡ naive one-level aggregation " +
       "on a randomized adversarial fixture") {
     // The bit-exactness of the day→slice rollup (q85Activity) vs the

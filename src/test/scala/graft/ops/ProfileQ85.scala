@@ -53,7 +53,7 @@ object ProfileQ85 {
       val dayAgg = Features.q85DayAgg(ev)
         .withColumn("mpday", when(col("dhp") === 1, col("day_idx")))
       val sumCols = Seq("dn", "dnval", "ds1", "ds2", "dnv") ++
-        (0 until 24).map(h => f"dh$h%02d")
+        (0 until 12).map(k => f"dp$k%02d") // packed hour pairs sum as longs
       // scale-1: resolve each day against its bucket's max purchase day
       val d1 = dayAgg.withColumn("bucket",
         expr("CAST(day_idx AS BIGINT) div CAST(7 AS BIGINT)"))
@@ -103,7 +103,8 @@ object ProfileQ85 {
             when(col("dnv") === 0, lit(0.0))
               .otherwise(Exact.r(col("nvl") * lit(1.0) / col("dnv"), 6)).as("recall_rate")) ++
           (0 until 24).map(h =>
-            Exact.r(col(f"dh$h%02d") * lit(1.0) / n, 6).as(f"h$h%02d")): _*)
+            Exact.r(Features.unpackHour(col(f"dp${h / 2}%02d"), h) * lit(1.0) / n, 6)
+              .as(f"h$h%02d")): _*)
       }
       finals(s1c, 1).unionAll(finals(s2, 2)).unionAll(finals(s3, 3))
         .unionAll(finals(s4, 4))
