@@ -14,6 +14,18 @@ import org.apache.spark.sql.SparkSession
   *    fragmenting into thousands of empty tasks.
   *  - UTC session timezone: oracle comparisons and date_trunc semantics
   *    must not depend on host zone.
+  *  - zstd shuffle/spill compression: measured at sf10 on the heaviest
+  *    tensor queries it cuts shuffle WRITE bytes 62% vs Spark's lz4
+  *    default (q85 9.09→3.44 GB, q87 9.29→3.57 GB) AND is faster
+  *    wall-clock there (121 vs 131 s — the workload turns disk-bound
+  *    before it turns CPU-bound). At toy scale the trade runs the other
+  *    way: a back-to-back sf0.1 full-suite A/B reads zstd ~5% slower
+  *    (186.6 vs 177.8 s over 89 queries — fixed per-stream codec cost
+  *    on thousands of tiny blocks). The engine optimizes for the 100 TB
+  *    regime, where shuffle disk is the resource that kills jobs first
+  *    (the round-7 sf100 ENOSPC post-mortem), so zstd is the default;
+  *    a latency-sensitive small deployment reverts per-run via
+  *    SPARK_GRAFT_CONF="spark.io.compression.codec=lz4".
   */
 object GraftSession {
 
@@ -33,6 +45,7 @@ object GraftSession {
       // engine contract: TIMESTAMP(NANOS) parquet reads as raw ns longs
       // (Tables.events truncates to µs); set once here, not per-read
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
     // Tuning-sweep overrides (SURVEY §7.19): semicolon-separated k=v
     // pairs, applied last so a sweep can flip AQE/partition settings
