@@ -394,6 +394,91 @@ object EventStream {
         hllEstimate(col("spresent"), col("nb")).as("hll_est"))
   }
 
+  case class TransitionOut(user_id: Long, cur: String, nxt: String,
+    n: Long, n_total: Long, n_buffered: Int)
+
+  /** (bridge = last finalized event, finalized pair counts, in-horizon
+    * event buffer, keys ever emitted — for tombstones, total events) */
+  private type TransState = (Option[(Long, Long, String)],
+    Map[(String, String), Long], List[(Long, Long, String)],
+    Set[(String, String)], Long)
+
+  /** Streaming twin of batch q79 ([[graft.ops.Features.q79Transitions]]'
+    * per-user pair counts): continuous first-order event-type transition
+    * tracking — the burst-chain signal the fraud console watches.
+    *
+    * Out-of-order correctness: a late event can SPLIT a previously
+    * observed transition (A→C becomes A→B + B→C), so per-user pair
+    * counts are NOT monotone and the state must be able to rewrite
+    * history inside the lateness horizon. State per user = an exact
+    * finalized pair-count map + the ordered buffer of events still
+    * inside the watermark horizon + the last finalized event as the
+    * bridge into the live buffer. Each batch merges arrivals into the
+    * buffer (sorted by (ts µs, event_id) — batch q79's exact window
+    * order), PERMANENTLY folds pairs among events that aged past the
+    * watermark (no future arrival can interleave below it — Spark drops
+    * later-than-watermark rows), and emits the user's full current
+    * snapshot: finalized + live pairs, with n = 0 tombstones for pairs
+    * a late arrival has split away (Update-sink readers keep the last
+    * row per key, so stale counts must be overwritten, not orphaned).
+    *
+    * State is BOUNDED by the lateness horizon: the buffer holds only
+    * events newer than watermark − 0, the count map at most |types|²
+    * entries. `maxLateness` trades memory for reordering tolerance; the
+    * default tolerates unbounded disorder (spec-friendly), production
+    * passes its real SLA (e.g. "7 days"). `n_buffered` exposes the live
+    * buffer size so the bounding is observable (spec-pinned).
+    *
+    * After any batch split whose disorder respects `maxLateness`, the
+    * final snapshot aggregates to batch q79's (cur, nxt, n) table
+    * BIT-identically (StreamingSpec proves both the arbitrary-order and
+    * the watermark-finalizing paths). */
+  def transitionsStream(events: Dataset[Event],
+      maxLateness: String = "36500 days"): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    def micros(ts: Timestamp): Long =
+      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    events.withWatermark("ts", maxLateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransitionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TransState]) =>
+          val (bridge0, counts0, buf0, emitted0, total0) =
+            state.getOption.getOrElse((None, Map.empty[(String, String), Long],
+              Nil, Set.empty[(String, String)], 0L))
+          val incoming = rows
+            .map(e => (micros(e.ts), e.event_id, e.event_type)).toList
+          val merged = (incoming ++ buf0)
+            .sortBy { case (t, id, _) => (t, id) }
+          // events older than the watermark can never again gain an
+          // earlier neighbor — fold their pairs permanently
+          val horizon = state.getCurrentWatermarkMs() * 1000L
+          val (fin, keep) = merged.partition(_._1 < horizon)
+          val finChain = bridge0.toList ++ fin
+          val counts = finChain.zip(finChain.drop(1))
+            .foldLeft(counts0) { case (m, (a, b)) =>
+              val k = (a._3, b._3); m.updated(k, m.getOrElse(k, 0L) + 1L)
+            }
+          val bridge = finChain.lastOption
+          // live pairs: bridge → buffer chain, recomputed every batch
+          // (a late arrival may reorder them)
+          val liveChain = bridge.toList ++ keep
+          val live = liveChain.zip(liveChain.drop(1))
+            .groupBy { case (a, b) => (a._3, b._3) }
+            .map { case (k, ps) => k -> ps.size.toLong }
+          val snapshot = (counts.keySet ++ live.keySet ++ emitted0).toSeq
+            .map { k =>
+              k -> (counts.getOrElse(k, 0L) + live.getOrElse(k, 0L))
+            }
+          val total = total0 + incoming.length
+          state.update((bridge, counts, keep,
+            emitted0 ++ snapshot.filter(_._2 > 0L).map(_._1), total))
+          snapshot.iterator.map { case ((c, x), n) =>
+            TransitionOut(userId, c, x, n, total, keep.length)
+          }
+      }
+  }
+
   case class BurstOut(user_id: Long, n_events: Long, mean_val: Double,
     ewma16: Double, burst: Option[Double])
 

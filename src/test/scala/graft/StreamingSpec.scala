@@ -690,6 +690,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** Shared driver for the two transitionsStream twins: stream the sf
+    * events as the given batches, return (final global (cur,nxt)→n from
+    * the last snapshot per user, final-batch rows for state probes). */
+  private def runTransitions(batches: Seq[Seq[Event]], lateness: String,
+      name: String): (Map[(String, String), Long], Array[org.apache.spark.sql.Row]) = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.transitionsStream(mem.toDS(), lateness)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    val rows = spark.table(name).collect()
+    q.stop()
+    // latest complete snapshot per user = rows at the user's max n_total
+    val latest = rows.groupBy(_.getAs[Long]("user_id")).values.flatMap { rs =>
+      val mx = rs.map(_.getAs[Long]("n_total")).max
+      rs.filter(_.getAs[Long]("n_total") == mx)
+    }.toSeq
+    val agg = latest
+      .filter(_.getAs[Long]("n") > 0)
+      .groupBy(r => (r.getAs[String]("cur"), r.getAs[String]("nxt")))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n")).sum }
+    (agg, latest.toArray)
+  }
+
+  private def batchQ79: Map[(String, String), (Long, Double)] =
+    ops.Features.q79Transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+
+  test("transitionsStream: arbitrary-order split aggregates bit-identically to batch q79") {
+    val all = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // adversarial: second half of the timeline arrives FIRST, so almost
+    // every batch-2 event splits already-observed transitions and the
+    // tombstone/rewrite path runs for real
+    val (b2, b1) = all.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(all.length / 2)
+    val (agg, _) = runTransitions(Seq(b1.toSeq, b2.toSeq), "36500 days", "trans_out1")
+    val batch = batchQ79
+    assert(agg.keySet == batch.keySet)
+    agg.foreach { case (k, n) => assert(n == batch(k)._1, s"pair $k") }
+    // and the derived probabilities match batch's exactly
+    val tot = agg.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    agg.foreach { case (k @ (c, _), n) =>
+      val p = math.floor(n * 1.0 / tot(c) * 1e6 + 0.5) / 1e6
+      assert(p == batch(k)._2, s"p $k")
+    }
+  }
+
+  test("transitionsStream: watermark finalization bounds the buffer, same totals") {
+    val all = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // time-ordered 60/40 split with a tight 1h horizon: after batch 2's
+    // watermark advance, batch-1 events age out of the live buffer
+    val (b1, b2) = all.splitAt(all.length * 6 / 10)
+    val (agg, latest) = runTransitions(Seq(b1.toSeq, b2.toSeq), "1 hours", "trans_out2")
+    val batch = batchQ79
+    assert(agg.keySet == batch.keySet)
+    agg.foreach { case (k, n) => assert(n == batch(k)._1, s"pair $k") }
+    // non-vacuous: some user's final snapshot was emitted with fewer
+    // buffered events than its total — i.e. finalization really folded
+    // history out of the live buffer
+    assert(latest.exists(r => r.getAs[Long]("n_total") >= 2 &&
+      r.getAs[Int]("n_buffered") < r.getAs[Long]("n_total")),
+      "no snapshot shows a bounded buffer — finalization never ran")
+  }
+
   test("dsirScoreStream: streamed DSIR scores are bit-identical to batch q71 per doc") {
     implicit val sq = spark.sqlContext
     val (lw, prior) = ops.Corpus.dsirTable(spark, sf)
