@@ -54,12 +54,35 @@ object Text {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("h"))
 
+  /** q31's document-frequency cap — the bound that keeps the pair
+    * explosion linear on power-law shingle distributions (a crawl's
+    * boilerplate head). SkewSpec's CI gate pins the candidate volume
+    * this cap produces on a hub-injected replica. */
+  private[graft] val q31MaxDf = 50
+
   /** q31: n-gram Jaccard near-dup pairs via an inverted shingle index.
     * Shingles with document frequency > maxDf are dropped BEFORE sizing
     * and pairing (both engines identically), bounding the join at scale;
     * pairs with Jaccard ≥ 0.5 over the kept-shingle sets survive. */
   def q31DedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val maxDf = 50
+    val kept = q31KeptShingles(spark, dir)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = q31InterFrom(kept)
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"), col("inter"),
+        Exact.r(col("inter") * lit(1.0) /
+          (col("s1.sz") + col("s2.sz") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** q31's df-capped (doc_id, shingle) stream — the frame whose per-
+    * shingle posting width the [[q31MaxDf]] anti-join bounds. Cached:
+    * it feeds both the sizing aggregate and the posting lists. */
+  private[graft] def q31KeptShingles(spark: SparkSession, dir: String): DataFrame = {
+    val maxDf = q31MaxDf
     // Cached: the shingling is the expensive part and feeds both the df
     // aggregation and the semi-join below.
     val sh = shingled(spark, dir).cache()
@@ -79,10 +102,16 @@ object Text {
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))
-    val kept = sh.join(hot, Seq("shingle"), "left_anti")
+    sh.join(hot, Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
       .cache() // feeds sizing + the posting-list aggregation
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+  }
+
+  /** q31's unordered candidate-pair frame (id1, id2, inter) over an
+    * already df-capped shingle stream. Exposed so SkewSpec's CI-sized
+    * skew gate can pin the candidate count the cap guarantees — the
+    * number that goes quadratic if [[q31MaxDf]] stops biting. */
+  private[graft] def q31InterFrom(kept: DataFrame): DataFrame = {
     // Posting list per shingle, AFTER the cap — so collect_list is
     // bounded at maxDf ids per key (the cap is exactly what makes this
     // safe; collect_list before it is the hot-key OOM hazard the
@@ -109,13 +138,6 @@ object Text {
         greatest(col("x"), col("y")).as("id2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
-      .select(col("id1"), col("id2"), col("inter"),
-        Exact.r(col("inter") * lit(1.0) /
-          (col("s1.sz") + col("s2.sz") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("id1"), col("id2"))
   }
 
   /** Per-language marker words (the stopword heuristic of production

@@ -32,4 +32,67 @@ class SkewSpec extends SparkSpec {
     val top = ops.Skew.keyHistogram(df, "k", 3).head()
     assert(top.getLong(0) == 7L && top.getLong(1) == 60L)
   }
+
+  // -------------------------------------------------------------------
+  // CI-sized skew gate (the sf1/sf10 sweep's invariants, shrunk to every
+  // suite run): a hub-injected replica where the celebrity keys really
+  // exceed the caps, with the capped outputs and candidate volumes
+  // pinned. An edit that silently drops adjCap or the q31 df-cap goes
+  // red HERE instead of surviving until the next 100x sweep. Golden
+  // numbers were cross-derived in DuckDB on the same replica, and each
+  // cap was mutation-tested once (adjCap -> MaxValue flips q21 to 96098
+  // rows; q31MaxDf -> MaxValue flips the candidate count to 1,843,470).
+  // -------------------------------------------------------------------
+
+  /** 60x hub-injected replica of the smoke SF — sized so the celebrity
+    * supplier's degree (~411) exceeds adjCap=256 and the hot-sentence
+    * family's df (~1500) exceeds q31MaxDf=50; generated once, lazily. */
+  private lazy val skewDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("skew_gate")
+      .toAbsolutePath.toString
+    ScaleGen.run(spark, sf, dir, 60, skew = true)
+    dir
+  }
+
+  test("skew gate: hub exceeds adjCap and q21 returns the capped-subgraph result") {
+    // non-vacuity: the hub's raw degree in q21's thresholded edge set
+    // must exceed the cap, otherwise this gate tests nothing
+    val hubDeg = Tables.orders(spark, skewDir)
+      .join(Tables.lineitem(spark, skewDir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_quantity") >= 45 &&
+        col("l_suppkey") === ScaleGen.skewSupplier)
+      .select(col("o_custkey")).distinct().count()
+    assert(hubDeg > ops.Graph.adjCap,
+      s"hub degree $hubDeg no longer exceeds adjCap=${ops.Graph.adjCap} — raise k")
+    // golden CAPPED result; the uncapped subgraph yields 96098 pairs
+    assert(SparkEntry.queries("q21_common_neighbors")(spark, skewDir).count() == 95994L)
+  }
+
+  test("skew gate: q21 DataFrame plan matches its oracle SQL run by Spark") {
+    // the exact CTE text the DuckDB gate runs, executed by Spark's own
+    // SQL path — an engine-internal dual-plan oracle on SKEWED data
+    Tables.orders(spark, skewDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, skewDir).createOrReplaceTempView("lineitem")
+    try {
+      val viaSql = spark.sql(s"WITH ${ops.Graph.lsnSql} SELECT u, v FROM lsn")
+      val viaDf = SparkEntry.queries("q21_common_neighbors")(spark, skewDir)
+        .select(col("u"), col("v"))
+      assert(viaDf.exceptAll(viaSql).isEmpty, "DataFrame rows missing from SQL")
+      assert(viaSql.exceptAll(viaDf).isEmpty, "SQL rows missing from DataFrame")
+    } finally {
+      spark.catalog.dropTempView("orders")
+      spark.catalog.dropTempView("lineitem")
+    }
+  }
+
+  test("skew gate: hot-shingle df exceeds q31MaxDf and candidate volume stays capped") {
+    val hotDocs = Tables.documents(spark, skewDir)
+      .filter(col("text").contains("hotdup0")).count()
+    assert(hotDocs > ops.Text.q31MaxDf,
+      s"hot-sentence family df $hotDocs no longer exceeds the cap — raise k")
+    // golden CAPPED candidate-pair count; without the df-cap the hot
+    // family alone pushes this to 1,843,470 (2.6x) and grows as df²
+    val kept = ops.Text.q31KeptShingles(spark, skewDir)
+    assert(ops.Text.q31InterFrom(kept).count() == 721860L)
+  }
 }
