@@ -848,17 +848,30 @@ object Features {
     * bucket from the softmax denominator and null every pooled slot for
     * the (user, scale). Coalesce every slot uniformly (a no-op on the
     * always-defined ones); the oracle mirrors the same COALESCE. */
-  private[graft] def q87PoolFrom(t: DataFrame): DataFrame = {
-    def slot(c: String): Column = coalesce(col(c).cast("double"), lit(0.0))
-    val pooled = q87FeatureAttn.map { case (c, w) => lit(w) * slot(c) }.reduce(_ + _)
+  /** NULL-safe slot read shared by the gate score and the pool. */
+  private def q87Slot(c: String): Column =
+    coalesce(col(c).cast("double"), lit(0.0))
+
+  /** q87's scoring stage — gate score, 6dp e^s, exact softmax
+    * denominator and per-bucket attention weight `a` over the tensor.
+    * Factored from [[q87PoolFrom]] so ProfileQ87 can time the window
+    * stage apart from the pooling aggregate without duplicating the
+    * production expressions. */
+  private[graft] def q87Scored(t: DataFrame): DataFrame = {
+    val pooled =
+      q87FeatureAttn.map { case (c, w) => lit(w) * q87Slot(c) }.reduce(_ + _)
     val arg = lit(q87GateW) * pooled + lit(q87GateB)
     val sQ = Exact.r(lit(1.0) - lit(2.0) / (exp(lit(2.0) * arg) + lit(1.0)), 6)
     val attW = Window.partitionBy(col("user_id"), col("scale"))
-    val withA = t
-      .withColumn("e_att", Exact.r(exp(sQ), 6))
+    t.withColumn("e_att", Exact.r(exp(sQ), 6))
       .withColumn("den",
         sum(col("e_att").cast("decimal(18,6)")).over(attW).cast("double"))
       .withColumn("a", col("e_att") / col("den"))
+  }
+
+  private[graft] def q87PoolFrom(t: DataFrame): DataFrame = {
+    def slot(c: String): Column = q87Slot(c)
+    val withA = q87Scored(t)
     val aggs = Seq(
       count(lit(1)).as("n_buckets"),
       Exact.r(max(col("a")), 6).as("att_max")) ++
