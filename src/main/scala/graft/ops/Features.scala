@@ -888,12 +888,20 @@ object Features {
     * left-associated term order as [[q87FeatureAttn]], tanh and e^s
     * quantized at 6dp, DECIMAL(18,6) denominator, DECIMAL(28,12)
     * messages). */
-  private def q87OracleSql: String = {
+  /** DuckDB spelling of q87's feature-attention dot product — the same
+    * left-associated term order as [[q87FeatureAttn]]; shared by the
+    * q87 and q90 oracles. */
+  private def q87PooledSql: String = {
     def w(d: Double): String = new java.math.BigDecimal(d).toPlainString
-    val pSql = q87FeatureAttn
+    q87FeatureAttn
       .map { case (c, wt) =>
         s"${w(wt)}::DOUBLE * COALESCE(CAST($c AS DOUBLE), 0.0)" }
       .mkString(" + ")
+  }
+
+  private def q87OracleSql: String = {
+    def w(d: Double): String = new java.math.BigDecimal(d).toPlainString
+    val pSql = q87PooledSql
     val argSql = s"${w(q87GateW)}::DOUBLE * ($pSql) + ${w(q87GateB)}::DOUBLE"
     val sqSql =
       s"floor((1.0 - 2.0 / (exp(2.0 * ($argSql)) + 1.0)) * 1e6 + 0.5) / 1e6"
@@ -911,6 +919,133 @@ object Features {
        |FROM d GROUP BY 1, 2
        |ORDER BY user_id, scale""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q90: LSTM recurrence over each (user, scale) bucket sequence — the
+  // reference's MultiLstm temporal stage (Code for Sichuan/src/
+  // layers.py:9-68 runs an LSTM per time scale over the bucket sequence
+  // before the attention pool) re-expressed as an ordered relational
+  // fold. q87 covers the attention/pooling stage; this closes the
+  // recurrent state transition itself: a scalar LSTM cell (dyadic plan
+  // literals, input = the same trained feature-attention projection q87
+  // gates on) folded left over the bucket-sorted sequence via the
+  // aggregate() higher-order function — per-group SEQUENTIAL, as the
+  // recurrence semantically demands, but fully distributed across
+  // (user, scale) groups.
+  //
+  // Scale: sequences are bounded by the CALENDAR, not the data — at most
+  // horizon/7 buckets per scale per user — so the collect_list state is
+  // a few hundred structs max regardless of corpus size, and the whole
+  // operator is ONE exchange (the groupBy) on top of the q85 tensor
+  // plan. The fold itself is per-row compute, no shuffle, no iteration
+  // rounds (contrast q73's K join rounds: an LSTM's dependence is WITHIN
+  // the key, so it folds in one pass instead of message-passing).
+  //
+  // Numerics: every gate output and both state updates quantize at 6dp
+  // (Exact.r's floor spelling); weights are dyadic so the products are
+  // exact; exp is the only libm call, and the 6dp quantization after
+  // each nonlinearity is the same discipline the q86/q87 hash gates
+  // already prove portable. The DuckDB oracle folds the IDENTICAL
+  // generated cell text via list_reduce over a PACKED-double state (see
+  // q90MergeExpr for why a struct accumulator is not portable), so the
+  // recurrences are bit-identical step by step.
+  // ---------------------------------------------------------------------
+
+  /** The LSTM state (h, c) PACKED into one double: h6 = h·10⁶ and
+    * c6 = c·10⁶ are integers (the 6dp quantization grid), and
+    * acc = (h6 + 2e6)·2²⁵ + (c6 + 8e6) — max ~1.0e14, far under 2⁵³,
+    * so every encode/decode is EXACT integer arithmetic in float64.
+    *
+    * Why packed instead of a struct accumulator: DuckDB's list_reduce
+    * evaluates a struct-typed lambda's fields IN PLACE and in order —
+    * the `c` field's expression sees the already-updated `h` (found by
+    * bit-tracing a 2-step fold; Spark's aggregate() snapshots the old
+    * struct instead). A scalar accumulator has no field-update order to
+    * disagree on, and lets the two engines share the cell text
+    * VERBATIM. Cell state is clipped at ±4.0 (standard LSTM cell
+    * clipping) so c6 provably fits its 2²⁵ slot whatever the data does
+    * to the input projection; h = o·tanh(c) ∈ (−1, 1) always fits. */
+  // Constants are spelled CAST(… AS DOUBLE): Spark parses a bare
+  // `2000000.0` as DECIMAL and its floor() returns LONG, so unguarded
+  // text would silently promote the whole cell into decimal arithmetic
+  // (and fail aggregate()'s zero/merge type match).
+  private val q90Pack = "CAST(33554432 AS DOUBLE)" // 2^25
+  private val q90HOff = "CAST(2000000 AS DOUBLE)"
+  private val q90COff = "CAST(8000000 AS DOUBLE)"
+  private[graft] val q90Zero = "CAST(67108872000000 AS DOUBLE)" // encode(0,0)
+
+  private def q90DecodeH(acc: String): String =
+    s"(floor($acc / $q90Pack) - $q90HOff) / 1e6"
+  private def q90DecodeC(acc: String): String =
+    s"($acc - floor($acc / $q90Pack) * $q90Pack - $q90COff) / 1e6"
+
+  /** One step of the scalar LSTM cell as portable SQL text over the
+    * packed accumulator `acc` and input scalar `x` — the IDENTICAL
+    * string runs inside Spark's aggregate() and DuckDB's list_reduce.
+    * Weights are dyadic (exact doubles): input/output gates lean on the
+    * projection x, the forget gate carries the standard positive bias;
+    * every gate output quantizes at 6dp (Exact.r's floor spelling), so
+    * the recurrences agree step by step. h' references c' textually
+    * (no lets inside SQL lambdas) — duplication, not re-evaluation
+    * drift, since the text is pure arithmetic on acc and x. */
+  private def q90MergeExpr(acc: String, x: String): String = {
+    def r6(s: String) = Exact.sql.r(s, 6)
+    def sig(z: String) = r6(s"1.0 / (1.0 + exp(-($z)))")
+    def th(z: String) = r6(s"1.0 - 2.0 / (exp(2.0 * ($z)) + 1.0)")
+    val hp = s"(${q90DecodeH(acc)})"
+    val cp = s"(${q90DecodeC(acc)})"
+    val zi = s"0.5 * $x + 0.25 * $hp + 0.0625"
+    val zf = s"0.25 * $x + 0.25 * $hp + 0.5"
+    val zg = s"0.5 * $x + 0.25 * $hp"
+    val zo = s"0.5 * $x + 0.25 * $hp - 0.0625"
+    val cRaw = s"${sig(zf)} * $cp + ${sig(zi)} * ${th(zg)}"
+    val c6 = s"floor(greatest(least($cRaw, 4.0), -4.0) * 1e6 + 0.5)"
+    val h6 = s"floor((${sig(zo)} * ${th(s"(($c6) / 1e6)")}) * 1e6 + 0.5)"
+    s"(($h6) + $q90HOff) * $q90Pack + (($c6) + $q90COff)"
+  }
+
+  /** q90: final LSTM state per (user, scale) over the q85 tensor. */
+  def q90LstmState(spark: SparkSession, dir: String): DataFrame =
+    q90From(q85Core(spark, dir)).orderBy(col("user_id"), col("scale"))
+
+  /** The sort-free fold core over any frame with the q85 tensor columns
+    * (the q87PoolFrom pattern — specs feed it a synthetic tensor). */
+  private[graft] def q90From(t: DataFrame): DataFrame = {
+    val pooled =
+      q87FeatureAttn.map { case (c, w) => lit(w) * q87Slot(c) }.reduce(_ + _)
+    t.withColumn("x", Exact.r(pooled, 6))
+      .groupBy(col("user_id"), col("scale"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(struct(col("bucket"), col("x")))).as("bx"))
+      .withColumn("st", expr(
+        s"""aggregate(transform(bx, s -> s.x), $q90Zero,
+           |  (acc, e) -> ${q90MergeExpr("acc", "e")})""".stripMargin))
+      .select(col("user_id"), col("scale"), col("n_buckets"),
+        expr(q90DecodeH("st")).as("h_last"),
+        expr(q90DecodeC("st")).as("c_last"))
+  }
+
+  /** The q90 oracle: q85's body as a CTE, the same projection x, then
+    * the IDENTICAL packed-accumulator cell text folded by list_reduce.
+    * list_reduce seeds its accumulator from the FIRST list element (no
+    * explicit zero), so the encoded zero state heads the bucket-sorted
+    * input list; accumulator and elements are both plain DOUBLEs, which
+    * satisfies list_reduce's matching-type rule for free. */
+  private def q90OracleSql: String =
+    s"""WITH t AS ($q85OracleBody),
+       | b AS (SELECT user_id, scale, bucket,
+       |   ${Exact.sql.r(q87PooledSql, 6)} AS x FROM t),
+       | s AS (SELECT user_id, scale, count(*) AS n_buckets,
+       |   [$q90Zero] ||
+       |   list_transform(list_sort(list(struct_pack(b := bucket, x := x))),
+       |     v -> v.x) AS xs
+       |  FROM b GROUP BY 1, 2),
+       | f AS (SELECT user_id, scale, n_buckets,
+       |   list_reduce(xs, (acc, e) -> ${q90MergeExpr("acc", "e")}) AS st
+       |  FROM s)
+       |SELECT user_id, scale, n_buckets,
+       | ${q90DecodeH("st")} AS h_last, ${q90DecodeC("st")} AS c_last
+       |FROM f ORDER BY user_id, scale""".stripMargin
 
   private val q85OracleSql: String =
     q85OracleBody + "\nORDER BY act.user_id, act.scale, act.bucket"
@@ -1001,6 +1136,7 @@ object Features {
   val oracles: Map[String, String] = Map(
     "q85_slice_feature_tensor" -> q85OracleSql,
     "q87_temporal_attention_pool" -> q87OracleSql,
+    "q90_lstm_state" -> q90OracleSql,
     "q83_activity_gini" ->
       """WITH pu AS (SELECT event_type AS grp, user_id, count(*) AS x
         |  FROM events GROUP BY 1, 2
@@ -1150,6 +1286,7 @@ object Features {
     "q79_transitions" -> (q79Transitions _),
     "q83_activity_gini" -> (q83ActivityGini _),
     "q85_slice_feature_tensor" -> (q85SliceFeatureTensor _),
-    "q87_temporal_attention_pool" -> (q87TemporalAttentionPool _)
+    "q87_temporal_attention_pool" -> (q87TemporalAttentionPool _),
+    "q90_lstm_state" -> (q90LstmState _)
   )
 }

@@ -452,4 +452,82 @@ class FeaturesSpec extends SparkSpec {
       else assert(got.getDouble(4) == r6(ewmaRaw / meanRaw), s"user $u burst")
     }
   }
+
+  // --- q90: the LSTM fold against an independent in-JVM reference ----
+
+  /** Plain-Scala reference of q90's cell — independent of the SQL
+    * expression text AND of the packed-double encoding, so it catches a
+    * bug in either (e.g. the DuckDB in-place struct-field pitfall the
+    * packed accumulator exists to dodge). */
+  private def q90RefCell(x: Double, h: Double, c: Double): (Double, Double) = {
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    def sig(z: Double) = r6(1.0 / (1.0 + math.exp(-z)))
+    def th(z: Double) = r6(1.0 - 2.0 / (math.exp(2.0 * z) + 1.0))
+    val i = sig(0.5 * x + 0.25 * h + 0.0625)
+    val f = sig(0.25 * x + 0.25 * h + 0.5)
+    val g = th(0.5 * x + 0.25 * h)
+    val o = sig(0.5 * x + 0.25 * h - 0.0625)
+    val cN = math.floor(math.max(math.min(f * c + i * g, 4.0), -4.0) * 1e6 + 0.5) / 1e6
+    val hN = math.floor(o * th(cN) * 1e6 + 0.5) / 1e6
+    (hN, cN)
+  }
+
+  private def q90Tensor(rows: Seq[(Long, Int, Long, Long, Double)]) = {
+    // (user, scale, bucket, n_events, mean_val); other slots constant
+    rows.map { case (u, s, b, n, m) =>
+      val slots = Features.q87FeatureAttn.map {
+        case ("n_events", _) => lit(n).as("n_events")
+        case ("mean_val", _) => lit(m).as("mean_val")
+        case (c, _) => lit(0.125).as(c)
+      }
+      spark.range(1).select(
+        lit(u).as("user_id") +: lit(s).as("scale") +: lit(b).as("bucket") +:
+          slots: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  private def q90RefX(n: Long, m: Double): Double = {
+    val raw = Features.q87FeatureAttn.foldLeft(0.0) {
+      case (acc, ("n_events", w)) => acc + w * n
+      case (acc, ("mean_val", w)) => acc + w * m
+      case (acc, (_, w)) => acc + w * 0.125
+    }
+    math.floor(raw * 1e6 + 0.5) / 1e6
+  }
+
+  test("q90 fold matches an independent reference, out-of-order buckets") {
+    // bucket rows arrive DESCENDING — the sort_array must restore time order
+    val rows = Seq(
+      (1L, 1, 3L, 7L, 2.5), (1L, 1, 2L, 90L, -1.0), (1L, 1, 1L, 4L, 0.0),
+      (1L, 1, 0L, 55L, 12.0),
+      (2L, 1, 0L, 10L, 3.0), (2L, 1, 1L, 20L, 4.0),
+      (2L, 2, 5L, 1L, -6.0))
+    val out = Features.q90From(q90Tensor(rows))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    for (((u, s), grp) <- rows.groupBy(r => (r._1, r._2))) {
+      val (h, c) = grp.sortBy(_._3).foldLeft((0.0, 0.0)) {
+        case ((h, c), (_, _, _, n, m)) => q90RefCell(q90RefX(n, m), h, c)
+      }
+      val (nb, hGot, cGot) = out((u, s))
+      assert(nb == grp.size.toLong, s"group ($u,$s) n_buckets")
+      assert(hGot == h, s"group ($u,$s) h_last: got $hGot want $h")
+      assert(cGot == c, s"group ($u,$s) c_last: got $cGot want $c")
+    }
+  }
+
+  test("q90 cell state saturates at the +-4.0 clip and stays pack-safe") {
+    // huge positive projections (mean_val 5e4 => x ~ 41): i, g pin at
+    // 1.0 and the cell integrates ~+1 per bucket until the clip holds it
+    val rows = (0L until 12L).map(b => (9L, 1, b, 1L, 50000.0))
+    val out = Features.q90From(q90Tensor(rows)).collect()
+    assert(out.length == 1)
+    val (h, c) = rows.foldLeft((0.0, 0.0)) {
+      case ((h, c), (_, _, _, n, m)) => q90RefCell(q90RefX(n, m), h, c)
+    }
+    assert(c == 4.0, s"clip must engage: ref c=$c") // proves the clip is live
+    assert(out.head.getDouble(4) == c)
+    assert(out.head.getDouble(3) == h)
+    assert(h > 0.0 && h < 1.0)
+  }
 }
