@@ -11,7 +11,7 @@ package graft
 object PipelineRun {
   def main(args: Array[String]): Unit = {
     val sfDir = Cli.sfDirOf(args, usage,
-      boolFlags = Set("extended", "slices", "slices-attn", "residual"))
+      boolFlags = Set("extended", "slices", "slices-attn", "residual", "lstm"))
       .getOrElse(return)
     // `--extended` joins in the beyond-parity feature tier (PageRank,
     // k-core, EWMA burst) — see FraudPipeline.run and the README A/B
@@ -29,20 +29,25 @@ object PipelineRun {
     // outputs — the reference's per-relation channel as features
     val residual = args.contains("--residual") ||
       sys.env.get("SPARK_GRAFT_RESIDUAL").contains("1")
+    // `--lstm` joins in q90's final recurrent state per time scale —
+    // the MultiLstm summary the reference's classifier head consumes
+    val lstm = args.contains("--lstm") ||
+      sys.env.get("SPARK_GRAFT_LSTM").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val r = pipeline.FraudPipeline.run(spark, sfDir,
       extendedFeatures = extended, sliceFeatures = slices,
-      sliceAttention = slicesAttn, residualFeatures = residual)
+      sliceAttention = slicesAttn, residualFeatures = residual,
+      lstmFeatures = lstm)
     val m = r.metrics.head()
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.schema.fieldNames
       .map(f => s""""$f":${m.getAs[Any](f)}""").mkString(",")
     println(s"""{"metric":"fraud_pipeline","sf":"$sfDir","sec":$secs,""" +
       s""""extended":$extended,"slices":$slices,"slices_attn":$slicesAttn,""" +
-      s""""residual":$residual,""" +
+      s""""residual":$residual,"lstm":$lstm,""" +
       s""""n_users":${r.features.count()},"n_scored":${r.scored.count()},$fields}""")
     spark.stop()
   }
@@ -55,8 +60,9 @@ object PipelineRun {
       |  --slices       add the flattened q85 dynamic tensor (bucket-mean pool)
       |  --slices-attn  as --slices, pooled by q87 temporal attention
       |  --residual     add q88's eps-residual multi-relation layer outputs
+      |  --lstm         add q90's final LSTM state per time scale
       |  --help         print this and exit
       |env: SPARK_GRAFT_CPUS (threads),
-      |     SPARK_GRAFT_EXTENDED/SLICES/SLICES_ATTN/RESIDUAL=1
+      |     SPARK_GRAFT_EXTENDED/SLICES/SLICES_ATTN/RESIDUAL/LSTM=1
       |prints one JSON metric line (accuracy, macro P/R/F1, AUC, AP)""".stripMargin
 }

@@ -59,11 +59,18 @@ object FraudPipeline {
     * outside the purchase graph. The reference's thesis is that the
     * per-relation channel beats a plain GCN summary; the README A/B
     * row tests exactly that against the other tiers. */
+  /** `lstmFeatures = true` joins in q90's final recurrent state — the
+    * MultiLstm stage's (h, c) per time scale as 8 user-grain columns,
+    * zero-filled for users without events. The reference feeds the
+    * LSTM outputs (not the raw tensor) to its classifier head; this
+    * tier tests whether the recurrent summary adds signal over the
+    * attention pool on this data. */
   def run(spark: SparkSession, dir: String,
       extendedFeatures: Boolean = false,
       sliceFeatures: Boolean = false,
       sliceAttention: Boolean = false,
-      residualFeatures: Boolean = false): Result = {
+      residualFeatures: Boolean = false,
+      lstmFeatures: Boolean = false): Result = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.functions.vector_to_array
@@ -135,8 +142,26 @@ object FraudPipeline {
         .na.fill(0.0, Seq("res_r1", "res_r2", "res_r3"))
     }
 
+    val withLstm = if (!lstmFeatures) withResidual else {
+      // q90's per-scale final (h, c) → one pivot to 8 user-grain
+      // columns; the fold core is sort-free (same reason as the q87
+      // tier: presentation order would be a wasted exchange+sort)
+      val st = ops.Features.q90From(ops.Features.q85Core(spark, dir))
+      val pivoted = st.groupBy(col("user_id"))
+        .pivot("scale", Seq(1, 2, 3, 4))
+        .agg(first(col("h_last")).as("h"), first(col("c_last")).as("c"))
+      // rebuild names from the known cross product, as the slice tier does
+      val renamed = pivoted.select(
+        col("user_id") +:
+          (for { s <- Seq(1, 2, 3, 4); f <- Seq("h", "c") }
+            yield col(s"${s}_$f").as(s"lstm_s${s}_$f")): _*)
+      val lstmCols = renamed.columns.filterNot(_ == "user_id")
+      withResidual.join(renamed, Seq("user_id"), "left")
+        .na.fill(0.0, lstmCols)
+    }
+
     // 2. labels from the account table (user_id keys into customer)
-    val labeled = withResidual.join(
+    val labeled = withLstm.join(
       Tables.customer(spark, dir).select(
         col("c_custkey").as("user_id"),
         (col("c_acctbal") < 0).cast("double").as("label")),
@@ -149,7 +174,7 @@ object FraudPipeline {
     // 4. assemble + train on the train fold only. `assembled` feeds the
     //    LBFGS iterations AND the held-out scoring pass below, so it
     //    stays cached until `scored` has materialized from it.
-    val featCols = withResidual.columns.filterNot(_ == "user_id")
+    val featCols = withLstm.columns.filterNot(_ == "user_id")
     val assembler = new VectorAssembler()
       .setInputCols(featCols).setOutputCol("fvec").setHandleInvalid("keep")
     val assembled = assembler.transform(withSplit).cache()
@@ -180,6 +205,6 @@ object FraudPipeline {
         .avgPrecisionFrom(scored.select(col("user_id"), col("y"), col("score")),
           "user_id")
         .select(col("avg_precision")))
-    Result(withResidual, scored, metrics)
+    Result(withLstm, scored, metrics)
   }
 }

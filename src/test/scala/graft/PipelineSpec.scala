@@ -143,6 +143,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("lstm tier joins q90's final state per scale, zero-filled off-events") {
+    val r = pipeline.FraudPipeline.run(spark, sf, lstmFeatures = true)
+    val lstmCols = for { s <- 1 to 4; f <- Seq("h", "c") } yield s"lstm_s${s}_$f"
+    for (c <- lstmCols) assert(r.features.columns.contains(c), c)
+    // one row per user, no fan-out from the pivot join
+    assert(r.features.count() ==
+      pipeline.FraudPipeline.run(spark, sf).features.count())
+    // the pivoted cells ARE q90's outputs: cross-check against the operator
+    val q90 = ops.Features.q90LstmState(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) ->
+        ((x.getDouble(3), x.getDouble(4)))).toMap
+    val uid = q90.keys.head._1
+    val row = r.features.filter(col("user_id") === uid)
+      .select(col("user_id") +: lstmCols.map(col): _*).head()
+    for (s <- 1 to 4) {
+      val (h, c) = q90.getOrElse((uid, s), (0.0, 0.0))
+      assert(row.getAs[Double](s"lstm_s${s}_h") == h, s"scale $s h")
+      assert(row.getAs[Double](s"lstm_s${s}_c") == c, s"scale $s c")
+    }
+  }
+
   test("pipeline split is reproducible") {
     val a = pipeline.FraudPipeline.run(spark, sf).scored
       .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
