@@ -247,6 +247,44 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("q90: the LSTM fold adds exactly ONE exchange over the q85 plan") {
+    // the collect_list groupBy on (user_id, scale) is the fold's only
+    // shuffle; the fold and state decode are projections. A second new
+    // exchange means the sequence assembly stopped riding one shuffle.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s
+        }.size
+      val base = shuffles(ops.Features.q85SliceFeatureTensor(spark, sf))
+      val lstm = shuffles(ops.Features.q90LstmState(spark, sf))
+      assert(lstm == base + 1, s"q85=$base q90=$lstm")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q88: all three relation SpMVs ride one message aggregate") {
+    // the per-relation sums are CONDITIONAL aggregates over ONE
+    // rel-tagged message frame — three separate per-relation
+    // aggregations (or joins) would show up as extra exchanges
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ex = ops.Graph.q88RelationResidualPropagate(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s
+        }
+      // 4 = two degree-side hash aggs + ONE message agg on src (the
+      // three relations' conditional sums share it) + presentation sort
+      assert(ex.size == 4, s"q88 exchanges=${ex.size}")
+      val onSrc = ex.count(_.outputPartitioning.toString.contains("src"))
+      assert(onSrc == 1, s"message shuffles on src: $onSrc (must stay ONE)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("q19: gap and recall windows share one sort (single 3-key SortExec)") {
     // lag (preceding frame) and later-purchase max (following frame) are
     // two WindowExecs but share partition=user_id, order=(ts,event_id) —
