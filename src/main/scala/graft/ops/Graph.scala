@@ -205,16 +205,27 @@ object Graph {
         coalesce(sum(when(col("dir") === 0, 1L)), lit(0L)).as("in_deg"))
 
   /** q22's neighbor-average-degree core per (keys…, node), over an
-    * already symmetrized+deduped pair set. */
+    * already symmetrized+deduped pair set.
+    *
+    * The neighbor's degree attaches as `count(*) OVER (PARTITION BY
+    * keys…, dst)`: und is SYMMETRIC, so degree counted by dst equals
+    * degree counted by src, and the window needs ONE exchange+sort of
+    * und where the previous degree-aggregate + shuffle-join spelling
+    * shuffled the degree table AND re-sorted und for the sort-merge
+    * join anyway (measured 1.5-2x slower at sf1, ProfileQ85 --ab-nad;
+    * outputs exact-compare equal). This is the OPPOSITE call to q31's
+    * df-cap, where a window over the posting list would sort everything
+    * to serve a tiny exclusion head that an anti-join broadcasts —
+    * here every row consumes its neighbor's degree, so the full-list
+    * pass is irreducible and the join was pure overhead. (The STATIC
+    * q22FromUnd keeps its join: a node-bound degree table broadcasts,
+    * shuffling nothing at all — no keyed analog exists because the
+    * per-slice degree table scales with slices × nodes.) */
   private[ops] def q22FromUndKeyed(und: DataFrame, keys: Seq[String]): DataFrame = {
-    val deg = und.groupBy((keys :+ "src").map(col): _*)
-      .agg(count(lit(1)).as("d"))
-      .withColumnRenamed("src", "n")
-    und.as("u").join(deg.as("g"),
-        keys.map(k => col(s"u.$k") === col(s"g.$k")).reduce(_ && _) &&
-          col("u.dst") === col("g.n"))
-      .groupBy(keys.map(k => col(s"u.$k").as(k)) :+ col("u.src").as("node"): _*)
-      .agg(Exact.r(sum(col("g.d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
+    val w = Window.partitionBy((keys :+ "dst").map(col): _*)
+    und.withColumn("d", count(lit(1)).over(w))
+      .groupBy(keys.map(col) :+ col("src").as("node"): _*)
+      .agg(Exact.r(sum(col("d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
         count(lit(1)).as("n_nbrs"))
   }
 

@@ -128,6 +128,31 @@ object ProfileQ85 {
       time("B_act_hier2")(actHier(evBase))
       spark.stop(); return
     }
+    // Window-count prototype for the keyed neighbor-degree core: und is
+    // SYMMETRIC, so deg(x) counted by src equals deg(x) counted by dst —
+    // `count(*) OVER (PARTITION BY keys, dst)` attaches the neighbor's
+    // degree to each edge row without the separate degree aggregate and
+    // its shuffle-join (whose sort-merge re-sorts und anyway).
+    def nadWin(und: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy((keys :+ "dst").map(col): _*)
+      und.withColumn("d", count(lit(1)).over(w))
+        .groupBy(keys.map(col) :+ col("src").as("node"): _*)
+        .agg(Exact.r(sum(col("d")) * lit(1.0) / count(lit(1)), 6).as("nbr_avg_deg"),
+          count(lit(1)).as("n_nbrs"))
+    }
+    def undOf = Graph.symmetrizedKeyed(Features.q85Edges(evBase), keys).distinct()
+    if (args.headOption.contains("--ab-nad")) {
+      val a = Graph.q22FromUndKeyed(undOf, keys)
+      val b = nadWin(undOf)
+      println(s"[profile] exact-compare join-vs-window: a-only=${a.exceptAll(b).count()}" +
+        s" b-only=${b.exceptAll(a).count()}")
+      time("G_nad_join")(Graph.q22FromUndKeyed(undOf, keys))
+      time("G_nad_window")(nadWin(undOf))
+      time("G_nad_join2")(Graph.q22FromUndKeyed(undOf, keys))
+      time("G_nad_window2")(nadWin(undOf))
+      spark.stop(); return
+    }
 
     // --- component timings (each includes its own evBase scan — at
     // large SF the real query also rescans when the cache gate trips)
