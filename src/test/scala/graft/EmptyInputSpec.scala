@@ -36,7 +36,9 @@ class EmptyInputSpec extends SparkSpec {
     "q75_kcore", "q76_hll_distinct", "q77_ewma_burst", "q78_dup_spans",
     "q79_transitions", "q80_weighted_pagerank", "q81_pmi_bigrams", "q82_source_kl",
     "q83_activity_gini", "q84_countmin", "q85_slice_feature_tensor",
-    "q86_attention_propagate", "q87_temporal_attention_pool")
+    "q86_attention_propagate", "q87_temporal_attention_pool",
+    "q88_relation_residual_propagate", "q89_neighbor_sample",
+    "q90_lstm_state")
 
   reps.foreach { name =>
     test(s"$name runs on an all-empty scale factor") {
