@@ -455,22 +455,12 @@ class FeaturesSpec extends SparkSpec {
 
   // --- q90: the LSTM fold against an independent in-JVM reference ----
 
-  /** Plain-Scala reference of q90's cell — independent of the SQL
-    * expression text AND of the packed-double encoding, so it catches a
-    * bug in either (e.g. the DuckDB in-place struct-field pitfall the
-    * packed accumulator exists to dodge). */
-  private def q90RefCell(x: Double, h: Double, c: Double): (Double, Double) = {
-    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
-    def sig(z: Double) = r6(1.0 / (1.0 + math.exp(-z)))
-    def th(z: Double) = r6(1.0 - 2.0 / (math.exp(2.0 * z) + 1.0))
-    val i = sig(0.5 * x + 0.25 * h + 0.0625)
-    val f = sig(0.25 * x + 0.25 * h + 0.5)
-    val g = th(0.5 * x + 0.25 * h)
-    val o = sig(0.5 * x + 0.25 * h - 0.0625)
-    val cN = math.floor(math.max(math.min(f * c + i * g, 4.0), -4.0) * 1e6 + 0.5) / 1e6
-    val hN = math.floor(o * th(cN) * 1e6 + 0.5) / 1e6
-    (hN, cN)
-  }
+  // q90's plain-Scala reference cell lives in [[Q90Ref]] — independent
+  // of the SQL expression text AND of the packed-double encoding, so it
+  // catches a bug in either (e.g. the DuckDB in-place struct-field
+  // pitfall the packed accumulator exists to dodge).
+  private def q90RefCell(x: Double, h: Double, c: Double): (Double, Double) =
+    Q90Ref.cell(x, h, c)
 
   private def q90Tensor(rows: Seq[(Long, Int, Long, Long, Double)]) = {
     // (user, scale, bucket, n_events, mean_val); other slots constant
@@ -486,14 +476,7 @@ class FeaturesSpec extends SparkSpec {
     }.reduce(_ unionByName _)
   }
 
-  private def q90RefX(n: Long, m: Double): Double = {
-    val raw = Features.q87FeatureAttn.foldLeft(0.0) {
-      case (acc, ("n_events", w)) => acc + w * n
-      case (acc, ("mean_val", w)) => acc + w * m
-      case (acc, (_, w)) => acc + w * 0.125
-    }
-    math.floor(raw * 1e6 + 0.5) / 1e6
-  }
+  private def q90RefX(n: Long, m: Double): Double = Q90Ref.x(n, m)
 
   test("q90 fold matches an independent reference, out-of-order buckets") {
     // bucket rows arrive DESCENDING — the sort_array must restore time order

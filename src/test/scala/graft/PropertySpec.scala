@@ -46,6 +46,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q90 fold: state bounds and bit-equality vs reference on random sequences") {
+    // random activity magnitudes push the projection x to ±thousands —
+    // exp overflows to Inf and the gates must saturate identically in
+    // the engine and the reference; |h| < 1 and |c| ≤ 4 are invariants
+    // of the gated algebra + clip for ANY input
+    val rnd = new Random(42)
+    val rows = for {
+      u <- 1 to 30; s <- 1 to 2
+      b <- 0 until (1 + rnd.nextInt(8))
+    } yield (u.toLong, s, b.toLong,
+      rnd.nextInt(1000000).toLong, (rnd.nextDouble() - 0.5) * 2e6)
+    val slots = ops.Features.q87FeatureAttn.map {
+      case ("n_events", _) => col("ne").as("n_events")
+      case ("mean_val", _) => col("mv").as("mean_val")
+      case (c, _) => lit(0.125).as(c)
+    }
+    val t = rows.toDF("user_id", "scale", "bucket", "ne", "mv")
+      .select(col("user_id") +: col("scale") +: col("bucket") +: slots: _*)
+    val got = ops.Features.q90From(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val grouped = rows.groupBy(r => (r._1, r._2))
+    assert(got.keySet == grouped.keySet)
+    for (((u, s), grp) <- grouped) {
+      val (h, c) = Q90Ref.fold(grp.sortBy(_._3).map(r => Q90Ref.x(r._4, r._5)))
+      val (hGot, cGot) = got((u, s))
+      assert(hGot == h && cGot == c, s"group ($u,$s): got ($hGot,$cGot) want ($h,$c)")
+      assert(math.abs(hGot) < 1.0 && math.abs(cGot) <= 4.0, s"bounds ($u,$s)")
+    }
+  }
+
   test("q58 cube equals the union of its four manual grouping sets") {
     val got = ops.Relational.q58CubeStats(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
