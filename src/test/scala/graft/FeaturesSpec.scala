@@ -499,6 +499,46 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("q90: real-data replay + quantization margin audit") {
+    // replay the whole recurrence over the REAL tensor in the JVM and
+    // audit every raw value the cell quantizes: each must sit ≥1e-8
+    // grid steps from the floor(x·10⁶ + 0.5) jump, so an ulp-scale
+    // cross-engine exp disagreement cannot split the 6dp grid (the
+    // q86/q87 discipline, extended to a RECURRENCE where one split
+    // step would corrupt every later step of that key)
+    def slotOf(r: org.apache.spark.sql.Row, c: String): Double =
+      r.get(r.fieldIndex(c)) match {
+        case null => 0.0
+        case l: Long => l.toDouble
+        case d: Double => d
+      }
+    var minMargin = Double.MaxValue
+    def probe(x: Double): Unit = {
+      val d = math.abs(x * 1e6 - math.floor(x * 1e6) - 0.5)
+      if (d < minMargin) minMargin = d
+    }
+    val out = Features.q90LstmState(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val tensor = Features.q85SliceFeatureTensor(spark, sf).collect()
+    val groups = tensor.groupBy(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Int]("scale")))
+    assert(out.keySet == groups.keySet)
+    groups.foreach { case (key, rows) =>
+      val xs = rows.sortBy(_.getAs[Long]("bucket")).map { r =>
+        val pooled = Features.q87FeatureAttn
+          .map { case (c, w) => w * slotOf(r, c) }.reduce(_ + _)
+        probe(pooled)
+        Q90Ref.r6(pooled)
+      }
+      val (h, c) = xs.foldLeft((0.0, 0.0)) {
+        case ((h, c), x) => Q90Ref.cell(x, h, c, probe)
+      }
+      assert(out(key) == ((xs.length.toLong, h, c)), s"group $key")
+    }
+    assert(minMargin > 1e-8, s"quantization margin $minMargin too tight")
+  }
+
   test("q90 cell state saturates at the +-4.0 clip and stays pack-safe") {
     // huge positive projections (mean_val 5e4 => x ~ 41): i, g pin at
     // 1.0 and the cell integrates ~+1 per bucket until the clip holds it

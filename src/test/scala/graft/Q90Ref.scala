@@ -5,16 +5,25 @@ package graft
   * FeaturesSpec (fixed cases) and PropertySpec (random sequences). */
 object Q90Ref {
   def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
-  private def sig(z: Double) = r6(1.0 / (1.0 + math.exp(-z)))
-  private def th(z: Double) = r6(1.0 - 2.0 / (math.exp(2.0 * z) + 1.0))
 
-  def cell(x: Double, h: Double, c: Double): (Double, Double) = {
+  /** One cell step; `probe` observes every RAW value the cell is about
+    * to 6dp-quantize (gate outputs, clipped cell state, gated hidden) —
+    * FeaturesSpec's margin audit uses it to prove none sits on the
+    * floor(x·10⁶ + 0.5) jump where a cross-engine exp ulp could split. */
+  def cell(x: Double, h: Double, c: Double,
+      probe: Double => Unit = _ => ()): (Double, Double) = {
+    def sig(z: Double) = { val r = 1.0 / (1.0 + math.exp(-z)); probe(r); r6(r) }
+    def th(z: Double) = { val r = 1.0 - 2.0 / (math.exp(2.0 * z) + 1.0); probe(r); r6(r) }
     val i = sig(0.5 * x + 0.25 * h + 0.0625)
     val f = sig(0.25 * x + 0.25 * h + 0.5)
     val g = th(0.5 * x + 0.25 * h)
     val o = sig(0.5 * x + 0.25 * h - 0.0625)
-    val cN = math.floor(math.max(math.min(f * c + i * g, 4.0), -4.0) * 1e6 + 0.5) / 1e6
-    val hN = math.floor(o * th(cN) * 1e6 + 0.5) / 1e6
+    val cClip = math.max(math.min(f * c + i * g, 4.0), -4.0)
+    probe(cClip)
+    val cN = math.floor(cClip * 1e6 + 0.5) / 1e6
+    val hRaw = o * th(cN)
+    probe(hRaw)
+    val hN = math.floor(hRaw * 1e6 + 0.5) / 1e6
     (hN, cN)
   }
 
