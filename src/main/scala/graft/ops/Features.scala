@@ -870,13 +870,12 @@ object Features {
   }
 
   private[graft] def q87PoolFrom(t: DataFrame): DataFrame = {
-    def slot(c: String): Column = q87Slot(c)
     val withA = q87Scored(t)
     val aggs = Seq(
       count(lit(1)).as("n_buckets"),
       Exact.r(max(col("a")), 6).as("att_max")) ++
       q87FeatureAttn.map { case (c, _) =>
-        Exact.r(sum((col("a") * slot(c)).cast("decimal(28,12)")).cast("double"), 6)
+        Exact.r(sum((col("a") * q87Slot(c)).cast("decimal(28,12)")).cast("double"), 6)
           .as(c)
       }
     withA.groupBy(col("user_id"), col("scale"))

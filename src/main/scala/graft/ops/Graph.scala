@@ -265,6 +265,34 @@ object Graph {
        |   row_number() OVER (PARTITION BY $key ORDER BY $ord) AS rn FROM $src)
        |  WHERE rn <= $cap""".stripMargin
 
+  /** The q46 score chain as SQL CTEs (`e`/`od`/`idg`/`lab`/`slab`/`sc`)
+    * plus the prob normalizer expression — shared VERBATIM by the q46
+    * and q89 oracles, one definition so an edit to the scoring (LCG
+    * split, the d^0.75 exponent, edge classes, the 8dp rounding) can
+    * never silently diverge between the two gates. */
+  private def q46ScSql: String =
+    s"""e AS ($edgesSql),
+      | od AS (SELECT src, count(*) AS sd FROM e GROUP BY 1),
+      | idg AS (SELECT dst, count(*) AS dd FROM e GROUP BY 1),
+      | lab AS (SELECT c_custkey,
+      |   CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS src_label,
+      |   ${Exact.sql.lcgTrain80("c_custkey")} AS src_train
+      |  FROM customer),
+      | slab AS (SELECT s_suppkey,
+      |   CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS dst_label,
+      |   ${Exact.sql.lcgTrain80("s_suppkey")} AS dst_train
+      |  FROM supplier),
+      | sc AS (SELECT src, dst,
+      |   CASE WHEN src_label <> dst_label THEN 0
+      |        WHEN src_label = 1 THEN 1 ELSE 2 END AS edge_class,
+      |   CAST(sqrt(sd * sqrt(sd)) * sqrt(dd * sqrt(dd)) AS DECIMAL(28,10)) AS sc
+      |  FROM e JOIN od USING (src) JOIN idg USING (dst)
+      |   JOIN lab ON src = c_custkey JOIN slab ON dst = s_suppkey
+      |  WHERE src_train AND dst_train)""".stripMargin
+
+  private val q46ProbExprSql =
+    "floor((CAST(sc AS DOUBLE) / CAST((SELECT sum(sc) FROM sc) AS DOUBLE)) * 1e8 + 0.5) / 1e8"
+
   /** The q21 LSN edge list as SQL CTEs (`e0`, `e`, `lsn`) — shared with
     * the q47 connected-components oracle, which runs CC over it. */
   private[graft] def lsnSql: String =
@@ -791,8 +819,9 @@ object Graph {
     * symmetrize+dedup; the three relation graphs stay in ONE edge
     * DataFrame tagged by `rel`, so all three SpMVs ride a single
     * message shuffle (groupBy(node) with per-relation conditional
-    * sums) instead of three passes; degree/h⁰ sides are node-sized and
-    * broadcast-gated like every graph operator here. */
+    * sums) instead of three passes; the rel-keyed degree sides are
+    * 3×-node-sized and gated at 3·nodes, h⁰ is node-sized and gated at
+    * nodes — broadcast-gated like every graph operator here. */
   def q88RelationResidualPropagate(spark: SparkSession, dir: String): DataFrame =
     q88Core(spark, dir).orderBy(col("node"))
 
@@ -815,11 +844,18 @@ object Graph {
     // h⁰: total symmetrized degree across the three relation graphs
     val h0 = deg.groupBy(col("n").as("node")).agg(sum(col("d")).as("h0"))
     val bound = nodeBound(spark, dir)
-    def gated(df: DataFrame): DataFrame =
-      if (bound <= broadcastNodeLimit) broadcast(df) else df
-    val di = gated(deg.select(col("rel"), col("n").as("src"), col("d").as("di")))
-    val dj = gated(deg.select(col("rel"), col("n").as("dst"), col("d").as("dj")))
-    val hj = gated(h0.select(col("node").as("dst"), col("h0").as("hj")))
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastNodeLimit) broadcast(df) else df
+    // di/dj are REL-keyed — one row per (rel, node), up to 3× the node
+    // count — so their gate must bound 3·nodes, not nodes: a graph just
+    // under the node limit would otherwise broadcast a 3×-over-limit
+    // frame (the driver-OOM hazard the gate exists to prevent). Only
+    // h0/hj is truly node-sized.
+    val di = gated(deg.select(col("rel"), col("n").as("src"), col("d").as("di")),
+      3L * bound)
+    val dj = gated(deg.select(col("rel"), col("n").as("dst"), col("d").as("dj")),
+      3L * bound)
+    val hj = gated(h0.select(col("node").as("dst"), col("h0").as("hj")), bound)
     val norm = (lit(1.0) / sqrt(col("di"))) * (lit(1.0) / sqrt(col("dj")))
     // all three relations' messages through ONE exchange: each edge
     // belongs to exactly one rel, so the pivot is three conditional sums
@@ -1314,26 +1350,8 @@ object Graph {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q46_edge_sampling_prob" ->
-      s"""WITH e AS ($edgesSql),
-        | od AS (SELECT src, count(*) AS sd FROM e GROUP BY 1),
-        | idg AS (SELECT dst, count(*) AS dd FROM e GROUP BY 1),
-        | lab AS (SELECT c_custkey,
-        |   CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS src_label,
-        |   (((c_custkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80 AS src_train
-        |  FROM customer),
-        | slab AS (SELECT s_suppkey,
-        |   CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS dst_label,
-        |   (((s_suppkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80 AS dst_train
-        |  FROM supplier),
-        | sc AS (SELECT src, dst,
-        |   CASE WHEN src_label <> dst_label THEN 0
-        |        WHEN src_label = 1 THEN 1 ELSE 2 END AS edge_class,
-        |   CAST(sqrt(sd * sqrt(sd)) * sqrt(dd * sqrt(dd)) AS DECIMAL(28,10)) AS sc
-        |  FROM e JOIN od USING (src) JOIN idg USING (dst)
-        |   JOIN lab ON src = c_custkey JOIN slab ON dst = s_suppkey
-        |  WHERE src_train AND dst_train)
-        |SELECT src, dst, edge_class,
-        | floor((CAST(sc AS DOUBLE) / CAST((SELECT sum(sc) FROM sc) AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS prob
+      s"""WITH $q46ScSql
+        |SELECT src, dst, edge_class, $q46ProbExprSql AS prob
         |FROM sc ORDER BY 1, 2""".stripMargin,
     "q66_gcn_propagate" ->
       s"""WITH e0 AS ($edgesSql),
@@ -1477,29 +1495,13 @@ object Graph {
         | floor((0.5 * base.h0 + coalesce(CAST(z2 AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6 AS h_r2,
         | floor((0.5 * base.h0 + coalesce(CAST(z3 AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6 AS h_r3
         |FROM base LEFT JOIN z ON base.node = z.node ORDER BY 1""".stripMargin,
-    // q89: q46's probability chain + the deterministic priority race —
-    // md5-hash race times, row_number per src, keep rk <= 10
+    // q89: q46's probability chain (shared CTE text — one definition,
+    // so a scoring change can never diverge between the two gates) +
+    // the deterministic priority race — md5-hash race times,
+    // row_number per src, keep rk <= 10
     "q89_neighbor_sample" ->
-      s"""WITH e AS ($edgesSql),
-        | od AS (SELECT src, count(*) AS sd FROM e GROUP BY 1),
-        | idg AS (SELECT dst, count(*) AS dd FROM e GROUP BY 1),
-        | lab AS (SELECT c_custkey,
-        |   CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS src_label,
-        |   (((c_custkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80 AS src_train
-        |  FROM customer),
-        | slab AS (SELECT s_suppkey,
-        |   CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS dst_label,
-        |   (((s_suppkey % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80 AS dst_train
-        |  FROM supplier),
-        | sc AS (SELECT src, dst,
-        |   CASE WHEN src_label <> dst_label THEN 0
-        |        WHEN src_label = 1 THEN 1 ELSE 2 END AS edge_class,
-        |   CAST(sqrt(sd * sqrt(sd)) * sqrt(dd * sqrt(dd)) AS DECIMAL(28,10)) AS sc
-        |  FROM e JOIN od USING (src) JOIN idg USING (dst)
-        |   JOIN lab ON src = c_custkey JOIN slab ON dst = s_suppkey
-        |  WHERE src_train AND dst_train),
-        | p AS (SELECT src, dst, edge_class,
-        |   floor((CAST(sc AS DOUBLE) / CAST((SELECT sum(sc) FROM sc) AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS prob
+      s"""WITH $q46ScSql,
+        | p AS (SELECT src, dst, edge_class, $q46ProbExprSql AS prob
         |  FROM sc),
         | r AS (SELECT src, dst, edge_class, prob,
         |   row_number() OVER (PARTITION BY src ORDER BY

@@ -413,14 +413,20 @@ object EventStream {
     * history inside the lateness horizon. State per user = an exact
     * finalized pair-count map + the ordered buffer of events still
     * inside the watermark horizon + the last finalized event as the
-    * bridge into the live buffer. Each batch merges arrivals into the
-    * buffer (sorted by (ts µs, event_id) — batch q79's exact window
-    * order), PERMANENTLY folds pairs among events that aged past the
-    * watermark (no future arrival can interleave below it — Spark drops
-    * later-than-watermark rows), and emits the user's full current
-    * snapshot: finalized + live pairs, with n = 0 tombstones for pairs
-    * a late arrival has split away (Update-sink readers keep the last
-    * row per key, so stale counts must be overwritten, not orphaned).
+    * bridge into the live buffer. Each batch DROPS beyond-horizon
+    * arrivals first — flatMapGroupsWithState with NoTimeout does NOT
+    * filter later-than-watermark rows itself (Spark 4.1.2 applies its
+    * late-row filter only under EventTimeTimeout), and an event older
+    * than the horizon cannot be inserted correctly once its would-be
+    * neighbors are finalized, so the explicit drop IS the watermark
+    * contract — then merges survivors into the buffer (sorted by
+    * (ts µs, event_id) — batch q79's exact window order), PERMANENTLY
+    * folds pairs among events that aged past the watermark (no future
+    * arrival can interleave below it), and emits the user's full
+    * current snapshot: finalized + live pairs, with n = 0 tombstones
+    * for pairs a late arrival has split away (Update-sink readers keep
+    * the last row per key, so stale counts must be overwritten, not
+    * orphaned).
     *
     * State is BOUNDED by the lateness horizon: the buffer holds only
     * events newer than watermark − 0, the count map at most |types|²
@@ -446,13 +452,19 @@ object EventStream {
           val (bridge0, counts0, buf0, emitted0, total0) =
             state.getOption.getOrElse((None, Map.empty[(String, String), Long],
               Nil, Set.empty[(String, String)], 0L))
+          val horizon = state.getCurrentWatermarkMs() * 1000L
+          // beyond-SLA arrivals are dropped, NOT merged: their would-be
+          // neighbors are already permanently folded, so inserting one
+          // would record a spurious reversed-time transition — and
+          // Spark itself does not filter late rows for this operator
+          // (NoTimeout skips applyRemovingRowsOlderThanWatermark)
           val incoming = rows
-            .map(e => (micros(e.ts), e.event_id, e.event_type)).toList
+            .map(e => (micros(e.ts), e.event_id, e.event_type))
+            .filter(_._1 >= horizon).toList
           val merged = (incoming ++ buf0)
             .sortBy { case (t, id, _) => (t, id) }
-          // events older than the watermark can never again gain an
-          // earlier neighbor — fold their pairs permanently
-          val horizon = state.getCurrentWatermarkMs() * 1000L
+          // buffered events older than the watermark can never again
+          // gain an earlier neighbor — fold their pairs permanently
           val (fin, keep) = merged.partition(_._1 < horizon)
           val finChain = bridge0.toList ++ fin
           val counts = finChain.zip(finChain.drop(1))

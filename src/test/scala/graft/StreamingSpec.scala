@@ -762,6 +762,27 @@ class StreamingSpec extends SparkSpec {
       "no snapshot shows a bounded buffer — finalization never ran")
   }
 
+  test("transitionsStream: a beyond-SLA arrival is dropped, not merged into history") {
+    // flatMapGroupsWithState under NoTimeout does NOT filter late rows
+    // itself (Spark applies its late filter only under EventTimeTimeout),
+    // so the operator must drop them explicitly: un-dropped, c@h1 below
+    // would land among the FINALIZED events after its neighbors already
+    // folded and record a spurious reversed-time (a→c) transition that
+    // poisons every later snapshot of the user
+    val t0 = 1700000000000L
+    def ev(id: Long, hours: Double, tp: String) =
+      Event(id, new Timestamp(t0 + (hours * 3600000L).toLong), 1L, tp, 0.0)
+    val b1 = Seq(ev(1, 0.0, "a"), ev(2, 10.0, "b"))
+    // after batch 1 the 1h-SLA watermark sits at h9: c@h1 is 8h beyond
+    // it (must drop); d@h11 is a legit new arrival (must chain)
+    val b2 = Seq(ev(3, 1.0, "c"), ev(4, 11.0, "d"))
+    val (agg, latest) = runTransitions(Seq(b1, b2), "1 hours", "trans_late")
+    assert(agg == Map(("a", "b") -> 1L, ("b", "d") -> 1L),
+      s"beyond-SLA event must be dropped, got $agg")
+    // the dropped row also never counts toward the user's event total
+    assert(latest.forall(_.getAs[Long]("n_total") == 3L), latest.mkString(","))
+  }
+
   test("dsirScoreStream: streamed DSIR scores are bit-identical to batch q71 per doc") {
     implicit val sq = spark.sqlContext
     val (lw, prior) = ops.Corpus.dsirTable(spark, sf)
