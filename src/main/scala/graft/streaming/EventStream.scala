@@ -20,6 +20,14 @@ object EventStream {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+  /** Timestamp → µs since epoch, shared by every state operator that
+    * orders by event time. floorDiv, not `/`: getTime is negative for
+    * pre-epoch instants while getNanos still counts FORWARD within the
+    * second, so truncating division would flip their ordering
+    * (1969-12-31T23:59:59.9 → +900000µs instead of −100000µs). */
+  private def tsMicros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
   case class SessionOut(user_id: Long, session_start: Long,
     session_end: Long, n_events: Long, total_value: Double)
 
@@ -429,11 +437,19 @@ object EventStream {
     * orphaned).
     *
     * State is BOUNDED by the lateness horizon: the buffer holds only
-    * events newer than watermark − 0, the count map at most |types|²
-    * entries. `maxLateness` trades memory for reordering tolerance; the
-    * default tolerates unbounded disorder (spec-friendly), production
-    * passes its real SLA (e.g. "7 days"). `n_buffered` exposes the live
-    * buffer size so the bounding is observable (spec-pinned).
+    * events newer than the watermark, the count map at most |types|²
+    * entries — and an event-time TIMEOUT finalizes idle users too
+    * (the key wakes when the watermark passes its newest buffered
+    * event and folds the whole buffer down to the compact counts +
+    * bridge; without it an idle user would pin a full horizon's
+    * buffer in the state store forever). The counts map itself
+    * persists per user deliberately — it is the user's cumulative
+    * transition signature, the same per-key persistence as any
+    * Update-mode running aggregate. `maxLateness` trades memory for
+    * reordering tolerance; the default tolerates unbounded disorder
+    * (spec-friendly), production passes its real SLA (e.g. "7 days").
+    * `n_buffered` exposes the live buffer size so the bounding is
+    * observable (spec-pinned).
     *
     * After any batch split whose disorder respects `maxLateness`, the
     * final snapshot aggregates to batch q79's (cur, nxt, n) table
@@ -442,30 +458,54 @@ object EventStream {
   def transitionsStream(events: Dataset[Event],
       maxLateness: String = "36500 days"): Dataset[TransitionOut] = {
     import events.sparkSession.implicits._
-    def micros(ts: Timestamp): Long =
-      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    // linear merge of two (t, id)-ascending lists — the buffer is a
+    // suffix of the previous batch's sorted merge, so re-sorting it
+    // every batch would pay O(B log B) per batch on an already-sorted B
+    def mergeSorted(a: List[(Long, Long, String)],
+        b: List[(Long, Long, String)]): List[(Long, Long, String)] = {
+      val out = List.newBuilder[(Long, Long, String)]
+      var (x, y) = (a, b)
+      while (x.nonEmpty && y.nonEmpty) {
+        val xh = x.head; val yh = y.head
+        if (xh._1 < yh._1 || (xh._1 == yh._1 && xh._2 <= yh._2)) {
+          out += xh; x = x.tail
+        } else { out += yh; y = y.tail }
+      }
+      out ++= x; out ++= y
+      out.result()
+    }
     events.withWatermark("ts", maxLateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, TransitionOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[TransState]) =>
           val (bridge0, counts0, buf0, emitted0, total0) =
             state.getOption.getOrElse((None, Map.empty[(String, String), Long],
               Nil, Set.empty[(String, String)], 0L))
-          val horizon = state.getCurrentWatermarkMs() * 1000L
+          // batch plans strip the no-op withWatermark, and there
+          // getCurrentWatermarkMs throws — treat batch (and the
+          // first-streaming-batch wm=0 sentinel) as "no horizon yet",
+          // so batch runs compute the whole chain live in one pass and
+          // pre-epoch (negative-µs) events are never dropped
+          val (watermarked, wmMs) =
+            try (true, state.getCurrentWatermarkMs())
+            catch { case _: UnsupportedOperationException => (false, 0L) }
+          val horizon = if (wmMs == 0L) Long.MinValue else wmMs * 1000L
           // beyond-SLA arrivals are dropped, NOT merged: their would-be
           // neighbors are already permanently folded, so inserting one
-          // would record a spurious reversed-time transition — and
-          // Spark itself does not filter late rows for this operator
-          // (NoTimeout skips applyRemovingRowsOlderThanWatermark)
+          // would record a spurious reversed-time transition (Spark's
+          // own late filter fires under EventTimeTimeout, but the
+          // explicit drop also covers the batch path and documents the
+          // contract)
           val incoming = rows
-            .map(e => (micros(e.ts), e.event_id, e.event_type))
+            .map(e => (tsMicros(e.ts), e.event_id, e.event_type))
             .filter(_._1 >= horizon).toList
-          val merged = (incoming ++ buf0)
             .sortBy { case (t, id, _) => (t, id) }
+          val merged = mergeSorted(incoming, buf0)
           // buffered events older than the watermark can never again
           // gain an earlier neighbor — fold their pairs permanently
-          val (fin, keep) = merged.partition(_._1 < horizon)
+          // (merged is sorted, so the finalized region is a prefix)
+          val (fin, keep) = merged.span(_._1 < horizon)
           val finChain = bridge0.toList ++ fin
           val counts = finChain.zip(finChain.drop(1))
             .foldLeft(counts0) { case (m, (a, b)) =>
@@ -483,10 +523,24 @@ object EventStream {
               k -> (counts.getOrElse(k, 0L) + live.getOrElse(k, 0L))
             }
           val total = total0 + incoming.length
+          // emitted = keys alive NOW: a key split away to zero gets its
+          // one tombstone this batch (it is still in emitted0) and then
+          // retires — storing it forever would re-emit a dead n=0 row
+          // for the user's every future batch
           state.update((bridge, counts, keep,
-            emitted0 ++ snapshot.filter(_._2 > 0L).map(_._1), total))
+            snapshot.filter(_._2 > 0L).map(_._1).toSet, total))
+          // idle-user finalization: wake this key when the watermark
+          // passes its newest buffered event, so the buffer folds down
+          // to the compact (counts, bridge) even if the user never
+          // sends another row — without this, an idle user pins an
+          // entire horizon's buffer in the state store forever. (The
+          // timestamp is strictly above the current watermark because
+          // every kept event is ≥ horizon.)
+          if (watermarked && keep.nonEmpty)
+            state.setTimeoutTimestamp(Math.floorDiv(keep.last._1, 1000L) + 1L)
+          val nBuffered = keep.length
           snapshot.iterator.map { case ((c, x), n) =>
-            TransitionOut(userId, c, x, n, total, keep.length)
+            TransitionOut(userId, c, x, n, total, nBuffered)
           }
       }
   }
@@ -495,8 +549,13 @@ object EventStream {
     ewma16: Double, burst: Option[Double])
 
   /** (top-16 recency buffer desc by (ts, event_id), all-time count,
-    * all-time exact cents sum) */
-  private type BurstState = (List[(Long, Long, Long)], Long, Long)
+    * all-time exact cents sum, state-format version). The version field
+    * exists to BUMP the state schema: the buffer's sort key changed
+    * from ms to µs, and a checkpoint written by the ms code would
+    * silently mis-order the recency buffer (~1000× stale keys) if it
+    * still deserialized — the extra column makes Spark's state-schema
+    * compatibility check reject such a restart loudly instead. */
+  private type BurstState = (List[(Long, Long, Long)], Long, Long, Long)
 
   /** Streaming twin of batch q77 ([[graft.ops.Features.q77EwmaBurst]]):
     * continuous fraud-onset burst scoring. State per user = the 16 most
@@ -517,21 +576,20 @@ object EventStream {
       .flatMapGroupsWithState[BurstState, BurstOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[BurstState]) =>
-          val (buf0, n0, sum0) = state.getOption.getOrElse((Nil, 0L, 0L))
-          // MICROsecond sort key: batch q77 orders by the full
-          // TimestampType ts (µs precision), so two events inside the
-          // same millisecond must still order by true ts here, not fall
-          // back to event_id — getTime alone truncates to ms and would
-          // break the spec-pinned bit-identity on µs-grained data
-          def micros(ts: Timestamp): Long =
-            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
-          val incoming = rows.map(e => (micros(e.ts), e.event_id, cents(e.value))).toList
+          val (buf0, n0, sum0, _) = state.getOption.getOrElse((Nil, 0L, 0L, 2L))
+          // MICROsecond sort key ([[tsMicros]]): batch q77 orders by
+          // the full TimestampType ts (µs precision), so two events
+          // inside the same millisecond must still order by true ts
+          // here, not fall back to event_id — getTime alone truncates
+          // to ms and would break the spec-pinned bit-identity on
+          // µs-grained data
+          val incoming = rows.map(e => (tsMicros(e.ts), e.event_id, cents(e.value))).toList
           // recency buffer: merge, newest-first by (ts, event_id), cap 16
           val buf = (incoming ++ buf0)
             .sortBy { case (t, id, _) => (-t, -id) }.take(16)
           val n = n0 + incoming.length
           val sumC = sum0 + incoming.map(_._3).sum
-          state.update((buf, n, sumC))
+          state.update((buf, n, sumC, 2L))
           val terms = buf.zipWithIndex.map { case ((_, _, c), i) =>
             (c * (1L << (15 - i)), 1L << (15 - i))
           }

@@ -708,10 +708,16 @@ class StreamingSpec extends SparkSpec {
       val mx = rs.map(_.getAs[Long]("n_total")).max
       rs.filter(_.getAs[Long]("n_total") == mx)
     }.toSeq
+    // a batch with no ACCEPTED rows for a user (all-late, or a timeout
+    // wake-up) re-emits an identical snapshot at the same n_total —
+    // dedupe the tuples so such repeats don't double-count pairs
     val agg = latest
       .filter(_.getAs[Long]("n") > 0)
-      .groupBy(r => (r.getAs[String]("cur"), r.getAs[String]("nxt")))
-      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n")).sum }
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("cur"),
+        r.getAs[String]("nxt"), r.getAs[Long]("n")))
+      .distinct
+      .groupBy(t => (t._2, t._3))
+      .map { case (k, rs) => k -> rs.map(_._4).sum }
     (agg, latest.toArray)
   }
 
@@ -781,6 +787,28 @@ class StreamingSpec extends SparkSpec {
       s"beyond-SLA event must be dropped, got $agg")
     // the dropped row also never counts toward the user's event total
     assert(latest.forall(_.getAs[Long]("n_total") == 3L), latest.mkString(","))
+  }
+
+  test("transitionsStream: an idle user's buffer finalizes via event-time timeout") {
+    // user 1 bursts then goes silent; user 2's far-future events push
+    // the watermark past user 1's buffer. The event-time timeout must
+    // wake user 1 WITHOUT new data and fold its buffer down (snapshot
+    // with n_buffered = 0) — otherwise an idle user pins a horizon's
+    // worth of events in the state store forever
+    val t0 = 1700000000000L
+    def ev(id: Long, userId: Long, hours: Double, tp: String) =
+      Event(id, new Timestamp(t0 + (hours * 3600000L).toLong), userId, tp, 0.0)
+    val b1 = Seq(ev(1, 1L, 0.0, "a"), ev(2, 1L, 1.0, "b"))
+    val b2 = Seq(ev(3, 2L, 100.0, "x")) // watermark → h99 after this batch
+    val b3 = Seq(ev(4, 2L, 101.0, "y")) // next batch: user 1's timeout fires
+    val (agg, latest) = runTransitions(Seq(b1, b2, b3), "1 hours", "trans_idle")
+    assert(agg == Map(("a", "b") -> 1L, ("x", "y") -> 1L), agg.toString)
+    // the timeout snapshot: user 1 at its final n_total with ZERO
+    // buffered events — the buffer really folded while the user was idle
+    assert(latest.exists(r => r.getAs[Long]("user_id") == 1L &&
+      r.getAs[Long]("n_total") == 2L && r.getAs[Int]("n_buffered") == 0),
+      latest.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_total"),
+        r.getAs[Int]("n_buffered"))).mkString(","))
   }
 
   test("dsirScoreStream: streamed DSIR scores are bit-identical to batch q71 per doc") {
