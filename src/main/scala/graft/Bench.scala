@@ -30,6 +30,17 @@ object Bench {
       case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
       case None => SparkEntry.queries
     }
+    // qNN prefixes must be unique across the whole registry: a silent
+    // full-name fallback on collision would quietly re-grow the JSON
+    // past the driver's 2000-char stdout tail (and a bare 'qNN' key
+    // next to 'qNN_x' would emit duplicate JSON keys) — fail loudly
+    // BEFORE the warmup + timed passes, not after minutes of bench work
+    locally {
+      val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+      val dups = prefixes.groupBy(identity).filter(_._2.length > 1).keys
+      require(dups.isEmpty,
+        s"duplicate qNN prefixes in SparkEntry.queries: ${dups.toSeq.sorted.mkString(", ")}")
+    }
     // Untimed warmup at the smallest SF: JIT + codegen + MLlib/class
     // loading are one-time JVM costs, not per-query throughput. Steady
     // state is what a long-running cluster job sees.
@@ -98,17 +109,7 @@ object Bench {
     // 79 queries (2029 chars measured); prefixes hold ~1200 chars with
     // headroom past 120 queries, and map 1:1 to SparkEntry.queries keys.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // qNN prefixes must be unique across the whole registry: a silent
-    // full-name fallback on collision would quietly re-grow the JSON
-    // past the driver's 2000-char stdout tail (and a bare 'qNN' key
-    // next to 'qNN_x' would emit duplicate JSON keys) — fail loudly at
-    // startup instead, like the SPARK_GRAFT_ONLY typo check
-    locally {
-      val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
-      val dups = prefixes.groupBy(identity).filter(_._2.length > 1).keys
-      require(dups.isEmpty,
-        s"duplicate qNN prefixes in SparkEntry.queries: ${dups.toSeq.sorted.mkString(", ")}")
-    }
+    // (prefix uniqueness was validated before the warmup)
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")

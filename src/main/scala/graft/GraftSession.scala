@@ -51,11 +51,19 @@ object GraftSession {
     // pairs, applied last so a sweep can flip AQE/partition settings
     // without a code edit, e.g.
     // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false;spark.sql.shuffle.partitions=128"
+    // malformed entries fail LOUDLY and key/value are trimmed: a
+    // silently-dropped pair (missing '=') or a space-suffixed key would
+    // make a tuning sweep measure the DEFAULT config while reporting
+    // the override — the same silent-misconfiguration class the
+    // SPARK_GRAFT_ONLY typo check guards against
     val tuned = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
       .foldLeft(base) { (b, kv) =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_CONF entry without '=': '$kv' (k=v;k=v expected)")
         val Array(k, v) = kv.split("=", 2)
-        b.config(k, v)
+        require(k.trim.nonEmpty, s"SPARK_GRAFT_CONF entry with empty key: '$kv'")
+        b.config(k.trim, v.trim)
       }
     tuned.getOrCreate()
   }

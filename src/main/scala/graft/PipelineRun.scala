@@ -48,7 +48,7 @@ object PipelineRun {
     println(s"""{"metric":"fraud_pipeline","sf":"$sfDir","sec":$secs,""" +
       s""""extended":$extended,"slices":$slices,"slices_attn":$slicesAttn,""" +
       s""""residual":$residual,"lstm":$lstm,""" +
-      s""""n_users":${r.features.count()},"n_scored":${r.scored.count()},$fields}""")
+      s""""n_users":${r.nUsers},"n_scored":${r.scored.count()},$fields}""")
     spark.stop()
   }
 

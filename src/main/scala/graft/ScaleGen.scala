@@ -121,16 +121,23 @@ object ScaleGen {
       require(kStats.getLong(1) == kStats.getLong(2),
         s"${kStats.getLong(1) - kStats.getLong(2)} events rows lack a numeric props.k — " +
           "the {\"k\": N} props rewrite would null them; extend the rewrite first")
-      val maxKey = (tableKeys.flatMap { case (df, cols) =>
-        cols.map(c => Option(df.agg(max(col(c))).head().get(0))
-          .map(_.toString.toLong).getOrElse(0L))
-      } :+ kStats.getLong(0)).max
+      // ONE multi-max aggregate per table (not one Spark job per key
+      // column), and the results thread into replicate's collision
+      // guard instead of a second identical scan there — the guard
+      // stays loud per column at about a third of the scan cost
+      val maxByCol: Map[String, Long] = tableKeys.flatMap { case (df, cols) =>
+        val row = df.agg(max(col(cols.head)),
+          cols.tail.map(c => max(col(c))): _*).head()
+        cols.zipWithIndex.map { case (c, i) =>
+          c -> Option(row.get(i)).map(_.toString.toLong).getOrElse(0L) }
+      }.toMap
+      val maxKey = (maxByCol.values.toSeq :+ kStats.getLong(0)).max
       var stride = minStride
       while (stride <= maxKey) stride *= 10
       require(stride > 0 && stride.toDouble * k < 9.2e18,
         s"stride $stride × $k replicas overflows int64")
       def repl(df: DataFrame, keyCols: String*): DataFrame =
-        replicate(df, k, stride, keyCols)
+        replicate(df, k, stride, keyCols, keyCols.map(maxByCol))
 
       copy(spark, srcDir, outDir, "region")
       copy(spark, srcDir, outDir, "nation")
@@ -204,10 +211,10 @@ object ScaleGen {
     * silently collide replica r's shifted keys with replica 0's native
     * ones, corrupting every join in the benchmark. */
   private def replicate(df: DataFrame, k: Int, stride: Long,
-      keyCols: Seq[String]): DataFrame = {
-    keyCols.foreach { c =>
-      val mx = Option(df.agg(max(col(c))).head().get(0))
-        .map(_.toString.toLong).getOrElse(0L)
+      keyCols: Seq[String], keyMaxes: Seq[Long]): DataFrame = {
+    // maxes come from run()'s single per-table aggregate — re-scanning
+    // here would double the pre-write scan count for nothing
+    keyCols.zip(keyMaxes).foreach { case (c, mx) =>
       require(mx < stride,
         s"key column $c max $mx >= replica stride $stride — keys would collide")
     }

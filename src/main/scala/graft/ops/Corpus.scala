@@ -20,6 +20,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Corpus {
 
+  /** The reference/benchmark document slice (`doc_id % 7 == 0`) shared
+    * by q68's LM training fold, q71's DSIR target, q82's source prior
+    * and the CurationPipeline gates — ONE definition so the Scala
+    * sites can never drift apart (the oracle SQL spells the same
+    * predicate textually; the oracle gate pins the two in sync). */
+  private[graft] val refSlice: Column = col("doc_id") % 7 === 0
+
   /** q56: top-5 salient terms per document by tf-idf. The idf factor is
     * the log-free ratio N/df — `ln` is NOT identically rounded across
     * libm implementations, so the canonical log spelling would flake
@@ -307,7 +314,7 @@ object Corpus {
     * projection-only explode into the per-doc aggregation — nothing
     * corpus-sized is cached or collected, same shape as q60. */
   def q68LmQuality(spark: SparkSession, dir: String): DataFrame =
-    lmQuality(Tables.documents(spark, dir), col("doc_id") % 7 === 0)
+    lmQuality(Tables.documents(spark, dir), refSlice)
       .orderBy(col("doc_id"))
 
   /** The scoring core behind q68 over ANY documents frame — `isRef`
@@ -436,7 +443,7 @@ object Corpus {
     * rows ABOVE a materialized shuffle, so AQE's exchange reuse feeds
     * the range sampler — no q70-style double scan. */
   def q71DsirWeight(spark: SparkSession, dir: String): DataFrame =
-    dsirWeight(Tables.documents(spark, dir), col("doc_id") % 7 === 0)
+    dsirWeight(Tables.documents(spark, dir), refSlice)
       .orderBy(col("doc_id"))
 
   /** Driver-side handoff of the q71 DSIR model for the streaming twin
@@ -449,7 +456,7 @@ object Corpus {
     * lmVocab / IVF centroid shipping pattern). */
   def dsirTable(spark: SparkSession, dir: String): (Map[Long, Long], Long) = {
     val (_, lw, tot) = dsirModel(
-      Tables.documents(spark, dir), col("doc_id") % 7 === 0)
+      Tables.documents(spark, dir), refSlice)
     val m = lw.collect().map(r => r.getLong(0) ->
       r.getDecimal(1).movePointRight(6).longValueExact()).toMap
     val t = tot.collect().head
@@ -484,7 +491,7 @@ object Corpus {
     * combined count shuffle. Deterministic: ties break on the word. */
   def lmVocab(spark: SparkSession, dir: String,
       topK: Int = lmVocabTopK): LmVocab = {
-    val counts = Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
+    val counts = Tables.documents(spark, dir).filter(refSlice)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .cache() // head selection + the total read the same vocab-sized agg

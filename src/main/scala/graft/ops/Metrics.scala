@@ -123,8 +123,15 @@ object Metrics {
         sum(col("pos") * col("rk")).as("rsum"),
         sum(col("pos")).cast("double").as("np"),
         sum(col("cnt") - col("pos")).cast("double").as("nn"))
+      // AUC is undefined on a single-class sample (sklearn raises
+      // there); emit NULL instead of DIVIDE_BY_ZERO so a degenerate
+      // held-out fold (tiny SF, no positives) reports honestly rather
+      // than crashing the pipeline. Oracle data is two-class, so the
+      // guard never fires on the hash gate.
       .select(Exact.r(
-          (col("rsum") - col("np") * (col("np") + 1) / 2) / (col("np") * col("nn")),
+          when(col("np") > 0 && col("nn") > 0,
+            (col("rsum") - col("np") * (col("np") + 1) / 2) /
+              (col("np") * col("nn"))),
           6).as("auc"),
         col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"))
   }
@@ -153,7 +160,9 @@ object Metrics {
       .withColumn("term",
         (col("y") * col("cum_pos") * lit(1.0) / col("k")).cast("decimal(28,12)"))
     t.agg(sum(col("term")).cast("double").as("s"), sum(col("y")).as("np"))
-      .select(Exact.r(col("s") / col("np"), 6).as("avg_precision"),
+      // undefined with zero positives (same contract as the AUC guard)
+      .select(Exact.r(when(col("np") > 0, col("s") / col("np")), 6)
+          .as("avg_precision"),
         col("np").as("n_pos"))
   }
 

@@ -193,7 +193,13 @@ object Multimodal {
       val avail = math.min(dataLen, (payload.length - dataOff).toLong)
       val nSamples = avail / bytesPer
       if (nSamples <= 0) return None
-      val stride = math.max(1L, nSamples / 65536L)
+      // samples are channel-INTERLEAVED: a stride that is a multiple of
+      // the channel count would sample only channel 0 (a stereo file
+      // with signal on the right would read rms ≈ 0) — bump the stride
+      // off the channel period so the sweep cycles through channels
+      val stride0 = math.max(1L, nSamples / 65536L)
+      val stride =
+        if (channels > 1 && stride0 % channels == 0) stride0 + 1 else stride0
       var i = 0L; var n = 0L
       var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
       val hist = new Array[Long](8)
@@ -263,8 +269,13 @@ object Multimodal {
             usPerFrame = u32(off.toInt + 8); totalFrames = u32(off.toInt + 24)
             w = u32(off.toInt + 40); h = u32(off.toInt + 44)
             sawAvih = true
-          } else if ((id == "00dc" || id == "00db") && sz > 0 &&
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              (id.endsWith("dc") || id.endsWith("db")) && sz > 0 &&
               off + 8 + sz <= until) {
+            // any stream's compressed/uncompressed VIDEO chunks ("NNdc"
+            // / "NNdb") — pinning stream 00 would silently hash-fall-
+            // back on a valid MJPEG whose audio stream is listed first
+            // (audio chunks are "NNwb" and never match)
             frames += ((off.toInt + 8, sz.toInt))
           }
           // LONG arithmetic: a malformed size near 2^32 must not

@@ -73,7 +73,7 @@ object CurationPipeline {
     val gated = lmFloor match {
       case Some(f) =>
         val scores = ops.Corpus.lmQuality(
-            graft.Tables.documents(spark, dir), col("doc_id") % 7 === 0)
+            graft.Tables.documents(spark, dir), graft.ops.Corpus.refSlice)
           .select(col("doc_id"), col("avg_logp"))
         kept.join(scores, Seq("doc_id"))
           .filter(col("avg_logp") >= f).drop("avg_logp").cache()
@@ -91,7 +91,7 @@ object CurationPipeline {
     val dsGated = dsirFloor match {
       case Some(f) =>
         val w = ops.Corpus.dsirWeight(
-            Tables.documents(spark, dir), col("doc_id") % 7 === 0)
+            Tables.documents(spark, dir), ops.Corpus.refSlice)
           .select(col("doc_id"), col("log_w"))
         gated.join(w, Seq("doc_id"), "left")
           .filter(col("log_w").isNull || col("log_w") > f)
@@ -195,6 +195,7 @@ object CurationPipeline {
       .withColumn("n_lm_dropped", col("n_kept") - col("n_lm_kept"))
       .withColumn("n_dsir_dropped", col("n_lm_kept") - col("n_ds_kept"))
       .withColumn("n_dup_dropped", col("n_ds_kept") - col("n_dup_kept"))
+      .withColumn("n_decon_dropped", col("n_dup_kept") - col("n_decon_kept"))
       .withColumn("n_retr_dropped", col("n_decon_kept") - col("n_retr_kept"))
       .withColumn("n_mix_dropped", col("n_retr_kept") - col("n_final"))
       .drop("n_lm_kept", "n_ds_kept", "n_dup_kept", "n_decon_kept",

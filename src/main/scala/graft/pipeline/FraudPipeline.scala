@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object FraudPipeline {
 
-  case class Result(features: DataFrame, scored: DataFrame, metrics: DataFrame)
+  /** `nUsers` is counted from the CACHED assembly during the run —
+    * callers report it instead of re-counting `features`, whose plan
+    * would re-execute the whole multi-tier feature DAG once the
+    * assembly cache is dropped. */
+  case class Result(features: DataFrame, scored: DataFrame,
+    metrics: DataFrame, nUsers: Long)
 
   /** `extendedFeatures = true` joins in the engine's beyond-parity
     * signals the reference never had — PageRank importance (q73),
@@ -93,6 +98,10 @@ object FraudPipeline {
         .join(burst, Seq("user_id"), "left")
         .na.fill(0.0, Seq("pr_scaled", "in_kcore", "kcore_deg", "burst"))
     }
+    // ONE q85 tensor sub-DAG shared by whichever tiers consume it (the
+    // slice pools and the q90 fold) — the engine's heaviest DAG must
+    // not build twice when --slices-attn and --lstm are both on
+    lazy val tensorCore = ops.Features.q85Core(spark, dir)
     val features = if (!sliceFeatures && !sliceAttention) extended else {
       // one per-(user, scale, slot) pool — bucket-mean (uniform
       // attention) or q87's temporal attention — then ONE pivot
@@ -103,10 +112,10 @@ object FraudPipeline {
           // the sort-free core: the pivot below re-aggregates, so the
           // operator's presentation orderBy would be a wasted
           // exchange+sort (the same reason the mean tier uses q85Core)
-          ops.Features.q87PoolFrom(ops.Features.q85Core(spark, dir))
+          ops.Features.q87PoolFrom(tensorCore)
             .drop("n_buckets", "att_max") // slot parity with the mean tier
         else {
-          val slices = ops.Features.q85Core(spark, dir)
+          val slices = tensorCore
           val slotCols = slices.columns
             .filterNot(Set("user_id", "scale", "bucket").contains)
           slices.groupBy(col("user_id"), col("scale"))
@@ -146,7 +155,7 @@ object FraudPipeline {
       // q90's per-scale final (h, c) → one pivot to 8 user-grain
       // columns; the fold core is sort-free (same reason as the q87
       // tier: presentation order would be a wasted exchange+sort)
-      val st = ops.Features.q90From(ops.Features.q85Core(spark, dir))
+      val st = ops.Features.q90From(tensorCore)
       val pivoted = st.groupBy(col("user_id"))
         .pivot("scale", Seq(1, 2, 3, 4))
         .agg(first(col("h_last")).as("h"), first(col("c_last")).as("c"))
@@ -192,6 +201,9 @@ object FraudPipeline {
         vector_to_array(col("probability")).getItem(1).as("score"))
       .cache()
     scored.count() // force: the feature assembly runs exactly once
+    // row count read off the CACHED assembly, before the cache drops —
+    // re-counting `features` later would re-execute every tier's DAG
+    val nUsers = assembled.count()
     assembled.unpersist()
 
     // 6. the reference's full test_model suite (new_utlis_1.py:35-50:
@@ -205,6 +217,6 @@ object FraudPipeline {
         .avgPrecisionFrom(scored.select(col("user_id"), col("y"), col("score")),
           "user_id")
         .select(col("avg_precision")))
-    Result(withLstm, scored, metrics)
+    Result(withLstm, scored, metrics, nUsers)
   }
 }
