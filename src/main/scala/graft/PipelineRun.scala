@@ -45,6 +45,8 @@ object PipelineRun {
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.schema.fieldNames
       .map(f => s""""$f":${m.getAs[Any](f)}""").mkString(",")
+    // n_users = LABELED user count (post customer-join assembly; see
+    // FraudPipeline.Result), not the raw feature-frame row count
     println(s"""{"metric":"fraud_pipeline","sf":"$sfDir","sec":$secs,""" +
       s""""extended":$extended,"slices":$slices,"slices_attn":$slicesAttn,""" +
       s""""residual":$residual,"lstm":$lstm,""" +

@@ -124,7 +124,18 @@ object ScaleGen {
       // ONE multi-max aggregate per table (not one Spark job per key
       // column), and the results thread into replicate's collision
       // guard instead of a second identical scan there — the guard
-      // stays loud per column at about a third of the scan cost
+      // stays loud per column at about a third of the scan cost.
+      // maxByCol is keyed by BARE column name, so a future table that
+      // reused a key name would make .toMap silently keep the last
+      // entry and hand replicate the wrong table's max — fail loudly
+      // here instead, like every other guard in this file
+      locally {
+        val names = tableKeys.flatMap(_._2)
+        val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+        require(dups.isEmpty,
+          s"key column name(s) ${dups.mkString(", ")} appear in more than one " +
+            "table — key maxByCol by (table, column) before adding such a table")
+      }
       val maxByCol: Map[String, Long] = tableKeys.flatMap { case (df, cols) =>
         val row = df.agg(max(col(cols.head)),
           cols.tail.map(c => max(col(c))): _*).head()

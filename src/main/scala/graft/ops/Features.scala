@@ -1024,6 +1024,113 @@ object Features {
         expr(q90DecodeC("st")).as("c_last"))
   }
 
+  // ---------------------------------------------------------------------
+  // q90 v2 (hidden_size = 2): the reference's MultiLstm cell is a
+  // VECTOR cell (layers.py:17-24 — hidden_size state columns with a
+  // full recurrent matrix), and the scalar fold above cannot exhibit
+  // cross-unit coupling. State here = an ARRAY of TWO packed doubles
+  // (unit i packs its (h_i, c_i) on the proven 6dp grid), and every
+  // gate of every unit mixes x, h1 AND h2 with dyadic weights — a
+  // genuine 2×2 recurrent matrix, not two independent scalar folds.
+  // Spark's aggregate() accepts any zero type, so the accumulator is
+  // array(packed, packed) over scalar inputs; DuckDB's list_reduce
+  // demands acc type == element type, so the oracle wraps each input
+  // as [x, 0] and seeds the zero pair at the list head. Re-verified
+  // this round: a LIST-typed list_reduce lambda is SNAPSHOT-based
+  // ([acc[1]+e[1], acc[1]*100] over acc=[1,10] yields 100, not 300) —
+  // the in-place-field trap is a STRUCT-lambda artifact and does not
+  // reach list accumulators. Subscripting differs by engine (Spark []
+  // is 0-based, DuckDB 1-based), so the cell text comes from ONE
+  // generator parameterized by the subscript renderer — the same
+  // single-definition discipline as Exact.sql.
+  // ---------------------------------------------------------------------
+
+  /** Per-unit gate weights (wx, w_h1, w_h2, bias), all dyadic (exact
+    * doubles). Cross weights are nonzero in BOTH directions, so the
+    * units are coupled both ways. */
+  private val q90Units: Seq[Map[String, (Double, Double, Double, Double)]] = Seq(
+    Map("i" -> (0.5, 0.25, 0.125, 0.0625),
+        "f" -> (0.25, 0.25, -0.125, 0.5),
+        "g" -> (0.5, 0.25, 0.125, 0.0),
+        "o" -> (0.5, 0.25, -0.125, -0.0625)),
+    Map("i" -> (0.25, -0.125, 0.25, 0.03125),
+        "f" -> (0.125, 0.125, 0.25, 0.5),
+        "g" -> (0.25, 0.25, -0.25, 0.0),
+        "o" -> (0.5, -0.25, 0.25, 0.0625)))
+
+  /** One unit's step of the 2-unit cell: text over the array
+    * accumulator `acc` (via the engine's subscript renderer `idx`) and
+    * the input scalar `x`. Same 6dp/clip discipline as the scalar
+    * cell; h' references c' textually, as there. */
+  private def q90Cell2Expr(acc: String, x: String, unit: Int,
+      idx: (String, Int) => String): String = {
+    def w(d: Double): String = new java.math.BigDecimal(d).toPlainString
+    def r6(s: String) = Exact.sql.r(s, 6)
+    def sig(z: String) = r6(s"1.0 / (1.0 + exp(-($z)))")
+    def th(z: String) = r6(s"1.0 - 2.0 / (exp(2.0 * ($z)) + 1.0)")
+    val h1 = s"(${q90DecodeH(idx(acc, 0))})"
+    val h2 = s"(${q90DecodeH(idx(acc, 1))})"
+    val cp = s"(${q90DecodeC(idx(acc, unit))})"
+    def z(g: String): String = {
+      val (wx, wh1, wh2, b) = q90Units(unit)(g)
+      s"${w(wx)} * $x + ${w(wh1)} * $h1 + ${w(wh2)} * $h2 + ${w(b)}"
+    }
+    val cRaw = s"${sig(z("f"))} * $cp + ${sig(z("i"))} * ${th(z("g"))}"
+    val c6 = s"floor(greatest(least($cRaw, 4.0), -4.0) * 1e6 + 0.5)"
+    val h6 = s"floor((${sig(z("o"))} * ${th(s"(($c6) / 1e6)")}) * 1e6 + 0.5)"
+    s"(($h6) + $q90HOff) * $q90Pack + (($c6) + $q90COff)"
+  }
+
+  /** q90 v2: final 2-unit LSTM state per (user, scale). */
+  def q90LstmState2(spark: SparkSession, dir: String): DataFrame =
+    q90From2(q85Core(spark, dir)).orderBy(col("user_id"), col("scale"))
+
+  private[graft] def q90From2(t: DataFrame): DataFrame = {
+    val pooled =
+      q87FeatureAttn.map { case (c, w) => lit(w) * q87Slot(c) }.reduce(_ + _)
+    def sIdx(a: String, i: Int) = s"$a[$i]" // Spark subscripts: 0-based
+    val merge = (0 to 1).map(u => q90Cell2Expr("acc", "e", u, sIdx))
+      .mkString(",\n           ")
+    t.withColumn("x", Exact.r(pooled, 6))
+      .groupBy(col("user_id"), col("scale"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(struct(col("bucket"), col("x")))).as("bx"))
+      .withColumn("st", expr(
+        s"""aggregate(transform(bx, s -> s.x), array($q90Zero, $q90Zero),
+           |  (acc, e) -> array($merge))""".stripMargin))
+      .select(col("user_id"), col("scale"), col("n_buckets"),
+        expr(q90DecodeH("st[0]")).as("h1_last"),
+        expr(q90DecodeC("st[0]")).as("c1_last"),
+        expr(q90DecodeH("st[1]")).as("h2_last"),
+        expr(q90DecodeC("st[1]")).as("c2_last"))
+  }
+
+  /** The q90 v2 oracle: same CTE chain as the scalar oracle, with the
+    * inputs wrapped to [x, 0] pairs so list_reduce's acc/element types
+    * match, and the cell text rendered with 1-based subscripts. */
+  private def q90OracleSql2: String = {
+    def dIdx(a: String, i: Int) = s"$a[${i + 1}]" // DuckDB subscripts: 1-based
+    val merge = (0 to 1).map(u => q90Cell2Expr("acc", "e[1]", u, dIdx))
+      .mkString(",\n   ")
+    s"""WITH t AS ($q85OracleBody),
+       | b AS (SELECT user_id, scale, bucket,
+       |   ${Exact.sql.r(q87PooledSql, 6)} AS x FROM t),
+       | s AS (SELECT user_id, scale, count(*) AS n_buckets,
+       |   [[$q90Zero, $q90Zero]] ||
+       |   list_transform(
+       |     list_transform(list_sort(list(struct_pack(b := bucket, x := x))),
+       |       v -> v.x),
+       |     x -> [x, CAST(0 AS DOUBLE)]) AS xs
+       |  FROM b GROUP BY 1, 2),
+       | f AS (SELECT user_id, scale, n_buckets,
+       |   list_reduce(xs, (acc, e) -> [$merge]) AS st
+       |  FROM s)
+       |SELECT user_id, scale, n_buckets,
+       | ${q90DecodeH("st[1]")} AS h1_last, ${q90DecodeC("st[1]")} AS c1_last,
+       | ${q90DecodeH("st[2]")} AS h2_last, ${q90DecodeC("st[2]")} AS c2_last
+       |FROM f ORDER BY user_id, scale""".stripMargin
+  }
+
   /** The q90 oracle: q85's body as a CTE, the same projection x, then
     * the IDENTICAL packed-accumulator cell text folded by list_reduce.
     * list_reduce seeds its accumulator from the FIRST list element (no
@@ -1136,6 +1243,7 @@ object Features {
     "q85_slice_feature_tensor" -> q85OracleSql,
     "q87_temporal_attention_pool" -> q87OracleSql,
     "q90_lstm_state" -> q90OracleSql,
+    "q90_lstm_state_h2" -> q90OracleSql2,
     "q83_activity_gini" ->
       """WITH pu AS (SELECT event_type AS grp, user_id, count(*) AS x
         |  FROM events GROUP BY 1, 2
@@ -1286,6 +1394,7 @@ object Features {
     "q83_activity_gini" -> (q83ActivityGini _),
     "q85_slice_feature_tensor" -> (q85SliceFeatureTensor _),
     "q87_temporal_attention_pool" -> (q87TemporalAttentionPool _),
-    "q90_lstm_state" -> (q90LstmState _)
+    "q90_lstm_state" -> (q90LstmState _),
+    "q90_lstm_state_h2" -> (q90LstmState2 _)
   )
 }

@@ -293,6 +293,22 @@ object Graph {
   private val q46ProbExprSql =
     "floor((CAST(sc AS DOUBLE) / CAST((SELECT sum(sc) FROM sc) AS DOUBLE)) * 1e8 + 0.5) / 1e8"
 
+  /** [[q89NeighborSampleEpoch]]'s oracle for one epoch: q46's shared
+    * probability CTE + the epoch-salted md5 race. The salt string must
+    * match the Spark side byte-for-byte (`|#<epoch>`). */
+  private def q89OracleSql(epoch: Int): String =
+    s"""WITH $q46ScSql,
+      | p AS (SELECT src, dst, edge_class, $q46ProbExprSql AS prob
+      |  FROM sc),
+      | r AS (SELECT src, dst, edge_class, prob,
+      |   row_number() OVER (PARTITION BY src ORDER BY
+      |     prob / (${Exact.sql.portableHash(
+        s"CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR) || '|#$epoch'", 15)} + 1) DESC,
+      |     dst) AS rk
+      |  FROM p)
+      |SELECT src, dst, edge_class, prob, rk FROM r
+      |WHERE rk <= 10 ORDER BY src, rk""".stripMargin
+
   /** The q21 LSN edge list as SQL CTEs (`e0`, `e`, `lsn`) — shared with
     * the q47 connected-components oracle, which runs CC over it. */
   private[graft] def lsnSql: String =
@@ -696,10 +712,21 @@ object Graph {
     * assembles anywhere; the shuffle carries ≤ k rows per (partition,
     * node). This is q05's shape keyed by the graph, exactly how an
     * epoch-sampler runs on a cluster: one bounded pass, no per-node
-    * driver loop like the reference's Python sampler. */
-  def q89NeighborSample(spark: SparkSession, dir: String): DataFrame = {
+    * driver loop like the reference's Python sampler.
+    *
+    * `epoch` salts the race key (`src|dst|#epoch`), so each epoch draws
+    * a DIFFERENT neighbor subset under the same probabilities — the
+    * reference resamples per training epoch (new_model_*.py forward) —
+    * while every epoch individually stays deterministic and
+    * hash-oracleable (epochs 0 and 1 are both driver-oracled). */
+  def q89NeighborSample(spark: SparkSession, dir: String): DataFrame =
+    q89NeighborSampleEpoch(spark, dir, epoch = 0)
+
+  def q89NeighborSampleEpoch(spark: SparkSession, dir: String,
+      epoch: Int): DataFrame = {
     val u = Exact.portableHash(
-      concat(col("src").cast("string"), lit("|"), col("dst").cast("string")), 15)
+      concat(col("src").cast("string"), lit("|"), col("dst").cast("string"),
+        lit(s"|#$epoch")), 15)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("priority").desc, col("dst"))
     q46ProbsU(spark, dir)
@@ -1497,19 +1524,11 @@ object Graph {
         |FROM base LEFT JOIN z ON base.node = z.node ORDER BY 1""".stripMargin,
     // q89: q46's probability chain (shared CTE text — one definition,
     // so a scoring change can never diverge between the two gates) +
-    // the deterministic priority race — md5-hash race times,
-    // row_number per src, keep rk <= 10
-    "q89_neighbor_sample" ->
-      s"""WITH $q46ScSql,
-        | p AS (SELECT src, dst, edge_class, $q46ProbExprSql AS prob
-        |  FROM sc),
-        | r AS (SELECT src, dst, edge_class, prob,
-        |   row_number() OVER (PARTITION BY src ORDER BY
-        |     prob / (${Exact.sql.portableHash("CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)", 15)} + 1) DESC,
-        |     dst) AS rk
-        |  FROM p)
-        |SELECT src, dst, edge_class, prob, rk FROM r
-        |WHERE rk <= 10 ORDER BY src, rk""".stripMargin,
+    // the deterministic priority race — md5-hash race times salted by
+    // the epoch, row_number per src, keep rk <= 10. Epochs 0 and 1 are
+    // both oracled, proving the per-epoch resample IS a fresh draw
+    "q89_neighbor_sample" -> q89OracleSql(0),
+    "q89_neighbor_sample_e1" -> q89OracleSql(1),
     "q73_pagerank" -> pagerankOracleSql,
     "q80_weighted_pagerank" -> weightedPagerankOracleSql,
     "q75_kcore" -> kcoreOracleSql,
@@ -1533,6 +1552,8 @@ object Graph {
     "q67_gcn_propagate2" -> (q67GcnPropagate2 _),
     "q88_relation_residual_propagate" -> (q88RelationResidualPropagate _),
     "q89_neighbor_sample" -> (q89NeighborSample _),
+    "q89_neighbor_sample_e1" ->
+      ((s: SparkSession, d: String) => q89NeighborSampleEpoch(s, d, 1)),
     "q73_pagerank" -> (q73PageRank _),
     "q80_weighted_pagerank" -> (q80WeightedPagerank _),
     "q75_kcore" -> (q75KCore _),

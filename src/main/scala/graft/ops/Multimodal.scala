@@ -193,13 +193,15 @@ object Multimodal {
       val avail = math.min(dataLen, (payload.length - dataOff).toLong)
       val nSamples = avail / bytesPer
       if (nSamples <= 0) return None
-      // samples are channel-INTERLEAVED: a stride that is a multiple of
-      // the channel count would sample only channel 0 (a stereo file
-      // with signal on the right would read rms ≈ 0) — bump the stride
-      // off the channel period so the sweep cycles through channels
-      val stride0 = math.max(1L, nSamples / 65536L)
-      val stride =
-        if (channels > 1 && stride0 % channels == 0) stride0 + 1 else stride0
+      // samples are channel-INTERLEAVED: a stride sharing ANY factor
+      // with the channel count visits only nSamples/gcd of the channels
+      // (channels=4, stride=6 samples channels 0 and 2 forever; a
+      // stereo file with signal on the right would read rms ≈ 0) —
+      // advance the stride until it is coprime with the channel count
+      // so the sweep cycles through every channel
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      var stride = math.max(1L, nSamples / 65536L)
+      while (channels > 1 && gcd(stride, channels.toLong) != 1) stride += 1
       var i = 0L; var n = 0L
       var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
       val hist = new Array[Long](8)

@@ -28,7 +28,12 @@ object FraudPipeline {
   /** `nUsers` is counted from the CACHED assembly during the run —
     * callers report it instead of re-counting `features`, whose plan
     * would re-execute the whole multi-tier feature DAG once the
-    * assembly cache is dropped. */
+    * assembly cache is dropped. The assembly is the frame AFTER the
+    * inner label join with `customer`, so `nUsers` is the LABELED
+    * (trainable) user count: a feature user_id absent from the account
+    * table is not in it. On the driver testdata the two counts are
+    * equal (every events user is a customer); PipelineRun's `n_users`
+    * JSON field carries this labeled-count semantics. */
   case class Result(features: DataFrame, scored: DataFrame,
     metrics: DataFrame, nUsers: Long)
 

@@ -393,4 +393,32 @@ class GraphSpec extends SparkSpec {
     val posFrac = deltas.count(_ > 0).toDouble / deltas.length
     assert(posFrac > 0.5, s"only $posFrac of contested nodes prob-monotone")
   }
+
+  test("q89 epochs: intra-epoch determinism, fresh draw across epochs") {
+    val sf = "/root/testdata/sf0.01"
+    def draw(epoch: Int) =
+      ops.Graph.q89NeighborSampleEpoch(spark, sf, epoch).collect()
+    val e0 = draw(0); val e0b = draw(0); val e1 = draw(1)
+    // intra-epoch determinism: a rerun reproduces the draw exactly
+    // (the race is a hash, not an RNG)
+    assert(e0.map(_.toSeq).toSeq == e0b.map(_.toSeq).toSeq)
+    // epoch 0 IS the default q89 entry
+    assert(ops.Graph.q89NeighborSample(spark, sf).collect()
+      .map(_.toSeq).toSeq == e0.map(_.toSeq).toSeq)
+    // same per-node cardinality structure in every epoch: min(k, deg)
+    def counts(s: Array[org.apache.spark.sql.Row]) =
+      s.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(counts(e0) == counts(e1))
+    // the epoch salt changes WHICH neighbors win somewhere…
+    val s0 = e0.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = e1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s0 != s1, "epoch 1 drew the identical sample — the salt is inert")
+    // …but ONLY at contested nodes (train-degree > k); an uncontested
+    // node keeps its whole neighbor list under any salt
+    val trainDeg = ops.Graph.q46EdgeSamplingProb(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val changed = (s0.diff(s1) ++ s1.diff(s0)).map(_._1)
+    assert(changed.nonEmpty && changed.forall(trainDeg(_) > 10),
+      "an uncontested node's sample changed across epochs")
+  }
 }

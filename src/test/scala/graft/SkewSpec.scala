@@ -46,12 +46,26 @@ class SkewSpec extends SparkSpec {
 
   /** 60x hub-injected replica of the smoke SF — sized so the celebrity
     * supplier's degree (~411) exceeds adjCap=256 and the hot-sentence
-    * family's df (~1500) exceeds q31MaxDf=50; generated once, lazily. */
+    * family's df (~1500) exceeds q31MaxDf=50; generated once, lazily,
+    * and deleted in afterAll — without that, every suite run leaks a
+    * ~17 MB replica into /tmp forever. */
+  @volatile private var skewDirPath: Option[java.nio.file.Path] = None
   private lazy val skewDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("skew_gate")
-      .toAbsolutePath.toString
-    ScaleGen.run(spark, sf, dir, 60, skew = true)
-    dir
+    skewDirPath = Some(dir)
+    ScaleGen.run(spark, sf, dir.toAbsolutePath.toString, 60, skew = true)
+    dir.toAbsolutePath.toString
+  }
+
+  override def afterAll(): Unit = {
+    try skewDirPath.foreach { d =>
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val walk = Files.walk(d)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    } finally super.afterAll()
   }
 
   test("skew gate: hub exceeds adjCap and q21 returns the capped-subgraph result") {

@@ -66,10 +66,19 @@ object ShuffleBytes {
       spark.stop(); return
     }
 
+    // q85/q87 keep their direct cores (the --parts/--detail paths rely
+    // on them); any other name resolves through SparkEntry by query-key
+    // prefix, so the sf100 heavy sweep can probe every operator with
+    // the same wall + shuffle-write instrumentation
     def q: DataFrame = which match {
       case "q85" => Features.q85Core(spark, dir)
       case "q87" => Features.q87PoolFrom(Features.q85Core(spark, dir))
-      case other => sys.error(s"unknown query $other (q85|q87)")
+      case other =>
+        val key = graft.SparkEntry.queries.keys
+          .find(k => k == other || k.startsWith(other + "_"))
+          .getOrElse(sys.error(s"unknown query $other " +
+            s"(q85|q87|any SparkEntry key or its qNN prefix)"))
+        graft.SparkEntry.queries(key)(spark, dir)
     }
     val t0 = System.nanoTime()
     val df = q
