@@ -248,14 +248,13 @@ object Ann {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** q48: IVF (inverted-file) ANN — the scale path past LSH: a coarse
-    * k-means quantizer (MLlib, fixed seed) partitions the corpus into
-    * cells; a query probes only its `nprobe` nearest cells and scores
-    * exact cosine inside them. At 100 TB: centroids broadcast (kB),
-    * corpus is hash-partitioned by cell id, each probe touches
-    * nprobe/k of the data. Trainer RNG is engine-specific → rows-only
-    * driver check; TextDedupSpec gates recall vs q34 ground truth. */
-  def q48AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** q48 with LIVE training: the MLlib k-means quantizer (fixed seed)
+    * fit on the target corpus, served through the float probe path.
+    * Trainer RNG is engine-specific, so THIS path is gated by the
+    * TextDedupSpec recall spec, not a hash oracle; the registered
+    * q48_ann_ivf entry instead serves the FROZEN centroid table below,
+    * whose probe is pure deterministic arithmetic and hash-oracled. */
+  def q48AnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feats = Tables.embeddings(spark, dir).select(col("vec_id"),
@@ -265,6 +264,61 @@ object Ann {
       model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray.map(_.toFloat))
       }.toIndexedSeq)
+  }
+
+  /** q48: IVF (inverted-file) ANN — the scale path past LSH: a coarse
+    * k-means quantizer partitions the corpus into cells; a query probes
+    * only its `nprobe` nearest cells and scores exact cosine inside
+    * them. At 100 TB: centroids broadcast (kB), corpus is
+    * hash-partitioned by cell id, each probe touches nprobe/k of the
+    * data. The TRAINING is a recorded one-time run ([[Q48Centroids]],
+    * regenerable via IvfFreeze); with the centroids inlined as plan
+    * literals the assignment + nprobe search + in-cell ranking is
+    * deterministic arithmetic, so the whole SERVING path — the half a
+    * cluster actually executes per query — is hash-checked against
+    * DuckDB, leaving only the trainer RNG outside the oracle
+    * (exactly the reference's index-then-serve split). */
+  def q48AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfProbeExact(spark, dir, Q48Centroids.table)
+
+  /** The EXACT-arithmetic probe under the frozen centroid table:
+    * centroids and vectors quantize to the shared 1e9-scaled int64 grid
+    * (prep's DECIMAL(18,9) discipline), and nearest-cell ranking orders
+    * by ‖y‖² − 2·x·y — the ‖x‖² term is constant per vector, so the
+    * argmin matches squared euclidean distance while every compared key
+    * is exact integer math (carried as DECIMAL(38,0): 2·dot can reach
+    * ~2.4e18 and the subtraction must not wrap int64). Ties break
+    * toward the smallest cell id, in both engines. */
+  private[graft] def ivfProbeExact(spark: SparkSession, dir: String,
+      centroids: Seq[(Int, Array[Double])], nprobe: Int = 3): DataFrame = {
+    val cdf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+      .select(col("cell"), expr("transform(centroid, x -> " +
+        "CAST(CAST(x AS DECIMAL(18,9)) * 1000000000 AS BIGINT))").as("cv"))
+      .withColumn("yy", expr(
+        "aggregate(transform(cv, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+    val x = prep(Tables.embeddings(spark, dir), "vid", "xv", "xn")
+    val ranked = x.crossJoin(broadcast(cdf))
+      .withColumn("dk",
+        col("yy").cast("decimal(38,0)")
+          - dotDec("xv", "cv").cast("decimal(38,0)")
+          - dotDec("xv", "cv").cast("decimal(38,0)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("dk"), col("cell"))))
+    val cellof = ranked.filter(col("rn") === 1).select(col("vid"), col("cell"))
+    val probes = ranked.filter(col("vid") < 10 && col("rn") <= nprobe)
+      .select(col("vid").as("qid"), col("cell"))
+    val q = x.filter(col("vid") < 10)
+      .select(col("vid").as("qid"), col("xv").as("qe"), col("xn").as("qn"))
+    val c = x.filter(col("vid") >= 10)
+      .select(col("vid").as("cid"), col("xv").as("ce"), col("xn").as("cn"))
+      .join(cellof.toDF("cid", "cell"), "cid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    c.join(broadcast(probes.join(q, "qid")), Seq("cell"))
+      .select(col("qid"), col("cid"), col("cell"),
+        cosine("qe", "ce", "qn", "cn").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .orderBy(col("qid"), col("rk"))
   }
 
   /** The serving half of the IVF index, decoupled from training: probe
@@ -323,7 +377,51 @@ object Ann {
     (0 until lshPlanes).flatMap(p =>
       (1 to lshDims).map(d => s"($p,$d,${lshSign(p, d)})")).mkString(",")
 
+  /** The frozen centroid table as a VALUES list — rendered with the
+    * same 6dp format IvfFreeze emitted, so both engines parse the
+    * identical decimal text. */
+  private def q48CentroidsSql: String =
+    Q48Centroids.table.map { case (cell, c) =>
+      s"($cell, [" + c.map(v => f"$v%.6f").mkString(",") + "])"
+    }.mkString(",\n  ")
+
+  /** [[ivfProbeExact]] spelled for DuckDB: the same 1e9-scaled int64
+    * quantization, the same ‖y‖²−2·x·y DECIMAL(38,0) ranking key, the
+    * same (cell, cid) tie-breaks, the shared [[cosineSql]] core. */
+  private def q48OracleSql: String =
+    s"""WITH cent(cell, centroid) AS (VALUES
+      |  $q48CentroidsSql),
+      | cq AS (SELECT cell, generate_subscripts(centroid, 1) AS pos,
+      |   CAST(CAST(CAST(unnest(centroid) AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS y
+      |  FROM cent),
+      | yy AS (SELECT cell, sum(y * y) AS y2 FROM cq GROUP BY 1),
+      | xq AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |   CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS x
+      |  FROM embeddings),
+      | dt AS (SELECT vec_id, cell, sum(x * y) AS dot
+      |  FROM xq JOIN cq USING (pos) GROUP BY 1, 2),
+      | rankc AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+      |   ORDER BY CAST(y2 AS DECIMAL(38,0)) - CAST(dot AS DECIMAL(38,0))
+      |     - CAST(dot AS DECIMAL(38,0)), cell) AS rn
+      |  FROM dt JOIN yy USING (cell)),
+      | cellof AS (SELECT vec_id, cell FROM rankc WHERE rn = 1),
+      | probes AS (SELECT vec_id AS qid, cell FROM rankc
+      |  WHERE vec_id < 10 AND rn <= 3),
+      | qt AS (SELECT * FROM embeddings WHERE vec_id < 10),
+      | ct AS (SELECT e.* FROM embeddings e
+      |  JOIN cellof co ON e.vec_id = co.vec_id WHERE e.vec_id >= 10),
+      | ${cosineSql("qt", "ct")},
+      | cand AS (SELECT cr.qid, cr.cid, co.cell, cr.cos FROM cosres cr
+      |  JOIN cellof co ON cr.cid = co.vec_id
+      |  JOIN probes p ON p.qid = cr.qid AND p.cell = co.cell),
+      | rkd AS (SELECT qid, cid, cell, cos,
+      |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |  FROM cand)
+      |SELECT qid, cid, cell, cos, CAST(rk AS BIGINT) AS rk FROM rkd
+      |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q48_ann_ivf" -> q48OracleSql,
     "q35_ann_lsh" -> {
       s"""WITH qt AS (SELECT * FROM embeddings WHERE vec_id < 10),
         | ct AS (SELECT * FROM embeddings WHERE vec_id >= 10),

@@ -811,6 +811,51 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Int]("n_buffered"))).mkString(","))
   }
 
+  test("transitionsStream's counts+bridge+buffer state survives a stop/restart from checkpoint") {
+    // The transitions twin's state has THREE recoverable parts — the
+    // finalized bridge event, the cumulative pair counts, and the
+    // in-horizon buffer — and this exercises all of them through one
+    // checkpoint restart (same stop/deliver/restart pattern as the
+    // other six recovery proofs; a TransState schema mutation makes
+    // the restart throw on state decode and this case go red).
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L
+    def tev(id: Long, hours: Double, tp: String) =
+      Event(id, new Timestamp(t0 + (hours * 3600000L).toLong), 1L, tp, 0.0)
+    val mem = MemoryStream[Event]
+    val ckp = Files.createTempDirectory("graft_trans_ckp").toString
+    // Update-mode recovery needs a fault-tolerant sink (memory sink
+    // refuses): foreachBatch into a buffer, keyed so snapshots at the
+    // same n_total overwrite instead of duplicating
+    val got = new scala.collection.concurrent.TrieMap[(Long, String, String), Long]
+    def start() = EventStream.transitionsStream(mem.toDS(), "5 hours")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStream.TransitionOut], _: Long) =>
+        df.collect().foreach(o => got.put((o.n_total, o.cur, o.nxt), o.n))
+      }
+      .option("checkpointLocation", ckp)
+      .outputMode("update").start()
+    // batch 1: 'a' at h0 and 'd' at h10 → watermark h5 after the batch:
+    // 'a' finalizes into the BRIDGE, 'd' stays in the BUFFER
+    val q1 = start()
+    mem.addData(tev(1, 0.0, "a"), tev(2, 10.0, "d"))
+    q1.processAllAvailable(); q1.stop()
+    // arrives while the query is DOWN: h8 'b', inside the SLA — it must
+    // split the recovered a→(d) chain into a→b, b→d
+    mem.addData(tev(3, 8.0, "b"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val fin = got.collect { case ((3L, cur, nxt), n) => (cur, nxt) -> n }.toMap
+    // a lost bridge reads {b→d}; a lost buffer reads {a→b}; a lost
+    // total never reaches n_total=3 at all. The a→d → 0 row is the
+    // split pair's TOMBSTONE: emitting it requires the recovered
+    // emitted-keys set (the fourth state component) to still know a→d
+    // was ever published
+    assert(fin == Map(("a", "b") -> 1L, ("b", "d") -> 1L, ("a", "d") -> 0L),
+      s"restart did not recover the full chain: $got")
+  }
+
   test("dsirScoreStream: streamed DSIR scores are bit-identical to batch q71 per doc") {
     implicit val sq = spark.sqlContext
     val (lw, prior) = ops.Corpus.dsirTable(spark, sf)

@@ -101,18 +101,26 @@ class TextDedupSpec extends SparkSpec {
     val exact = ops.Ann.q34AnnCosineTopk(spark, sf)
       .select("qid", "cid").as[(Long, Long)].collect()
       .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
-    val ivf = ops.Ann.q48AnnIvf(spark, sf)
-      .select("qid", "cid").as[(Long, Long)].collect()
-      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
-    assert(ivf.nonEmpty)
-    val recalls = exact.keys.toSeq.map { q =>
-      val hit = ivf.getOrElse(q, Set.empty[Long]) & exact(q)
-      hit.size.toDouble / exact(q).size
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val ivf = df.select("qid", "cid").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      assert(ivf.nonEmpty)
+      val recalls = exact.keys.toSeq.map { q =>
+        val hit = ivf.getOrElse(q, Set.empty[Long]) & exact(q)
+        hit.size.toDouble / exact(q).size
+      }
+      recalls.sum / recalls.size
     }
-    val mean = recalls.sum / recalls.size
     // nprobe=3 of k=8 cells must recover most true neighbors on
-    // clustered synthetic embeddings
-    assert(mean >= 0.5, s"mean recall@10 $mean")
+    // clustered synthetic embeddings — both for the live MLlib trainer
+    // and for the frozen-centroid serving path the driver hash-oracles
+    // (frozen centroids come from sf0.01; this corpus is sf0.001, so
+    // the gate also proves the index tolerates serving fresher data
+    // than it was trained on)
+    val trained = meanRecall(ops.Ann.q48AnnIvfTrained(spark, sf))
+    assert(trained >= 0.5, s"trained mean recall@10 $trained")
+    val frozen = meanRecall(ops.Ann.q48AnnIvf(spark, sf))
+    assert(frozen >= 0.5, s"frozen-probe mean recall@10 $frozen")
   }
 
   test("q55 dedup clusters: exactly one keeper per cluster, keeper is min doc_id") {
