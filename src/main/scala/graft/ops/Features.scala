@@ -1243,7 +1243,7 @@ object Features {
     "q85_slice_feature_tensor" -> q85OracleSql,
     "q87_temporal_attention_pool" -> q87OracleSql,
     "q90_lstm_state" -> q90OracleSql,
-    "q90_lstm_state_h2" -> q90OracleSql2,
+    "q92_lstm_state_h2" -> q90OracleSql2,
     "q83_activity_gini" ->
       """WITH pu AS (SELECT event_type AS grp, user_id, count(*) AS x
         |  FROM events GROUP BY 1, 2
@@ -1395,6 +1395,6 @@ object Features {
     "q85_slice_feature_tensor" -> (q85SliceFeatureTensor _),
     "q87_temporal_attention_pool" -> (q87TemporalAttentionPool _),
     "q90_lstm_state" -> (q90LstmState _),
-    "q90_lstm_state_h2" -> (q90LstmState2 _)
+    "q92_lstm_state_h2" -> (q90LstmState2 _)
   )
 }

@@ -1528,7 +1528,7 @@ object Graph {
     // the epoch, row_number per src, keep rk <= 10. Epochs 0 and 1 are
     // both oracled, proving the per-epoch resample IS a fresh draw
     "q89_neighbor_sample" -> q89OracleSql(0),
-    "q89_neighbor_sample_e1" -> q89OracleSql(1),
+    "q91_neighbor_sample_e1" -> q89OracleSql(1),
     "q73_pagerank" -> pagerankOracleSql,
     "q80_weighted_pagerank" -> weightedPagerankOracleSql,
     "q75_kcore" -> kcoreOracleSql,
@@ -1552,7 +1552,7 @@ object Graph {
     "q67_gcn_propagate2" -> (q67GcnPropagate2 _),
     "q88_relation_residual_propagate" -> (q88RelationResidualPropagate _),
     "q89_neighbor_sample" -> (q89NeighborSample _),
-    "q89_neighbor_sample_e1" ->
+    "q91_neighbor_sample_e1" ->
       ((s: SparkSession, d: String) => q89NeighborSampleEpoch(s, d, 1)),
     "q73_pagerank" -> (q73PageRank _),
     "q80_weighted_pagerank" -> (q80WeightedPagerank _),
