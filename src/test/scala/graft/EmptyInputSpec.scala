@@ -38,7 +38,8 @@ class EmptyInputSpec extends SparkSpec {
     "q83_activity_gini", "q84_countmin", "q85_slice_feature_tensor",
     "q86_attention_propagate", "q87_temporal_attention_pool",
     "q88_relation_residual_propagate", "q89_neighbor_sample",
-    "q90_lstm_state")
+    "q90_lstm_state", "q91_neighbor_sample_e1", "q92_lstm_state_h2",
+    "q48_ann_ivf")
 
   reps.foreach { name =>
     test(s"$name runs on an all-empty scale factor") {

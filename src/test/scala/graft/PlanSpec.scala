@@ -119,8 +119,11 @@ class PlanSpec extends SparkSpec {
     assert(plan(ops.Relational.q05WindowRank(spark, sf)).contains("WindowGroupLimit"))
     assert(plan(ops.Ann.q34AnnCosineTopk(spark, sf)).contains("WindowGroupLimit"))
     // the neighbor sampler: a celebrity node's edge list must cut to k
-    // per partition BEFORE the exchange
+    // per partition BEFORE the exchange — in EVERY epoch (the salt is a
+    // literal inside the race priority; it must not break the rewrite)
     assert(plan(ops.Graph.q89NeighborSample(spark, sf)).contains("WindowGroupLimit"))
+    assert(plan(ops.Graph.q89NeighborSampleEpoch(spark, sf, 1))
+      .contains("WindowGroupLimit"))
   }
 
   test("q56: tf aggregation is map-side partial, top-k is WindowGroupLimit") {
@@ -262,6 +265,11 @@ class PlanSpec extends SparkSpec {
       val base = shuffles(ops.Features.q85SliceFeatureTensor(spark, sf))
       val lstm = shuffles(ops.Features.q90LstmState(spark, sf))
       assert(lstm == base + 1, s"q85=$base q90=$lstm")
+      // the 2-unit cell folds the SAME collected sequence — widening
+      // hidden state must not widen the plan
+      val lstm2 = shuffles(ops.Features.q90From2(
+        ops.Features.q85SliceFeatureTensor(spark, sf)))
+      assert(lstm2 == base + 1, s"q85=$base q92=$lstm2")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
