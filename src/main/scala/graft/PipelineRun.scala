@@ -11,7 +11,8 @@ package graft
 object PipelineRun {
   def main(args: Array[String]): Unit = {
     val sfDir = Cli.sfDirOf(args, usage,
-      boolFlags = Set("extended", "slices", "slices-attn", "residual", "lstm"))
+      boolFlags = Set("extended", "slices", "slices-attn", "residual",
+        "lstm", "lstm2"))
       .getOrElse(return)
     // `--extended` joins in the beyond-parity feature tier (PageRank,
     // k-core, EWMA burst) — see FraudPipeline.run and the README A/B
@@ -33,6 +34,10 @@ object PipelineRun {
     // the MultiLstm summary the reference's classifier head consumes
     val lstm = args.contains("--lstm") ||
       sys.env.get("SPARK_GRAFT_LSTM").contains("1")
+    // `--lstm2` swaps the scalar cell for q92's coupled 2-unit cell
+    // (16 state columns) — the hidden-size A/B row
+    val lstm2 = args.contains("--lstm2") ||
+      sys.env.get("SPARK_GRAFT_LSTM2").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -40,7 +45,7 @@ object PipelineRun {
     val r = pipeline.FraudPipeline.run(spark, sfDir,
       extendedFeatures = extended, sliceFeatures = slices,
       sliceAttention = slicesAttn, residualFeatures = residual,
-      lstmFeatures = lstm)
+      lstmFeatures = lstm, lstm2Features = lstm2)
     val m = r.metrics.head()
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.schema.fieldNames
@@ -49,7 +54,7 @@ object PipelineRun {
     // FraudPipeline.Result), not the raw feature-frame row count
     println(s"""{"metric":"fraud_pipeline","sf":"$sfDir","sec":$secs,""" +
       s""""extended":$extended,"slices":$slices,"slices_attn":$slicesAttn,""" +
-      s""""residual":$residual,"lstm":$lstm,""" +
+      s""""residual":$residual,"lstm":$lstm,"lstm2":$lstm2,""" +
       s""""n_users":${r.nUsers},"n_scored":${r.scored.count()},$fields}""")
     spark.stop()
   }
@@ -63,8 +68,9 @@ object PipelineRun {
       |  --slices-attn  as --slices, pooled by q87 temporal attention
       |  --residual     add q88's eps-residual multi-relation layer outputs
       |  --lstm         add q90's final LSTM state per time scale
+      |  --lstm2        as --lstm, with q92's coupled 2-unit cell (16 cols)
       |  --help         print this and exit
       |env: SPARK_GRAFT_CPUS (threads),
-      |     SPARK_GRAFT_EXTENDED/SLICES/SLICES_ATTN/RESIDUAL/LSTM=1
+      |     SPARK_GRAFT_EXTENDED/SLICES/SLICES_ATTN/RESIDUAL/LSTM/LSTM2=1
       |prints one JSON metric line (accuracy, macro P/R/F1, AUC, AP)""".stripMargin
 }

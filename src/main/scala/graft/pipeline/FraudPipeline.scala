@@ -80,7 +80,8 @@ object FraudPipeline {
       sliceFeatures: Boolean = false,
       sliceAttention: Boolean = false,
       residualFeatures: Boolean = false,
-      lstmFeatures: Boolean = false): Result = {
+      lstmFeatures: Boolean = false,
+      lstm2Features: Boolean = false): Result = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.functions.vector_to_array
@@ -156,18 +157,24 @@ object FraudPipeline {
         .na.fill(0.0, Seq("res_r1", "res_r2", "res_r3"))
     }
 
-    val withLstm = if (!lstmFeatures) withResidual else {
-      // q90's per-scale final (h, c) → one pivot to 8 user-grain
-      // columns; the fold core is sort-free (same reason as the q87
+    val withLstm = if (!lstmFeatures && !lstm2Features) withResidual else {
+      // q90's per-scale final state → one pivot to user-grain columns
+      // (8 for the scalar cell, 16 for the 2-unit q92 cell — the
+      // lstm-vs-lstm2 README A/B isolates what the coupled second unit
+      // buys); the fold core is sort-free (same reason as the q87
       // tier: presentation order would be a wasted exchange+sort)
-      val st = ops.Features.q90From(tensorCore)
+      val (st, fields) =
+        if (lstm2Features)
+          (ops.Features.q90From2(tensorCore), Seq("h1", "c1", "h2", "c2"))
+        else (ops.Features.q90From(tensorCore), Seq("h", "c"))
+      val aggs = fields.map(f => first(col(s"${f}_last")).as(f))
       val pivoted = st.groupBy(col("user_id"))
         .pivot("scale", Seq(1, 2, 3, 4))
-        .agg(first(col("h_last")).as("h"), first(col("c_last")).as("c"))
+        .agg(aggs.head, aggs.tail: _*)
       // rebuild names from the known cross product, as the slice tier does
       val renamed = pivoted.select(
         col("user_id") +:
-          (for { s <- Seq(1, 2, 3, 4); f <- Seq("h", "c") }
+          (for { s <- Seq(1, 2, 3, 4); f <- fields }
             yield col(s"${s}_$f").as(s"lstm_s${s}_$f")): _*)
       val lstmCols = renamed.columns.filterNot(_ == "user_id")
       withResidual.join(renamed, Seq("user_id"), "left")

@@ -164,6 +164,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("lstm2 tier joins q92's 2-unit state per scale, zero-filled off-events") {
+    val r = pipeline.FraudPipeline.run(spark, sf, lstm2Features = true)
+    val cols = for { s <- 1 to 4; f <- Seq("h1", "c1", "h2", "c2") }
+      yield s"lstm_s${s}_$f"
+    for (c <- cols) assert(r.features.columns.contains(c), c)
+    assert(r.features.count() ==
+      pipeline.FraudPipeline.run(spark, sf).features.count())
+    // the pivoted cells ARE q92's outputs: cross-check against the operator
+    val q92 = ops.Features.q90LstmState2(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) ->
+        ((x.getDouble(3), x.getDouble(4), x.getDouble(5), x.getDouble(6)))).toMap
+    val uid = q92.keys.head._1
+    val row = r.features.filter(col("user_id") === uid)
+      .select(col("user_id") +: cols.map(col): _*).head()
+    for (s <- 1 to 4) {
+      val (h1, c1, h2, c2) = q92.getOrElse((uid, s), (0.0, 0.0, 0.0, 0.0))
+      assert(row.getAs[Double](s"lstm_s${s}_h1") == h1, s"scale $s h1")
+      assert(row.getAs[Double](s"lstm_s${s}_c1") == c1, s"scale $s c1")
+      assert(row.getAs[Double](s"lstm_s${s}_h2") == h2, s"scale $s h2")
+      assert(row.getAs[Double](s"lstm_s${s}_c2") == c2, s"scale $s c2")
+    }
+  }
+
   test("pipeline split is reproducible") {
     val a = pipeline.FraudPipeline.run(spark, sf).scored
       .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
