@@ -89,12 +89,19 @@ object Bench {
     val passes = (1 to reps).flatMap { i =>
       if (i == 1 || elapsed() < budgetSec) Some(timedPass()) else None
     }
+    // (min, max) of the successful reps: the min is the steady-state
+    // plan cost (what totals and round-over-round comparisons use); the
+    // max makes the VM-weather band part of the record instead of
+    // per-round prose — a wide [min,max] says "stall burst", a tight
+    // one says any drift is real
     val results = queries.keys.map { name =>
       val runs = passes.map(_(name))
       val good = runs.filter(_._2)
       // all reps failed → report the SLOWEST failing run so the number
       // reads as a problem, never as a fast success
-      name -> (if (good.nonEmpty) good.map(_._1).min else runs.map(_._1).max)
+      val times = if (good.nonEmpty) good.map(_._1)
+                  else Seq(runs.map(_._1).max)
+      name -> ((times.min, times.max))
     }.toMap
     // stderr alone is invisible to a JSON consumer: an all-reps-failed
     // query folds its time-to-crash into the totals indistinguishably
@@ -109,17 +116,26 @@ object Bench {
     // 79 queries (2029 chars measured); prefixes hold ~1200 chars with
     // headroom past 120 queries, and map 1:1 to SparkEntry.queries keys.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def fmt1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     // (prefix uniqueness was validated before the warmup)
     def shortKey(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+    // per-query value is [min, max] over the reps (equal when reps=1);
+    // rendered at 2dp, degrading to 1dp if the full line would crowd
+    // the driver's 2000-char stdout tail — band width survives either way
+    def qsAt(f: Double => String): String = results
+      .map { case (k, (lo, hi)) =>
+        "\"" + shortKey(k) + "\":[" + f(lo) + "," + f(hi) + "]" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     spark.stop()
     // "reps" = timed passes that actually ran (budget-gated), so the
     // artifact self-describes whether each per-query number is a
     // min-of-N or a single shot — round-over-round totals are only
     // comparable at equal reps, and the consumer can now tell.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${passes.length},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${passes.length},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val l2 = line(qsAt(fmt))
+    println(if (l2.length <= 1850) l2 else line(qsAt(fmt1)))
   }
 }

@@ -297,11 +297,12 @@ object Ann {
       .withColumn("yy", expr(
         "aggregate(transform(cv, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
     val x = prep(Tables.embeddings(spark, dir), "vid", "xv", "xn")
+    // ‖y‖² − dot − dot (not − 2·dot): keeps every intermediate inside
+    // DECIMAL(38,0) addition, and whole-stage codegen's subexpression
+    // elimination evaluates the shared dot Column once
+    val dot = dotDec("xv", "cv").cast("decimal(38,0)")
     val ranked = x.crossJoin(broadcast(cdf))
-      .withColumn("dk",
-        col("yy").cast("decimal(38,0)")
-          - dotDec("xv", "cv").cast("decimal(38,0)")
-          - dotDec("xv", "cv").cast("decimal(38,0)"))
+      .withColumn("dk", col("yy").cast("decimal(38,0)") - dot - dot)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vid")).orderBy(col("dk"), col("cell"))))
     val cellof = ranked.filter(col("rn") === 1).select(col("vid"), col("cell"))

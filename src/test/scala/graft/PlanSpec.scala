@@ -126,6 +126,23 @@ class PlanSpec extends SparkSpec {
       .contains("WindowGroupLimit"))
   }
 
+  test("q48: probe plan — WindowGroupLimit cuts, broadcast centroid/probe sides") {
+    val p = plan(ops.Ann.q48AnnIvf(spark, sf))
+    // BOTH rank filters must rewrite to per-partition group limits: the
+    // nearest-cell argmin (rn over the 8-row centroid cross) and the
+    // in-cell top-10 (rk <= 10) — a regression to a full per-qid sort of
+    // the candidate set is exactly the scale-killer this pin catches
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).size >= 2, p.take(3000))
+    // the 8-row centroid table reaches the corpus as a broadcast nested
+    // loop (its crossJoin), and the ≤30-row probe×query side as a
+    // broadcast hash join — the corpus itself must never shuffle to meet
+    // either small side
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q56: tf aggregation is map-side partial, top-k is WindowGroupLimit") {
     val p = plan(ops.Corpus.q56TfidfTopTerms(spark, sf))
     assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))

@@ -21,15 +21,28 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+nrun=0
 run() {
   local label="$1"; shift
+  nrun=$((nrun + 1))
   echo "== $label =="
+  # stderr to a per-run log (a crashed JVM prints FAILED, not an empty
+  # section); the recorded protocol is min-of-3 × two interleaved
+  # passes per codec = effective min-of-6 with shared VM weather
+  local log="${TMPDIR:-/tmp}/codec_ab.$$.$nrun.log"
   SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_REPS=3 \
     SPARK_GRAFT_BENCH_BUDGET=1800 "$@" \
     java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-16g}" \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-      -cp "$CP" graft.Bench 2>/dev/null | grep '"metric"'
+      -cp "$CP" graft.Bench 2>"$log" | grep '"metric"'
+  local status=("${PIPESTATUS[@]}")
+  if [ "${status[0]}" -ne 0 ] || [ "${status[1]}" -ne 0 ]; then
+    echo "== $label FAILED (jvm rc=${status[0]}," \
+      "metric-line rc=${status[1]}; stderr: $log) =="
+  fi
 }
-run "zstd (default)"
-run "lz4" env SPARK_GRAFT_CONF="spark.io.compression.codec=lz4"
+for pass in 1 2; do
+  run "zstd (default) pass$pass"
+  run "lz4 pass$pass" env SPARK_GRAFT_CONF="spark.io.compression.codec=lz4"
+done

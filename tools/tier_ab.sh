@@ -18,11 +18,21 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+n=0
 for flags in "$@"; do
+  n=$((n + 1))
   echo "== tier: ${flags:-parity} =="
+  # stderr goes to a per-run log, never /dev/null: a crashed JVM must
+  # print FAILED with a pointer, not a silently missing A/B row
+  log="${TMPDIR:-/tmp}/tier_ab.$$.$n.log"
   # shellcheck disable=SC2086
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-24g}" \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-      -cp "$CP" graft.PipelineRun "$DIR" $flags 2>/dev/null | grep '"metric"'
+      -cp "$CP" graft.PipelineRun "$DIR" $flags 2>"$log" | grep '"metric"'
+  status=("${PIPESTATUS[@]}")
+  if [ "${status[0]}" -ne 0 ] || [ "${status[1]}" -ne 0 ]; then
+    echo "== tier ${flags:-parity} FAILED (jvm rc=${status[0]}," \
+      "metric-line rc=${status[1]}; stderr: $log) =="
+  fi
 done
