@@ -12,7 +12,7 @@ object PipelineRun {
   def main(args: Array[String]): Unit = {
     val sfDir = Cli.sfDirOf(args, usage,
       boolFlags = Set("extended", "slices", "slices-attn", "residual",
-        "lstm", "lstm2"))
+        "lstm", "lstm2", "lstm-fixed"))
       .getOrElse(return)
     // `--extended` joins in the beyond-parity feature tier (PageRank,
     // k-core, EWMA burst) — see FraudPipeline.run and the README A/B
@@ -38,6 +38,10 @@ object PipelineRun {
     // (16 state columns) — the hidden-size A/B row
     val lstm2 = args.contains("--lstm2") ||
       sys.env.get("SPARK_GRAFT_LSTM2").contains("1")
+    // `--lstm-fixed` serves the pre-training dyadic cell tables under
+    // whichever LSTM tier is active — the trained-vs-fixed A/B row
+    val lstmFixed = args.contains("--lstm-fixed") ||
+      sys.env.get("SPARK_GRAFT_LSTM_FIXED").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -45,7 +49,8 @@ object PipelineRun {
     val r = pipeline.FraudPipeline.run(spark, sfDir,
       extendedFeatures = extended, sliceFeatures = slices,
       sliceAttention = slicesAttn, residualFeatures = residual,
-      lstmFeatures = lstm, lstm2Features = lstm2)
+      lstmFeatures = lstm, lstm2Features = lstm2,
+      lstmFixedWeights = lstmFixed)
     val m = r.metrics.head()
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.schema.fieldNames
@@ -55,6 +60,7 @@ object PipelineRun {
     println(s"""{"metric":"fraud_pipeline","sf":"$sfDir","sec":$secs,""" +
       s""""extended":$extended,"slices":$slices,"slices_attn":$slicesAttn,""" +
       s""""residual":$residual,"lstm":$lstm,"lstm2":$lstm2,""" +
+      s""""lstm_fixed":$lstmFixed,""" +
       s""""n_users":${r.nUsers},"n_scored":${r.scored.count()},$fields}""")
     spark.stop()
   }
@@ -69,8 +75,10 @@ object PipelineRun {
       |  --residual     add q88's eps-residual multi-relation layer outputs
       |  --lstm         add q90's final LSTM state per time scale
       |  --lstm2        as --lstm, with q92's coupled 2-unit cell (16 cols)
+      |  --lstm-fixed   serve the pre-training cell tables (A/B baseline)
       |  --help         print this and exit
       |env: SPARK_GRAFT_CPUS (threads),
-      |     SPARK_GRAFT_EXTENDED/SLICES/SLICES_ATTN/RESIDUAL/LSTM/LSTM2=1
+      |     SPARK_GRAFT_EXTENDED/SLICES/SLICES_ATTN/RESIDUAL/LSTM/LSTM2=1,
+      |     SPARK_GRAFT_LSTM_FIXED=1
       |prints one JSON metric line (accuracy, macro P/R/F1, AUC, AP)""".stripMargin
 }

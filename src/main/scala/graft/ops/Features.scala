@@ -978,28 +978,55 @@ object Features {
   private def q90DecodeC(acc: String): String =
     s"($acc - floor($acc / $q90Pack) * $q90Pack - $q90COff) / 1e6"
 
+  /** Scalar-cell gate weights (wx, wh, bias), all dyadic (exact
+    * doubles) — the H=1 row of the trainer seam: [[graft.LstmFit]]
+    * fits these end-to-end (the reference trains its MultiLstm,
+    * layers.py:17-24) and prints the 1/2²⁰-quantized table to paste
+    * here; the shipped values are the fit on the sf0.1 train fold. */
+  private[graft] val q90ScalarW: Map[String, (Double, Double, Double)] = Map(
+    "i" -> (-1.982945442199707, -1.5916595458984375, 1.4523820877075195),
+    "f" -> (-2.3713760375976562, -1.2606096267700195, 1.2257881164550781),
+    "g" -> (0.8584566116333008, 1.382364273071289, -0.9942464828491211),
+    "o" -> (-3.0686349868774414, 0.2022695541381836, 0.25170326232910156))
+
+  /** The pre-training dyadic literals (rounds 8-9's shipped values) —
+    * kept as the README A/B's fixed-cell baseline (PipelineRun
+    * --lstm-fixed/--lstm2-fixed). */
+  private[graft] val q90ScalarWFixed: Map[String, (Double, Double, Double)] = Map(
+    "i" -> (0.5, 0.25, 0.0625),
+    "f" -> (0.25, 0.25, 0.5),
+    "g" -> (0.5, 0.25, 0.0),
+    "o" -> (0.5, 0.25, -0.0625))
+
   /** One step of the scalar LSTM cell as portable SQL text over the
     * packed accumulator `acc` and input scalar `x` — the IDENTICAL
     * string runs inside Spark's aggregate() and DuckDB's list_reduce.
-    * Weights are dyadic (exact doubles): input/output gates lean on the
-    * projection x, the forget gate carries the standard positive bias;
+    * Weights are dyadic (exact doubles) from the selected table;
     * every gate output quantizes at 6dp (Exact.r's floor spelling), so
     * the recurrences agree step by step. h' references c' textually
     * (no lets inside SQL lambdas) — duplication, not re-evaluation
     * drift, since the text is pure arithmetic on acc and x. */
-  private def q90MergeExpr(acc: String, x: String): String = {
+  private def q90MergeExpr(acc: String, x: String,
+      wt: Map[String, (Double, Double, Double)] = q90ScalarW): String = {
+    def w(d: Double): String = new java.math.BigDecimal(d).toPlainString
     def r6(s: String) = Exact.sql.r(s, 6)
     def sig(z: String) = r6(s"1.0 / (1.0 + exp(-($z)))")
     def th(z: String) = r6(s"1.0 - 2.0 / (exp(2.0 * ($z)) + 1.0)")
     val hp = s"(${q90DecodeH(acc)})"
     val cp = s"(${q90DecodeC(acc)})"
-    val zi = s"0.5 * $x + 0.25 * $hp + 0.0625"
-    val zf = s"0.25 * $x + 0.25 * $hp + 0.5"
-    val zg = s"0.5 * $x + 0.25 * $hp"
-    val zo = s"0.5 * $x + 0.25 * $hp - 0.0625"
-    val cRaw = s"${sig(zf)} * $cp + ${sig(zi)} * ${th(zg)}"
+    // weights come from the selected table (the [[graft.LstmFit]]
+    // seam); the sign-aware bias spelling keeps the emitted text
+    // byte-identical to the pre-table version for the same values
+    def z(g: String): String = {
+      val (wx, wh, b) = wt(g)
+      val base = s"${w(wx)} * $x + ${w(wh)} * $hp"
+      if (b == 0.0) base
+      else if (b > 0) s"$base + ${w(b)}"
+      else s"$base - ${w(-b)}"
+    }
+    val cRaw = s"${sig(z("f"))} * $cp + ${sig(z("i"))} * ${th(z("g"))}"
     val c6 = s"floor(greatest(least($cRaw, 4.0), -4.0) * 1e6 + 0.5)"
-    val h6 = s"floor((${sig(zo)} * ${th(s"(($c6) / 1e6)")}) * 1e6 + 0.5)"
+    val h6 = s"floor((${sig(z("o"))} * ${th(s"(($c6) / 1e6)")}) * 1e6 + 0.5)"
     s"(($h6) + $q90HOff) * $q90Pack + (($c6) + $q90COff)"
   }
 
@@ -1007,9 +1034,30 @@ object Features {
   def q90LstmState(spark: SparkSession, dir: String): DataFrame =
     q90From(q85Core(spark, dir)).orderBy(col("user_id"), col("scale"))
 
+  /** Training rows for [[graft.LstmFit]]: the EXACT per-bucket inputs
+    * the q90/q92/q93 folds consume (same pooled projection, same 6dp
+    * rounding), bucket-sorted per (user, scale), with the user fraud
+    * label — TRAIN fold only (the AttnFit leakage discipline). Row
+    * count is |users|×4, so the trainer's collect is bounded by the
+    * customer table, never the event stream. */
+  private[graft] def lstmTrainSequences(spark: SparkSession, dir: String): DataFrame = {
+    val pooled =
+      q87FeatureAttn.map { case (c, w) => lit(w) * q87Slot(c) }.reduce(_ + _)
+    q85Core(spark, dir)
+      .withColumn("x", Exact.r(pooled, 6))
+      .groupBy(col("user_id"), col("scale"))
+      .agg(expr("transform(sort_array(collect_list(struct(bucket, x))), s -> s.x)")
+        .as("xs"))
+      .join(Tables.customer(spark, dir).select(
+        col("c_custkey").as("user_id"),
+        (col("c_acctbal") < 0).cast("double").as("label")), "user_id")
+      .filter(Exact.lcgTrain80("user_id"))
+  }
+
   /** The sort-free fold core over any frame with the q85 tensor columns
     * (the q87PoolFrom pattern — specs feed it a synthetic tensor). */
-  private[graft] def q90From(t: DataFrame): DataFrame = {
+  private[graft] def q90From(t: DataFrame,
+      wt: Map[String, (Double, Double, Double)] = q90ScalarW): DataFrame = {
     val pooled =
       q87FeatureAttn.map { case (c, w) => lit(w) * q87Slot(c) }.reduce(_ + _)
     t.withColumn("x", Exact.r(pooled, 6))
@@ -1018,7 +1066,7 @@ object Features {
         sort_array(collect_list(struct(col("bucket"), col("x")))).as("bx"))
       .withColumn("st", expr(
         s"""aggregate(transform(bx, s -> s.x), $q90Zero,
-           |  (acc, e) -> ${q90MergeExpr("acc", "e")})""".stripMargin))
+           |  (acc, e) -> ${q90MergeExpr("acc", "e", wt)})""".stripMargin))
       .select(col("user_id"), col("scale"), col("n_buckets"),
         expr(q90DecodeH("st")).as("h_last"),
         expr(q90DecodeC("st")).as("c_last"))
@@ -1045,35 +1093,95 @@ object Features {
   // single-definition discipline as Exact.sql.
   // ---------------------------------------------------------------------
 
-  /** Per-unit gate weights (wx, w_h1, w_h2, bias), all dyadic (exact
-    * doubles). Cross weights are nonzero in BOTH directions, so the
-    * units are coupled both ways. */
-  private val q90Units: Seq[Map[String, (Double, Double, Double, Double)]] = Seq(
-    Map("i" -> (0.5, 0.25, 0.125, 0.0625),
-        "f" -> (0.25, 0.25, -0.125, 0.5),
-        "g" -> (0.5, 0.25, 0.125, 0.0),
-        "o" -> (0.5, 0.25, -0.125, -0.0625)),
-    Map("i" -> (0.25, -0.125, 0.25, 0.03125),
-        "f" -> (0.125, 0.125, 0.25, 0.5),
-        "g" -> (0.25, 0.25, -0.25, 0.0),
-        "o" -> (0.5, -0.25, 0.25, 0.0625)))
+  /** Vector-cell weights: per unit, per gate, (wx, w_h·, bias) with
+    * w_h· one recurrent weight per hidden unit — a full H×H recurrent
+    * matrix. All dyadic (exact doubles). */
+  private[graft] type LstmUnits = IndexedSeq[Map[String, (Double, IndexedSeq[Double], Double)]]
 
-  /** One unit's step of the 2-unit cell: text over the array
+  /** The shipped hidden_size=2 table (q92). Cross weights are nonzero
+    * in BOTH directions, so the units are coupled both ways. Like
+    * [[q90ScalarW]], this is the [[graft.LstmFit]] trainer's paste
+    * target, 1/2²⁰-quantized so both engines' SQL carries the exact
+    * same doubles. */
+  private[graft] val q90Units: LstmUnits = IndexedSeq(
+    Map(
+      "i" -> (-1.9584484100341797, IndexedSeq(-1.1841411590576172, -1.1148595809936523), 1.3009471893310547),
+      "f" -> (-2.64703369140625, IndexedSeq(-0.7787332534790039, -0.8425006866455078), 0.8807430267333984),
+      "g" -> (0.7875690460205078, IndexedSeq(1.0746126174926758, 0.9151182174682617), -0.9557466506958008),
+      "o" -> (-3.327028274536133, IndexedSeq(0.13227081298828125, 0.4620647430419922), 0.012363433837890625)),
+    Map(
+      "i" -> (-1.7255783081054688, IndexedSeq(-1.799382209777832, -1.2569026947021484), 1.3387222290039062),
+      "f" -> (-1.6643333435058594, IndexedSeq(-1.2361822128295898, -0.8240346908569336), 1.126657485961914),
+      "g" -> (0.7420806884765625, IndexedSeq(1.2193727493286133, 0.7014999389648438), -0.9808874130249023),
+      "o" -> (-1.7877063751220703, IndexedSeq(-0.4430198669433594, 0.5952339172363281), 0.4583301544189453)))
+
+  /** The pre-training hand-listed H=2 table — the --lstm2-fixed A/B
+    * baseline, and the table the byte-identical-refactor proof ran on. */
+  private[graft] val q90UnitsFixed: LstmUnits = IndexedSeq(
+    Map("i" -> (0.5, IndexedSeq(0.25, 0.125), 0.0625),
+        "f" -> (0.25, IndexedSeq(0.25, -0.125), 0.5),
+        "g" -> (0.5, IndexedSeq(0.25, 0.125), 0.0),
+        "o" -> (0.5, IndexedSeq(0.25, -0.125), -0.0625)),
+    Map("i" -> (0.25, IndexedSeq(-0.125, 0.25), 0.03125),
+        "f" -> (0.125, IndexedSeq(0.125, 0.25), 0.5),
+        "g" -> (0.25, IndexedSeq(0.25, -0.25), 0.0),
+        "o" -> (0.5, IndexedSeq(-0.25, 0.25), 0.0625)))
+
+  /** Deterministic dyadic initialization for ANY hidden size — the
+    * construction that makes the reference's `hidden_size=64` default
+    * (main.py:19) one constant away: weights derive from md5 of
+    * (seed, unit, gate, slot) mapped onto odd dyadic grids (wx ∈
+    * ±odd/16, w_h ∈ ±odd/64 — never zero, so every unit pair stays
+    * coupled both ways), forget bias at the standard +0.5, i/o biases
+    * small ±odd/32, g bias 0 (the scalar and H=2 tables' shape). Both
+    * engines see only the emitted literals, so any (h, seed) is
+    * hash-oracle-able by construction. */
+  private[graft] def lstmInit(h: Int, seed: Long): LstmUnits = {
+    def hash(tag: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lstm:$seed:$tag".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(7).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    def odd(tag: String, n: Int): Long = { // odd in [-(2n-1), 2n-1]
+      val k = (hash(tag) % n + n) % n
+      val s = if (hash(tag + ":s") % 2 == 0) 1 else -1
+      s * (2 * k + 1)
+    }
+    IndexedSeq.tabulate(h) { u =>
+      Seq("i", "f", "g", "o").map { g =>
+        val wx = odd(s"$u:$g:x", 4) / 16.0
+        val wh = IndexedSeq.tabulate(h)(j => odd(s"$u:$g:h$j", 8) / 64.0)
+        val b = g match {
+          case "f" => 0.5
+          case "g" => 0.0
+          case _ => odd(s"$u:$g:b", 4) / 32.0
+        }
+        g -> ((wx, wh, b))
+      }.toMap
+    }
+  }
+
+  /** One unit's step of the H-unit cell: text over the array
     * accumulator `acc` (via the engine's subscript renderer `idx`) and
     * the input scalar `x`. Same 6dp/clip discipline as the scalar
-    * cell; h' references c' textually, as there. */
-  private def q90Cell2Expr(acc: String, x: String, unit: Int,
-      idx: (String, Int) => String): String = {
+    * cell; h' references c' textually, as there. For the shipped
+    * [[q90Units]] table this emits byte-identical text to the
+    * hand-listed 2-unit version it replaced. */
+  private def q90CellExpr(acc: String, x: String, unit: Int,
+      units: LstmUnits, idx: (String, Int) => String): String = {
     def w(d: Double): String = new java.math.BigDecimal(d).toPlainString
     def r6(s: String) = Exact.sql.r(s, 6)
     def sig(z: String) = r6(s"1.0 / (1.0 + exp(-($z)))")
     def th(z: String) = r6(s"1.0 - 2.0 / (exp(2.0 * ($z)) + 1.0)")
-    val h1 = s"(${q90DecodeH(idx(acc, 0))})"
-    val h2 = s"(${q90DecodeH(idx(acc, 1))})"
+    val hs = IndexedSeq.tabulate(units.length)(j =>
+      s"(${q90DecodeH(idx(acc, j))})")
     val cp = s"(${q90DecodeC(idx(acc, unit))})"
     def z(g: String): String = {
-      val (wx, wh1, wh2, b) = q90Units(unit)(g)
-      s"${w(wx)} * $x + ${w(wh1)} * $h1 + ${w(wh2)} * $h2 + ${w(b)}"
+      val (wx, wh, b) = units(unit)(g)
+      (s"${w(wx)} * $x" +:
+        wh.zipWithIndex.map { case (v, j) => s"${w(v)} * ${hs(j)}" } :+
+        w(b)).mkString(" + ")
     }
     val cRaw = s"${sig(z("f"))} * $cp + ${sig(z("i"))} * ${th(z("g"))}"
     val c6 = s"floor(greatest(least($cRaw, 4.0), -4.0) * 1e6 + 0.5)"
@@ -1085,51 +1193,78 @@ object Features {
   def q90LstmState2(spark: SparkSession, dir: String): DataFrame =
     q90From2(q85Core(spark, dir)).orderBy(col("user_id"), col("scale"))
 
-  private[graft] def q90From2(t: DataFrame): DataFrame = {
+  private[graft] def q90From2(t: DataFrame): DataFrame =
+    q90FromH(t, q90Units)
+
+  /** q93: the hidden_size=4 instance — same fold, same oracle
+    * generator, weights from [[lstmInit]](4, 93). Exists to prove the
+    * H-parametric construction end-to-end (any H is one constant
+    * away, as the reference's `hidden_size=64` default is). */
+  def q93LstmState4(spark: SparkSession, dir: String): DataFrame =
+    q90FromH(q85Core(spark, dir), q93Units)
+      .orderBy(col("user_id"), col("scale"))
+
+  private[graft] val q93Units: LstmUnits = lstmInit(4, 93L)
+
+  /** The H-unit fold core: state is an ARRAY of H packed doubles; the
+    * merge emits one [[q90CellExpr]] per unit, every unit reading
+    * every unit's h (the full recurrent matrix). */
+  private[graft] def q90FromH(t: DataFrame, units: LstmUnits): DataFrame = {
+    val h = units.length
     val pooled =
       q87FeatureAttn.map { case (c, w) => lit(w) * q87Slot(c) }.reduce(_ + _)
     def sIdx(a: String, i: Int) = s"$a[$i]" // Spark subscripts: 0-based
-    val merge = (0 to 1).map(u => q90Cell2Expr("acc", "e", u, sIdx))
+    val merge = (0 until h).map(u => q90CellExpr("acc", "e", u, units, sIdx))
       .mkString(",\n           ")
+    val zero = Seq.fill(h)(q90Zero).mkString(", ")
+    val outs = (0 until h).flatMap(u => Seq(
+      expr(q90DecodeH(s"st[$u]")).as(s"h${u + 1}_last"),
+      expr(q90DecodeC(s"st[$u]")).as(s"c${u + 1}_last")))
     t.withColumn("x", Exact.r(pooled, 6))
       .groupBy(col("user_id"), col("scale"))
       .agg(count(lit(1)).as("n_buckets"),
         sort_array(collect_list(struct(col("bucket"), col("x")))).as("bx"))
       .withColumn("st", expr(
-        s"""aggregate(transform(bx, s -> s.x), array($q90Zero, $q90Zero),
+        s"""aggregate(transform(bx, s -> s.x), array($zero),
            |  (acc, e) -> array($merge))""".stripMargin))
-      .select(col("user_id"), col("scale"), col("n_buckets"),
-        expr(q90DecodeH("st[0]")).as("h1_last"),
-        expr(q90DecodeC("st[0]")).as("c1_last"),
-        expr(q90DecodeH("st[1]")).as("h2_last"),
-        expr(q90DecodeC("st[1]")).as("c2_last"))
+      .select((col("user_id") +: col("scale") +: col("n_buckets") +: outs): _*)
   }
 
-  /** The q90 v2 oracle: same CTE chain as the scalar oracle, with the
-    * inputs wrapped to [x, 0] pairs so list_reduce's acc/element types
-    * match, and the cell text rendered with 1-based subscripts. */
-  private def q90OracleSql2: String = {
+  /** The H-unit oracle: same CTE chain as the scalar oracle, with the
+    * inputs wrapped to H-element [x, 0, …] lists so list_reduce's
+    * acc/element types match, and the cell text rendered with 1-based
+    * subscripts. */
+  private def q90OracleSqlH(units: LstmUnits): String = {
+    val h = units.length
+    require(h >= 2, "vector-cell oracle needs H >= 2 (H=1 is the scalar q90)")
     def dIdx(a: String, i: Int) = s"$a[${i + 1}]" // DuckDB subscripts: 1-based
-    val merge = (0 to 1).map(u => q90Cell2Expr("acc", "e[1]", u, dIdx))
+    val merge = (0 until h).map(u => q90CellExpr("acc", "e[1]", u, units, dIdx))
       .mkString(",\n   ")
+    val zero = Seq.fill(h)(q90Zero).mkString(", ")
+    val pad = Seq.fill(h - 1)("CAST(0 AS DOUBLE)").mkString(", ")
+    val outs = (0 until h).map(u =>
+      s"${q90DecodeH(s"st[${u + 1}]")} AS h${u + 1}_last," +
+        s" ${q90DecodeC(s"st[${u + 1}]")} AS c${u + 1}_last")
+      .mkString(",\n ")
     s"""WITH t AS ($q85OracleBody),
        | b AS (SELECT user_id, scale, bucket,
        |   ${Exact.sql.r(q87PooledSql, 6)} AS x FROM t),
        | s AS (SELECT user_id, scale, count(*) AS n_buckets,
-       |   [[$q90Zero, $q90Zero]] ||
+       |   [[$zero]] ||
        |   list_transform(
        |     list_transform(list_sort(list(struct_pack(b := bucket, x := x))),
        |       v -> v.x),
-       |     x -> [x, CAST(0 AS DOUBLE)]) AS xs
+       |     x -> [x, $pad]) AS xs
        |  FROM b GROUP BY 1, 2),
        | f AS (SELECT user_id, scale, n_buckets,
        |   list_reduce(xs, (acc, e) -> [$merge]) AS st
        |  FROM s)
        |SELECT user_id, scale, n_buckets,
-       | ${q90DecodeH("st[1]")} AS h1_last, ${q90DecodeC("st[1]")} AS c1_last,
-       | ${q90DecodeH("st[2]")} AS h2_last, ${q90DecodeC("st[2]")} AS c2_last
+       | $outs
        |FROM f ORDER BY user_id, scale""".stripMargin
   }
+
+  private def q90OracleSql2: String = q90OracleSqlH(q90Units)
 
   /** The q90 oracle: q85's body as a CTE, the same projection x, then
     * the IDENTICAL packed-accumulator cell text folded by list_reduce.
@@ -1244,6 +1379,7 @@ object Features {
     "q87_temporal_attention_pool" -> q87OracleSql,
     "q90_lstm_state" -> q90OracleSql,
     "q92_lstm_state_h2" -> q90OracleSql2,
+    "q93_lstm_state_h4" -> q90OracleSqlH(q93Units),
     "q83_activity_gini" ->
       """WITH pu AS (SELECT event_type AS grp, user_id, count(*) AS x
         |  FROM events GROUP BY 1, 2
@@ -1395,6 +1531,7 @@ object Features {
     "q85_slice_feature_tensor" -> (q85SliceFeatureTensor _),
     "q87_temporal_attention_pool" -> (q87TemporalAttentionPool _),
     "q90_lstm_state" -> (q90LstmState _),
-    "q92_lstm_state_h2" -> (q90LstmState2 _)
+    "q92_lstm_state_h2" -> (q90LstmState2 _),
+    "q93_lstm_state_h4" -> (q93LstmState4 _)
   )
 }

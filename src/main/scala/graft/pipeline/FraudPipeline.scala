@@ -81,7 +81,10 @@ object FraudPipeline {
       sliceAttention: Boolean = false,
       residualFeatures: Boolean = false,
       lstmFeatures: Boolean = false,
-      lstm2Features: Boolean = false): Result = {
+      lstm2Features: Boolean = false,
+      // serve the pre-training dyadic cell tables instead of the
+      // LstmFit-trained ones — the trained-vs-fixed README A/B switch
+      lstmFixedWeights: Boolean = false): Result = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.functions.vector_to_array
@@ -165,8 +168,14 @@ object FraudPipeline {
       // tier: presentation order would be a wasted exchange+sort)
       val (st, fields) =
         if (lstm2Features)
-          (ops.Features.q90From2(tensorCore), Seq("h1", "c1", "h2", "c2"))
-        else (ops.Features.q90From(tensorCore), Seq("h", "c"))
+          (ops.Features.q90FromH(tensorCore,
+            if (lstmFixedWeights) ops.Features.q90UnitsFixed
+            else ops.Features.q90Units),
+            Seq("h1", "c1", "h2", "c2"))
+        else (ops.Features.q90From(tensorCore,
+          if (lstmFixedWeights) ops.Features.q90ScalarWFixed
+          else ops.Features.q90ScalarW),
+          Seq("h", "c"))
       val aggs = fields.map(f => first(col(s"${f}_last")).as(f))
       val pivoted = st.groupBy(col("user_id"))
         .pivot("scale", Seq(1, 2, 3, 4))

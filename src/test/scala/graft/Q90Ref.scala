@@ -14,10 +14,19 @@ object Q90Ref {
       probe: Double => Unit = _ => ()): (Double, Double) = {
     def sig(z: Double) = { val r = 1.0 / (1.0 + math.exp(-z)); probe(r); r6(r) }
     def th(z: Double) = { val r = 1.0 - 2.0 / (math.exp(2.0 * z) + 1.0); probe(r); r6(r) }
-    val i = sig(0.5 * x + 0.25 * h + 0.0625)
-    val f = sig(0.25 * x + 0.25 * h + 0.5)
-    val g = th(0.5 * x + 0.25 * h)
-    val o = sig(0.5 * x + 0.25 * h - 0.0625)
+    // weights from the SAME table the SQL text is generated from (the
+    // LstmFit seam) in the SAME left-associated IEEE order — what this
+    // reference checks independently is the fold/encoding/engine
+    // plumbing, not the literals (b is ADDED here while negative-b SQL
+    // renders `- |b|`; a + b == a - (-b) bit-for-bit in IEEE)
+    def z(g: String): Double = {
+      val (wx, wh, b) = ops.Features.q90ScalarW(g)
+      wx * x + wh * h + b
+    }
+    val i = sig(z("i"))
+    val f = sig(z("f"))
+    val g = th(z("g"))
+    val o = sig(z("o"))
     val cClip = math.max(math.min(f * c + i * g, 4.0), -4.0)
     probe(cClip)
     val cN = math.floor(cClip * 1e6 + 0.5) / 1e6
