@@ -506,27 +506,39 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckp)
       .outputMode("append").start()
+    // TWO windows, BOTH split by the crash: [0,10) gets users 1-20
+    // pre-crash + 21-40 post-restart, [10,20) gets 41-50 pre + 51-70
+    // post — per-window register maxima must recover INDEPENDENTLY
+    // (one shared/cross-keyed store would merge them and both
+    // estimates would read the 70-user sketch). Verified red by
+    // mutation: dropping the recovered registers (fresh checkpoint dir
+    // on restart) reads both windows at their post-restart half only.
     val q1 = start()
-    mem.addData((1 to 20).map(u => ev(u.toLong, 2, u.toLong, 1.0)): _*)
+    mem.addData((1 to 20).map(u => ev(u.toLong, 2, u.toLong, 1.0)) ++
+      (41 to 50).map(u => ev(u.toLong, 12, u.toLong, 1.0)): _*)
     q1.processAllAvailable()
-    q1.stop() // "crash" with half the window's registers in state
-    // the window's OTHER half arrives while the query is down
-    mem.addData((21 to 40).map(u => ev(u.toLong, 7, u.toLong, 1.0)): _*)
+    q1.stop() // "crash" with half of EACH window's registers in state
+    // both windows' OTHER halves arrive while the query is down
+    mem.addData((21 to 40).map(u => ev(u.toLong, 7, u.toLong, 1.0)) ++
+      (51 to 70).map(u => ev(u.toLong, 17, u.toLong, 1.0)): _*)
     val q2 = start()
     q2.processAllAvailable()
-    mem.addData(ev(9999, 300, 1, 1.0)) // watermark pusher finalizes [0,10)
+    mem.addData(ev(9999, 300, 1, 1.0)) // watermark pusher finalizes both
     q2.processAllAvailable()
     q2.stop()
     val rows = spark.read.parquet(out).collect()
-      .filter(_.getAs[Timestamp]("w_start").getTime == base * 60000L)
-    assert(rows.length == 1, rows.mkString(";"))
-    // the estimate must be the BATCH sketch over ALL 40 users — a lost
-    // register store would estimate only the post-restart half
+      .map(r => (r.getAs[Timestamp]("w_start").getTime - base * 60000L) / 60000L ->
+        r.getAs[Double]("hll_est")).toMap
+    assert(rows.keySet.intersect(Set(0L, 10L)) == Set(0L, 10L), rows.toString)
+    // each estimate must be the BATCH sketch over ITS window's users —
+    // a lost register store would estimate only the post-restart half
     import spark.implicits._
     val batch = ops.Relational.hllDistinct(
-        (1 to 40).map(u => ("w0", u.toString)).toDF("g", "x"))
+        ((1 to 40).map(u => ("w0", u.toString)) ++
+          (41 to 70).map(u => ("w10", u.toString))).toDF("g", "x"))
       .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_est")).toMap
-    assert(rows.head.getAs[Double]("hll_est") == batch("w0"), rows.head.toString)
+    assert(rows(0L) == batch("w0"), s"window [0,10): ${rows(0L)} vs ${batch("w0")}")
+    assert(rows(10L) == batch("w10"), s"window [10,20): ${rows(10L)} vs ${batch("w10")}")
   }
 
   test("ivfUpdateStream's running centroid state survives a stop/restart from checkpoint") {
@@ -649,6 +661,56 @@ class StreamingSpec extends SparkSpec {
       (100.0 * (32768L + 16384L)))
     assert(last.ewma16 == expected,
       s"µs ordering lost: ewma ${last.ewma16} != $expected")
+  }
+
+  test("ewmaBurstStream: kill-and-restart rows stay bit-identical to batch q77") {
+    // The transitions-style combined proof: real sf events, adversarial
+    // split, a CRASH between the halves, and the final per-user rows
+    // must equal batch q77 bit-for-bit. Batch identity after the
+    // restart pins every BurstState component at once — a dropped
+    // buffer entry breaks ewma16, a lost count/cents-sum breaks
+    // mean_val, a ms-truncated sort key breaks same-ms ordering —
+    // verified red by mutation (a restart that ignores recovered state
+    // fails this case on every component).
+    import java.nio.file.Files
+    implicit val sq = spark.sqlContext
+    val all = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // second half first: most-recent events often land PRE-crash, so
+    // the recovered buffer (not fresh arrivals) must carry them
+    val (b2, b1) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[Event]
+    val ckp = Files.createTempDirectory("graft_burst_b_ckp").toString
+    val got = new scala.collection.concurrent.TrieMap[(Long, Long),
+      (Double, Double, Option[Double])]
+    def start() = EventStream.ewmaBurstStream(mem.toDS())
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStream.BurstOut], _: Long) =>
+        df.collect().foreach(b =>
+          got.put((b.user_id, b.n_events), (b.mean_val, b.ewma16, b.burst)))
+      }
+      .option("checkpointLocation", ckp)
+      .outputMode("update").start()
+    val q1 = start()
+    mem.addData(b1.toIndexedSeq: _*)
+    q1.processAllAvailable()
+    q1.stop() // crash with every user's buffer/totals mid-stream
+    mem.addData(b2.toIndexedSeq: _*) // arrives while the query is down
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = got.toSeq.map { case ((u, n), (m, e, b)) => (u, (n, m, e, b)) }
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2._1)._2 }
+    val batch = ops.Features.q77EwmaBurst(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, s) =>
+      assert(s == batch(u), s"user $u: stream $s != batch ${batch(u)}")
+    }
   }
 
   test("ewmaBurstStream: final per-user rows are bit-identical to batch q77") {
