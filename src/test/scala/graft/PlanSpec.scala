@@ -128,11 +128,15 @@ class PlanSpec extends SparkSpec {
 
   test("q48: probe plan — WindowGroupLimit cuts, broadcast centroid/probe sides") {
     val p = plan(ops.Ann.q48AnnIvf(spark, sf))
-    // BOTH rank filters must rewrite to per-partition group limits: the
-    // nearest-cell argmin (rn over the 8-row centroid cross) and the
-    // in-cell top-10 (rk <= 10) — a regression to a full per-qid sort of
-    // the candidate set is exactly the scale-killer this pin catches
-    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).size >= 2, p.take(3000))
+    // ALL THREE rank filters must rewrite to per-partition group limits,
+    // each a Partial+Final pair: the nearest-cell argmin (rn === 1) and
+    // the probe cut (rn <= nprobe) on the centroid cross (4 nodes), plus
+    // the in-cell top-10 (rk <= 10, 2 nodes) = 6. The floor is 5 so the
+    // pin survives a benign plan-reuse collapse of one pair but goes RED
+    // when the rk cut regresses to a full per-qid candidate sort (count
+    // drops to 4 — mutation-verified), exactly the scale-killer this
+    // pin exists to catch
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).size >= 5, p.take(3000))
     // the 8-row centroid table reaches the corpus as a broadcast nested
     // loop (its crossJoin), and the ≤30-row probe×query side as a
     // broadcast hash join — the corpus itself must never shuffle to meet
