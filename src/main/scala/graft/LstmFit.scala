@@ -52,7 +52,7 @@ object LstmFit {
 
   /** Flat parameter vector layout for H units:
     * [u][gate](wx, wh_0..wh_{H-1}, b) then readout wr_0..wr_{H-1}, br. */
-  private final class Layout(val h: Int) {
+  private[graft] final class Layout(val h: Int) {
     val perGate = h + 2
     val cellLen = h * 4 * perGate
     val len = cellLen + h + 1
@@ -67,7 +67,7 @@ object LstmFit {
 
   /** Forward + backward for one sequence; returns the loss and the
     * predicted probability, accumulating gradients into `grad`. */
-  private def bptt(L: Layout, p: Array[Double], xs: Array[Double],
+  private[graft] def bptt(L: Layout, p: Array[Double], xs: Array[Double],
       y: Double, grad: Array[Double]): (Double, Double) = {
     val h = L.h; val t = xs.length
     // caches per step: gate activations, cPrev, cRaw, c, hPrev
