@@ -135,7 +135,21 @@ object Bench {
     // comparable at equal reps, and the consumer can now tell.
     def line(qs: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${passes.length},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    val l2 = line(qsAt(fmt))
-    println(if (l2.length <= 1850) l2 else line(qsAt(fmt1)))
+    // degrade stepwise until the line fits the driver's 2000-char
+    // stdout tail: 2dp bands → 1dp bands → 1dp min-only (the [min,max]
+    // band is the first casualty, the per-query record never is). A
+    // line that STILL overflows would truncate silently downstream, so
+    // say so out loud on stderr.
+    def fmtMin(f: Double => String): String = results
+      .map { case (k, (lo, _)) => "\"" + shortKey(k) + "\":" + f(lo) }
+      .mkString("{", ",", "}")
+    val candidates =
+      Seq(line(qsAt(fmt)), line(qsAt(fmt1)), line(fmtMin(fmt1)))
+    val out = candidates.find(_.length <= 1850).getOrElse {
+      System.err.println(s"[bench] WARNING: JSON line ${candidates.last.length} chars " +
+        "exceeds the 1850 budget even min-only — driver tail may truncate it")
+      candidates.last
+    }
+    println(out)
   }
 }

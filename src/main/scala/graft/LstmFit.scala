@@ -248,17 +248,24 @@ object LstmFit {
         (key, xs, r.getAs[Double]("label"))
       }.sortBy(_._1)
     val data = rows.map { case (_, xs, y) => (xs, y) }
+    require(data.nonEmpty,
+      s"[lstmfit] zero train sequences from $dir — wrong fitDir? " +
+        "(lstmTrainSequences needs events + customer parquet there)")
     val xAll = data.flatMap(_._1)
     println(f"[lstmfit] ${data.length} train sequences, " +
       f"${xAll.length} steps, |x| mean ${xAll.map(math.abs).sum / xAll.length}%.4f " +
       f"max ${xAll.map(math.abs).max}%.4f, pos rate ${data.map(_._2).sum / data.length}%.4f")
     val epochs = sys.env.getOrElse("SPARK_GRAFT_LSTM_EPOCHS", "200").toInt
 
-    // H=1 (scalar cell, q90)
+    // H=1 (scalar cell, q90). Both runs start from the PRE-training
+    // FIXED table, not the shipped (already-trained) q90ScalarW:
+    // warm-starting from trained weights would make the printed
+    // "readout-only (fixed cell)" baseline a trained-cell number and
+    // the whole comparison irreproducible after one paste-back.
     locally {
       val L = new Layout(1)
       val init = packInit(L, IndexedSeq(
-        ops.Features.q90ScalarW.map { case (g, (wx, wh, b)) =>
+        ops.Features.q90ScalarWFixed.map { case (g, (wx, wh, b)) =>
           g -> ((wx, IndexedSeq(wh), b)) }))
       val (_, auc0, loss0) = fit(L, init, data, epochs, cellFrozen = true)
       val (p, auc1, loss1) = fit(L, init, data, epochs, cellFrozen = false)
@@ -269,10 +276,10 @@ object LstmFit {
         println(s"""[lstmfit]   "$g" -> (${dyad(p(L.wx(0, gi)))}, ${dyad(p(L.wh(0, gi, 0)))}, ${dyad(p(L.b(0, gi)))}),""")
     }
 
-    // H=2 (vector cell, q92)
+    // H=2 (vector cell, q92) — same fixed-table start as H=1
     locally {
       val L = new Layout(2)
-      val init = packInit(L, ops.Features.q90Units)
+      val init = packInit(L, ops.Features.q90UnitsFixed)
       val (_, auc0, loss0) = fit(L, init, data, epochs, cellFrozen = true)
       val (p, auc1, loss1) = fit(L, init, data, epochs, cellFrozen = false)
       println(f"[lstmfit] H=2 readout-only (fixed cell) train AUC $auc0%.4f loss $loss0%.4f")

@@ -667,7 +667,8 @@ object Corpus {
     * 6dp-quantized, margins spec-audited. Scale: ONE map-side-combined
     * aggregation over the pair stream (the only corpus-grain work);
     * unigram masses and the pair total derive from the vocab-sized
-    * count table and broadcast back, global top-k via
+    * count table, semi-joined down to the floored vocabulary before
+    * the (unhinted, AQE-planned) mass joins; global top-k via
     * TakeOrderedAndProject. */
   def q81PmiBigrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -687,18 +688,29 @@ object Corpus {
     // masses and the pair total then derive from the bigram-VOCAB-sized
     // count table (cw = Σ_b cab(w,·) + Σ_a cab(·,w), n = Σ cab — exact
     // integer identities) instead of re-exploding the corpus three more
-    // times. The cache is vocab²-sized (corpus-bounded — the same bound
-    // that justifies broadcast(uni)).
+    // times. The cache is vocab²-sized (corpus-bounded).
     val cabAll = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
       .cache()
     val cab = cabAll.filter(col("cab") >= pmiMinCount)
+    // Unigram masses sum over ALL bigrams (the PMI denominator is the
+    // corpus-wide marginal), but only the FLOORED vocabulary's rows are
+    // ever read downstream — the raw type inventory of a web-scale
+    // crawl is 10⁸-10⁹ words, so shipping the unfloored table (a forced
+    // broadcast overrides every size gate) is an executor OOM at the
+    // target scale. Semi-join to the floored words first: the masses
+    // stay exact, the shipped rows shrink to floored-vocab size, and
+    // the join hint is dropped so AQE picks broadcast only when the
+    // runtime size justifies it.
+    val flooredWords = cab.select(col("a").as("w"))
+      .unionAll(cab.select(col("b").as("w"))).distinct()
     val uni = cabAll.select(col("a").as("w"), col("cab"))
       .unionAll(cabAll.select(col("b").as("w"), col("cab")))
       .groupBy(col("w")).agg(sum(col("cab")).as("cw"))
+      .join(flooredWords, Seq("w"), "left_semi")
     val n = cabAll.agg(coalesce(sum(col("cab")), lit(0L)).as("n"))
     val scored = cab
-      .join(broadcast(uni.select(col("w").as("a"), col("cw").as("ca"))), "a")
-      .join(broadcast(uni.select(col("w").as("b"), col("cw").as("cb"))), "b")
+      .join(uni.select(col("w").as("a"), col("cw").as("ca")), "a")
+      .join(uni.select(col("w").as("b"), col("cw").as("cb")), "b")
       .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("cab"),
         Exact.r(log(col("cab") * lit(1.0) * col("n") /
@@ -734,8 +746,9 @@ object Corpus {
     * multiplies by the per-source probability and sums as exact
     * DECIMAL(28,12) — order-independent. Scale: two map-side-combined
     * aggregations over one token stream (per-(source,word), then
-    * per-word rolled up FROM that — the corpus scans once), broadcast
-    * totals, one vocab-sized join. */
+    * per-word rolled up FROM that — the corpus scans once); the tiny
+    * per-source totals broadcast, the vocab-sized per-word masses join
+    * unhinted (AQE decides — never a forced vocab-sized broadcast). */
   def q82SourceKl(spark: SparkSession, dir: String): DataFrame = {
     val sw = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -744,7 +757,13 @@ object Corpus {
     val cw = sw.groupBy(col("w")).agg(sum(col("csw")).as("cw"))
     val ts = sw.groupBy(col("source")).agg(sum(col("csw")).as("ts"))
     val t = cw.agg(sum(col("cw")).as("t"))
-    sw.join(broadcast(cw), "w").join(broadcast(ts), "source")
+    // cw is |vocab|-sized — a forced broadcast of the full per-word
+    // count table is the q81 OOM hazard again (10⁸-10⁹ raw types on a
+    // web crawl). The left side is already (source, word)-grain, so a
+    // plain shuffle join on w is the scale-safe spelling; AQE still
+    // broadcasts when the runtime size says it's safe. |sources| is
+    // tiny, so the ts/t broadcasts stay.
+    sw.join(cw, "w").join(broadcast(ts), "source")
       .crossJoin(broadcast(t))
       .select(col("source"), col("ts"),
         ((col("csw") * lit(1.0) / col("ts")) *

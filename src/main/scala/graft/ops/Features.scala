@@ -991,7 +991,7 @@ object Features {
 
   /** The pre-training dyadic literals (rounds 8-9's shipped values) —
     * kept as the README A/B's fixed-cell baseline (PipelineRun
-    * --lstm-fixed/--lstm2-fixed). */
+    * --lstm-fixed, which applies to whichever LSTM tier is active). */
   private[graft] val q90ScalarWFixed: Map[String, (Double, Double, Double)] = Map(
     "i" -> (0.5, 0.25, 0.0625),
     "f" -> (0.25, 0.25, 0.5),
@@ -1115,8 +1115,9 @@ object Features {
       "g" -> (0.7420806884765625, IndexedSeq(1.2193727493286133, 0.7014999389648438), -0.9808874130249023),
       "o" -> (-1.7877063751220703, IndexedSeq(-0.4430198669433594, 0.5952339172363281), 0.4583301544189453)))
 
-  /** The pre-training hand-listed H=2 table — the --lstm2-fixed A/B
-    * baseline, and the table the byte-identical-refactor proof ran on. */
+  /** The pre-training hand-listed H=2 table — the fixed-cell A/B
+    * baseline under `--lstm2 --lstm-fixed`, and the table the
+    * byte-identical-refactor proof ran on. */
   private[graft] val q90UnitsFixed: LstmUnits = IndexedSeq(
     Map("i" -> (0.5, IndexedSeq(0.25, 0.125), 0.0625),
         "f" -> (0.25, IndexedSeq(0.25, -0.125), 0.5),
