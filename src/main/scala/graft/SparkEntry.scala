@@ -18,7 +18,7 @@ object SparkEntry {
       ops.Metrics.queries ++ ops.Text.queries ++ ops.Dedup.queries ++
       ops.Ann.queries ++ ops.Sessions.queries ++ ops.Multimodal.queries ++
       ops.Components.queries ++ ops.TimeJoins.queries ++ ops.Sampling.queries ++
-      ops.Corpus.queries
+      ops.Corpus.queries ++ ops.Fused.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -27,5 +27,5 @@ object SparkEntry {
       ops.Metrics.oracles ++ ops.Text.oracles ++ ops.Ann.oracles ++
       ops.Sessions.oracles ++ ops.TimeJoins.oracles ++ ops.Sampling.oracles ++
       ops.Dedup.oracles ++ ops.Components.oracles ++ ops.Multimodal.oracles ++
-      ops.Corpus.oracles
+      ops.Corpus.oracles ++ ops.Fused.oracles
 }

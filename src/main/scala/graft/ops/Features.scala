@@ -1231,11 +1231,13 @@ object Features {
       .select((col("user_id") +: col("scale") +: col("n_buckets") +: outs): _*)
   }
 
-  /** The H-unit oracle: same CTE chain as the scalar oracle, with the
-    * inputs wrapped to H-element [x, 0, …] lists so list_reduce's
-    * acc/element types match, and the cell text rendered with 1-based
-    * subscripts. */
-  private def q90OracleSqlH(units: LstmUnits): String = {
+  /** The H-unit oracle's CTE chain (t → b → s → f, ending at the
+    * packed-state fold) — split from the final SELECT so [[Fused]] can
+    * embed the IDENTICAL fold text as the front of the q94 chain (one
+    * definition, the Exact.sql discipline). Callers append their own
+    * projection over `f`; byte-diffed against the pre-split q92/q93
+    * emissions on extraction. */
+  private[graft] def q90OracleCtesH(units: LstmUnits): String = {
     val h = units.length
     require(h >= 2, "vector-cell oracle needs H >= 2 (H=1 is the scalar q90)")
     def dIdx(a: String, i: Int) = s"$a[${i + 1}]" // DuckDB subscripts: 1-based
@@ -1243,11 +1245,7 @@ object Features {
       .mkString(",\n   ")
     val zero = Seq.fill(h)(q90Zero).mkString(", ")
     val pad = Seq.fill(h - 1)("CAST(0 AS DOUBLE)").mkString(", ")
-    val outs = (0 until h).map(u =>
-      s"${q90DecodeH(s"st[${u + 1}]")} AS h${u + 1}_last," +
-        s" ${q90DecodeC(s"st[${u + 1}]")} AS c${u + 1}_last")
-      .mkString(",\n ")
-    s"""WITH t AS ($q85OracleBody),
+    s"""t AS ($q85OracleBody),
        | b AS (SELECT user_id, scale, bucket,
        |   ${Exact.sql.r(q87PooledSql, 6)} AS x FROM t),
        | s AS (SELECT user_id, scale, count(*) AS n_buckets,
@@ -1259,11 +1257,24 @@ object Features {
        |  FROM b GROUP BY 1, 2),
        | f AS (SELECT user_id, scale, n_buckets,
        |   list_reduce(xs, (acc, e) -> [$merge]) AS st
-       |  FROM s)
-       |SELECT user_id, scale, n_buckets,
-       | $outs
-       |FROM f ORDER BY user_id, scale""".stripMargin
+       |  FROM s)""".stripMargin
   }
+
+  /** The decoded per-unit output columns over `f`'s packed state. */
+  private[graft] def q90OracleOutsH(h: Int): String =
+    (0 until h).map(u =>
+      s"${q90DecodeH(s"st[${u + 1}]")} AS h${u + 1}_last," +
+        s" ${q90DecodeC(s"st[${u + 1}]")} AS c${u + 1}_last")
+      .mkString(",\n ")
+
+  /** The H-unit oracle: same CTE chain as the scalar oracle, with the
+    * inputs wrapped to H-element [x, 0, …] lists so list_reduce's
+    * acc/element types match, and the cell text rendered with 1-based
+    * subscripts. */
+  private def q90OracleSqlH(units: LstmUnits): String =
+    s"WITH ${q90OracleCtesH(units)}\n" +
+      s"SELECT user_id, scale, n_buckets,\n ${q90OracleOutsH(units.length)}\n" +
+      "FROM f ORDER BY user_id, scale"
 
   private def q90OracleSql2: String = q90OracleSqlH(q90Units)
 

@@ -1,0 +1,391 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The fused BD_BGL forward pass and the dual-channel propagation —
+  * the reference's actual inference composition, served end-to-end.
+  *
+  * The reference model (Code for Sichuan/src/model.py:18-29) chains
+  * MultiLstm finals over the four time scales (layers.py:31-62: ONE
+  * shared-weight LSTM consumes oneweek/twoweek/threeweek/month, the
+  * four final hidden states concat with the id features) into
+  * DualChannel (layers.py:108-133: relu(t1(h)), then layer_num = 2
+  * rounds of h ← ε·raw + Â_g·h with the gated symmetric norm, then
+  * t2 + log_softmax), alongside the MultiLstm's own softmax readout
+  * (layers.py:28,60-62). Every stage already serves standalone
+  * (q92 finals, q66/q88 propagation algebra, q86 trained gate); this
+  * file serves the COMPOSITION behind the hash oracle.
+  *
+  * ε here is the reference's DEFAULT 0.3 (main.py:24) — NOT dyadic.
+  * 0.3·h in IEEE doubles is inexact and engine-order-sensitive, so the
+  * residual is spelled in exact decimal arithmetic instead:
+  * CAST(0.3 AS DECIMAL(2,1)) · CAST(h AS DECIMAL(18,6)) + z, all exact
+  * (h is always 6dp-quantized, z is the DECIMAL(28,12) message sum),
+  * cast to double only for the final 6dp round. This closes the
+  * "dyadic-only residual" caveat: any ε with a short decimal spelling
+  * is hash-oracleable.
+  */
+object Fused {
+
+  /** Head weights of the fused pass: the MultiLstm classifier
+    * (layers.py:28 `clf = Linear(4H + id_size, 2)`), DualChannel's t1
+    * (layers.py:117 `Linear(num_features, num_hidden)`) and t2
+    * (layers.py:118 `Linear(num_hidden, num_classes)`). Rows are
+    * output units; 10 inputs = 4 scales × H=2 finals + 2 id features
+    * (the reference's id_feature_size default, main.py:20). */
+  private[graft] final case class DualHeads(
+      clfW: IndexedSeq[IndexedSeq[Double]], clfB: IndexedSeq[Double],
+      t1W: IndexedSeq[IndexedSeq[Double]], t1B: IndexedSeq[Double],
+      t2W: IndexedSeq[IndexedSeq[Double]], t2B: IndexedSeq[Double])
+
+  /** Hand-listed pre-training dyadics — the [[graft.DualFit]] trainer's
+    * warm-start and the fixed-head A/B baseline (the q90UnitsFixed
+    * convention). */
+  private[graft] val q94HeadsFixed: DualHeads = DualHeads(
+    clfW = IndexedSeq(
+      IndexedSeq(0.25, -0.125, 0.25, 0.125, -0.25, 0.125, 0.25, -0.125, 0.03125, -0.03125),
+      IndexedSeq(-0.125, 0.25, 0.125, -0.25, 0.25, 0.125, -0.125, 0.25, -0.03125, 0.03125)),
+    clfB = IndexedSeq(0.0625, -0.0625),
+    t1W = IndexedSeq(
+      IndexedSeq(0.5, 0.25, -0.25, 0.125, 0.25, -0.125, 0.5, 0.25, 0.03125, 0.0625),
+      IndexedSeq(-0.25, 0.5, 0.125, -0.125, 0.5, 0.25, -0.25, 0.125, 0.0625, -0.03125)),
+    t1B = IndexedSeq(0.0625, 0.125),
+    t2W = IndexedSeq(IndexedSeq(0.5, -0.25), IndexedSeq(-0.25, 0.5)),
+    t2B = IndexedSeq(0.0, 0.0625),
+  )
+
+  /** The served table — [[graft.DualFit]]'s paste target (trained on
+    * the sf0.1 LCG train fold, 1/2²⁰-quantized). */
+  private[graft] val q94Heads: DualHeads = q94HeadsFixed
+
+  // -------------------------------------------------------------------
+  // Shared scalar SQL texts: ONE spelling runs as a Spark expr() AND
+  // inside the DuckDB oracle (the q90CellExpr discipline). Everything
+  // is plain IEEE arithmetic over already-quantized columns, so the two
+  // engines agree bit for bit; transcendentals (exp/ln) quantize at 6dp
+  // immediately (q68's rule).
+  // -------------------------------------------------------------------
+
+  private def w(d: Double): String = new java.math.BigDecimal(d).toPlainString
+  private def r6(s: String): String = Exact.sql.r(s, 6)
+
+  /** Dense dot product + bias as SQL text, fixed evaluation order. */
+  private def dotSql(ws: IndexedSeq[Double], b: Double,
+      cols: IndexedSeq[String]): String =
+    (ws.zip(cols).map { case (wi, c) => s"${w(wi)} * $c" } :+ w(b))
+      .mkString(" + ")
+
+  /** Positive-class softmax over two logit columns, max-shifted so exp
+    * never overflows, 6dp-quantized. */
+  private def softmax1Sql(u0: String, u1: String): String = {
+    val m = s"greatest($u0, $u1)"
+    r6(s"exp($u1 - $m) / (exp($u0 - $m) + exp($u1 - $m))")
+  }
+
+  /** log_softmax component k over two logit columns (max-shifted lse),
+    * 6dp-quantized — the reference's F.log_softmax(h, 1). */
+  private def logSoftmaxSql(uk: String, u0: String, u1: String): String = {
+    val m = s"greatest($u0, $u1)"
+    r6(s"$uk - ($m + ln(exp($u0 - $m) + exp($u1 - $m)))")
+  }
+
+  /** The ε-residual in EXACT decimal arithmetic: ε·raw ± z with
+    * ε = 0.3 as DECIMAL(2,1), raw a 6dp value (exact in DECIMAL(18,6)),
+    * z the DECIMAL(28,12) message sum (re-cast down so the add never
+    * hits either engine's 38-digit ceiling). Both engines compute the
+    * identical exact rational; only the final double cast + 6dp round
+    * touch floating point. `sign` is "-" for the g ≡ −1 high-pass
+    * channel (layers.py:91-94 flips the whole message). */
+  private[graft] def epsResidualSql(raw: String, z: String,
+      sign: String = "+"): String =
+    r6(s"CAST(CAST(0.3 AS DECIMAL(2,1)) * CAST($raw AS DECIMAL(18,6)) " +
+      s"$sign CAST(coalesce($z, 0) AS DECIMAL(28,12)) AS DOUBLE)")
+
+  private def fcols: IndexedSeq[String] = (1 to 10).map(i => s"f$i")
+
+  // -------------------------------------------------------------------
+  // q94: the fused BD_BGL score
+  // -------------------------------------------------------------------
+
+  /** The symmetrized purchase graph — q66's edge build, shared here so
+    * [[graft.DualFit]] collects exactly the edges the served query
+    * propagates over. */
+  private[graft] def q94Und(spark: SparkSession, dir: String): DataFrame =
+    Graph.undFrom(Graph.factBase(spark, dir).select(col("src"), col("dst")))
+
+  /** The per-node input vector `final` (layers.py:57-59 concat):
+    * f1..f8 = trained H=2 LSTM finals (q92) pivoted across the four
+    * scales in reference concat order [week ‖ 2wk ‖ 3wk ‖ month], each
+    * scale contributing (h1, h2); f9/f10 = the id features — q59's
+    * signed-degree graph columns (id_feature_size = 2, main.py:20).
+    * Nodes absent from a source get 0 — the reference's own fill for
+    * persons missing from a slice (data_process.py's reindex). `nodes`
+    * fixes the node domain (one row per graph node, column `node`);
+    * both feature sides are node-sized, so `gated` broadcast-gates
+    * them under the shared [[Graph.nodeBound]] rule. */
+  private[graft] def q94Feat(spark: SparkSession, dir: String,
+      nodes: DataFrame, gated: DataFrame => DataFrame): DataFrame = {
+    val finals = Features.q90FromH(Features.q85Core(spark, dir), Features.q90Units)
+    val pivot = for (s <- 1 to 4; u <- 1 to 2) yield
+      coalesce(sum(when(col("scale") === s, col(s"h${u}_last"))), lit(0.0))
+        .as(s"f${(s - 1) * 2 + u}")
+    val wide = finals.groupBy(col("user_id").as("node"))
+      .agg(pivot.head, pivot.tail: _*)
+    val sdr = Graph.q53SignedDegrees(spark, dir)
+      .groupBy(col("node"))
+      .agg(sum(col("n_pos")).as("sd_pos"), sum(col("n_neg")).as("sd_neg"))
+    nodes
+      .join(gated(wide), Seq("node"), "left")
+      .join(gated(sdr), Seq("node"), "left")
+      .select(col("node") +:
+        ((1 to 8).map(i => coalesce(col(s"f$i"), lit(0.0)).as(s"f$i")) ++
+          Seq(coalesce(col("sd_pos"), lit(0L)).cast("double").as("f9"),
+            coalesce(col("sd_neg"), lit(0L)).cast("double").as("f10"))): _*)
+  }
+
+  /** q94: the fused BD_BGL forward pass as ONE served query
+    * (model.py:25-29) — per graph node: the MultiLstm softmax readout
+    * `lstm_score` (layers.py:60-62 multilstm_pre, positive class) and
+    * the DualChannel log-softmax class scores `dual_ls0`/`dual_ls1`
+    * (layers.py:120-133: h = relu(t1(x)), raw = h, two rounds of
+    * h ← ε·raw + Â·h on the purchase graph with the symmetric norm —
+    * the highlow = 1 gate the reference hard-codes at layers.py:88-91 —
+    * then t2 + log_softmax). Heads are [[q94Heads]] (DualFit-trained
+    * dyadics); the LSTM cell is the q92 LstmFit-trained table; ε = 0.3,
+    * the reference default, exact-decimal (see [[epsResidualSql]]).
+    *
+    * Scale shape: the LSTM side is the pinned q92 plan (ONE exchange
+    * over q85) + one node-grain pivot; the graph side is gcnRounds'
+    * shape — edges build once and cache, degree/feature sides are
+    * node-sized and broadcast-gated, each round is one co-partitioned
+    * message join + one map-side-combined aggregation, and the
+    * node-sized state localCheckpoints between rounds so round k never
+    * re-executes the whole LSTM DAG (lineage stays flat, the CC/q67
+    * discipline). Nothing corpus-sized is ever collected or broadcast
+    * unconditionally. */
+  def q94BdbglScore(spark: SparkSession, dir: String): DataFrame = {
+    val und = q94Und(spark, dir).cache() // degree agg + one message join per round
+    val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val bound = Graph.nodeBound(spark, dir)
+    def gated(df: DataFrame): DataFrame =
+      if (bound <= Graph.broadcastNodeLimit) broadcast(df) else df
+    val di = gated(deg.select(col("n").as("src"), col("d").as("di")))
+    val dj = gated(deg.select(col("n").as("dst"), col("d").as("dj")))
+    val feat = q94Feat(spark, dir, deg.select(col("n").as("node")), gated)
+    val hd = q94Heads
+    // heads over the feature row; localCheckpoint both cuts the q92
+    // lineage AND materializes the one table every round re-reads
+    val base = feat
+      .withColumn("ul0", expr(dotSql(hd.clfW(0), hd.clfB(0), fcols)))
+      .withColumn("ul1", expr(dotSql(hd.clfW(1), hd.clfB(1), fcols)))
+      .withColumn("lstm_score", expr(softmax1Sql("ul0", "ul1")))
+      .withColumn("raw1", expr(r6(s"greatest(${dotSql(hd.t1W(0), hd.t1B(0), fcols)}, 0.0)")))
+      .withColumn("raw2", expr(r6(s"greatest(${dotSql(hd.t1W(1), hd.t1B(1), fcols)}, 0.0)")))
+      .select(col("node"), col("lstm_score"), col("raw1"), col("raw2"))
+      .localCheckpoint(true)
+    val norm = (lit(1.0) / sqrt(col("di"))) * (lit(1.0) / sqrt(col("dj")))
+    def msg(h: DataFrame, c1: String, c2: String): DataFrame = {
+      val hj = gated(h.select(col("node").as("dst"),
+        col(c1).as("p1"), col(c2).as("p2")))
+      und.join(di, "src").join(dj, "dst").join(hj, "dst")
+        .select(col("src"),
+          (norm * col("p1")).cast("decimal(28,12)").as("m1"),
+          (norm * col("p2")).cast("decimal(28,12)").as("m2"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("m1")).as("z1"), sum(col("m2")).as("z2"))
+    }
+    val r1 = base.join(msg(base, "raw1", "raw2"), Seq("node"), "left")
+      .select(col("node"), col("lstm_score"), col("raw1"), col("raw2"),
+        expr(epsResidualSql("raw1", "z1")).as("h11"),
+        expr(epsResidualSql("raw2", "z2")).as("h12"))
+      .localCheckpoint(true)
+    val r2 = r1.join(msg(r1, "h11", "h12"), Seq("node"), "left")
+      .select(col("node"), col("lstm_score"),
+        expr(epsResidualSql("raw1", "z1")).as("h21"),
+        expr(epsResidualSql("raw2", "z2")).as("h22"))
+    r2.withColumn("du0", expr(dotSql(hd.t2W(0), hd.t2B(0), IndexedSeq("h21", "h22"))))
+      .withColumn("du1", expr(dotSql(hd.t2W(1), hd.t2B(1), IndexedSeq("h21", "h22"))))
+      .select(col("node"), col("lstm_score"),
+        expr(logSoftmaxSql("du0", "du0", "du1")).as("dual_ls0"),
+        expr(logSoftmaxSql("du1", "du0", "du1")).as("dual_ls1"))
+      .orderBy(col("node"))
+  }
+
+  /** The q94 oracle: the q92 fold CTEs verbatim ([[Features
+    * .q90OracleCtesH]] — one definition), pivoted wide, joined with the
+    * q53-derived id features (prefixed CTE names, one definition),
+    * then the same head/propagation/readout texts the Spark side runs
+    * through expr(). */
+  private def q94OracleSql: String = {
+    val hd = q94Heads
+    val pivot = (for (s <- 1 to 4; u <- 1 to 2) yield
+      s"coalesce(sum(CASE WHEN scale = $s THEN h${u}_last END), 0.0) AS f${(s - 1) * 2 + u}")
+      .mkString(",\n   ")
+    val normM = "(1.0 / sqrt(di.d)) * (1.0 / sqrt(dj.d))"
+    def msgCte(name: String, src: String, c1: String, c2: String): String =
+      s"""$name AS (SELECT u.src,
+         |   CAST($normM * h.$c1 AS DECIMAL(28,12)) AS m1,
+         |   CAST($normM * h.$c2 AS DECIMAL(28,12)) AS m2
+         |  FROM und u JOIN dg di ON u.src = di.n JOIN dg dj ON u.dst = dj.n
+         |   JOIN $src h ON u.dst = h.node)""".stripMargin
+    s"""WITH ${Features.q90OracleCtesH(Features.q90Units)},
+       | lstm AS (SELECT user_id, scale,
+       | ${Features.q90OracleOutsH(2)}
+       |  FROM f),
+       | wide AS (SELECT user_id AS node,
+       |   $pivot
+       |  FROM lstm GROUP BY 1),
+       | ${Graph.signedDegreeCtes("g")},
+       | sdr AS (SELECT node,
+       |   sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS sd_pos,
+       |   sum(CASE WHEN w < 0 THEN 1 ELSE 0 END) AS sd_neg
+       |  FROM gd GROUP BY 1),
+       | e0 AS (${Graph.edgesSql}),
+       | und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       | dg AS (SELECT src AS n, count(*) AS d FROM und GROUP BY 1),
+       | feat AS (SELECT dg.n AS node,
+       |   ${(1 to 8).map(i => s"coalesce(wd.f$i, 0.0) AS f$i").mkString(", ")},
+       |   CAST(coalesce(sd.sd_pos, 0) AS DOUBLE) AS f9,
+       |   CAST(coalesce(sd.sd_neg, 0) AS DOUBLE) AS f10
+       |  FROM dg LEFT JOIN wide wd ON dg.n = wd.node
+       |   LEFT JOIN sdr sd ON dg.n = sd.node),
+       | hd AS (SELECT node,
+       |   ${dotSql(hd.clfW(0), hd.clfB(0), fcols)} AS ul0,
+       |   ${dotSql(hd.clfW(1), hd.clfB(1), fcols)} AS ul1,
+       |   ${r6(s"greatest(${dotSql(hd.t1W(0), hd.t1B(0), fcols)}, 0.0)")} AS raw1,
+       |   ${r6(s"greatest(${dotSql(hd.t1W(1), hd.t1B(1), fcols)}, 0.0)")} AS raw2
+       |  FROM feat),
+       | h0 AS (SELECT node, ${softmax1Sql("ul0", "ul1")} AS lstm_score,
+       |   raw1, raw2 FROM hd),
+       | ${msgCte("m1c", "h0", "raw1", "raw2")},
+       | z1c AS (SELECT src AS node, sum(m1) AS z1, sum(m2) AS z2 FROM m1c GROUP BY 1),
+       | r1 AS (SELECT h.node, h.lstm_score, h.raw1, h.raw2,
+       |   ${epsResidualSql("h.raw1", "z.z1")} AS h11,
+       |   ${epsResidualSql("h.raw2", "z.z2")} AS h12
+       |  FROM h0 h LEFT JOIN z1c z ON h.node = z.node),
+       | ${msgCte("m2c", "r1", "h11", "h12")},
+       | z2c AS (SELECT src AS node, sum(m1) AS z1, sum(m2) AS z2 FROM m2c GROUP BY 1),
+       | r2 AS (SELECT h.node, h.lstm_score,
+       |   ${epsResidualSql("h.raw1", "z.z1")} AS h21,
+       |   ${epsResidualSql("h.raw2", "z.z2")} AS h22
+       |  FROM r1 h LEFT JOIN z2c z ON h.node = z.node),
+       | fin AS (SELECT node, lstm_score,
+       |   ${dotSql(hd.t2W(0), hd.t2B(0), IndexedSeq("h21", "h22"))} AS du0,
+       |   ${dotSql(hd.t2W(1), hd.t2B(1), IndexedSeq("h21", "h22"))} AS du1
+       |  FROM r2)
+       |SELECT node, lstm_score,
+       | ${logSoftmaxSql("du0", "du0", "du1")} AS dual_ls0,
+       | ${logSoftmaxSql("du1", "du0", "du1")} AS dual_ls1
+       |FROM fin ORDER BY node""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q95: the dual channel itself (high ‖ low)
+  // -------------------------------------------------------------------
+
+  /** q95: the two-channel round that gives DualChannel its name —
+    * layers.py:88-94: highlow = +1 fixes the gate g ≡ 1 (low-pass,
+    * q66's channel) and highlow = −1 fixes g ≡ −1 (the high-pass
+    * channel, never served before); the model concatenates both
+    * channels' outputs. Two ε-residual rounds (ε = 0.3 exact-decimal)
+    * over the purchase graph with h⁰ = (degree, 1), emitting the
+    * concat as the four column groups hi_deg/hi_cnt/lo_deg/lo_cnt.
+    *
+    * Scale: round 2's four channel-features ride ONE message shuffle
+    * (four measure columns in one aggregate — the q88 rel-tagged
+    * pattern turned column-wise); round 1's channels share a single
+    * aggregate outright since both start from the same h⁰ (z_lo = −z_hi
+    * falls out of the algebra, not a second pass). Edge build/degree
+    * sides/checkpoint discipline are gcnRounds'. */
+  def q95DualChannelPropagate(spark: SparkSession, dir: String): DataFrame = {
+    val und = Graph.undFrom(Graph.factBase(spark, dir).select(col("src"), col("dst")))
+      .cache() // degree agg + two message joins
+    val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val bound = Graph.nodeBound(spark, dir)
+    def gated(df: DataFrame): DataFrame =
+      if (bound <= Graph.broadcastNodeLimit) broadcast(df) else df
+    val di = gated(deg.select(col("n").as("src"), col("d").as("di")))
+    val dj = gated(deg.select(col("n").as("dst"), col("d").as("dj")))
+    val norm = (lit(1.0) / sqrt(col("di"))) * (lit(1.0) / sqrt(col("dj")))
+    // round 1: both channels read the same h⁰ = (deg, 1), so ONE
+    // aggregate serves both (the low channel is the negated message)
+    val z1 = und.join(di, "src").join(dj, "dst")
+      .select(col("src"),
+        (norm * col("dj")).cast("decimal(28,12)").as("m_deg"),
+        norm.cast("decimal(28,12)").as("m_one"))
+      .groupBy(col("src").as("node"))
+      .agg(sum(col("m_deg")).as("z_deg"), sum(col("m_one")).as("z_cnt"))
+    val r1 = deg.select(col("n").as("node"), col("d"))
+      .join(z1, Seq("node"), "left")
+      .select(col("node"), col("d"),
+        expr(epsResidualSql("d", "z_deg")).as("hi_deg"),
+        expr(epsResidualSql("1.0", "z_cnt")).as("hi_cnt"),
+        expr(epsResidualSql("d", "z_deg", "-")).as("lo_deg"),
+        expr(epsResidualSql("1.0", "z_cnt", "-")).as("lo_cnt"))
+      .localCheckpoint(true)
+    // round 2: the channels have diverged — all four features through
+    // ONE message shuffle as four measure columns
+    val hj = gated(r1.select(col("node").as("dst"),
+      col("hi_deg").as("phd"), col("hi_cnt").as("phc"),
+      col("lo_deg").as("pld"), col("lo_cnt").as("plc")))
+    val z2 = und.join(di, "src").join(dj, "dst").join(hj, "dst")
+      .select(col("src"),
+        (norm * col("phd")).cast("decimal(28,12)").as("mhd"),
+        (norm * col("phc")).cast("decimal(28,12)").as("mhc"),
+        (norm * col("pld")).cast("decimal(28,12)").as("mld"),
+        (norm * col("plc")).cast("decimal(28,12)").as("mlc"))
+      .groupBy(col("src").as("node"))
+      .agg(sum(col("mhd")).as("zhd"), sum(col("mhc")).as("zhc"),
+        sum(col("mld")).as("zld"), sum(col("mlc")).as("zlc"))
+    r1.join(z2, Seq("node"), "left")
+      .select(col("node"),
+        expr(epsResidualSql("d", "zhd")).as("hi_deg"),
+        expr(epsResidualSql("1.0", "zhc")).as("hi_cnt"),
+        expr(epsResidualSql("d", "zld", "-")).as("lo_deg"),
+        expr(epsResidualSql("1.0", "zlc", "-")).as("lo_cnt"))
+      .orderBy(col("node"))
+  }
+
+  private def q95OracleSql: String = {
+    val normM = "(1.0 / sqrt(di.d)) * (1.0 / sqrt(dj.d))"
+    s"""WITH e0 AS (${Graph.edgesSql}),
+       | und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       | dg AS (SELECT src AS n, count(*) AS d FROM und GROUP BY 1),
+       | m1 AS (SELECT u.src,
+       |   CAST($normM * dj.d AS DECIMAL(28,12)) AS m_deg,
+       |   CAST($normM AS DECIMAL(28,12)) AS m_one
+       |  FROM und u JOIN dg di ON u.src = di.n JOIN dg dj ON u.dst = dj.n),
+       | z1 AS (SELECT src AS node, sum(m_deg) AS z_deg, sum(m_one) AS z_cnt
+       |  FROM m1 GROUP BY 1),
+       | r1 AS (SELECT g.n AS node, g.d,
+       |   ${epsResidualSql("g.d", "z.z_deg")} AS hi_deg,
+       |   ${epsResidualSql("1.0", "z.z_cnt")} AS hi_cnt,
+       |   ${epsResidualSql("g.d", "z.z_deg", "-")} AS lo_deg,
+       |   ${epsResidualSql("1.0", "z.z_cnt", "-")} AS lo_cnt
+       |  FROM dg g LEFT JOIN z1 z ON g.n = z.node),
+       | m2 AS (SELECT u.src,
+       |   CAST($normM * h.hi_deg AS DECIMAL(28,12)) AS mhd,
+       |   CAST($normM * h.hi_cnt AS DECIMAL(28,12)) AS mhc,
+       |   CAST($normM * h.lo_deg AS DECIMAL(28,12)) AS mld,
+       |   CAST($normM * h.lo_cnt AS DECIMAL(28,12)) AS mlc
+       |  FROM und u JOIN dg di ON u.src = di.n JOIN dg dj ON u.dst = dj.n
+       |   JOIN r1 h ON u.dst = h.node),
+       | z2 AS (SELECT src AS node, sum(mhd) AS zhd, sum(mhc) AS zhc,
+       |   sum(mld) AS zld, sum(mlc) AS zlc FROM m2 GROUP BY 1)
+       |SELECT r.node,
+       | ${epsResidualSql("r.d", "z.zhd")} AS hi_deg,
+       | ${epsResidualSql("1.0", "z.zhc")} AS hi_cnt,
+       | ${epsResidualSql("r.d", "z.zld", "-")} AS lo_deg,
+       | ${epsResidualSql("1.0", "z.zlc", "-")} AS lo_cnt
+       |FROM r1 r LEFT JOIN z2 z ON r.node = z.node ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_bdbgl_score" -> (q94BdbglScore _),
+    "q95_dual_channel" -> (q95DualChannelPropagate _))
+
+  val oracles: Map[String, String] = Map(
+    "q94_bdbgl_score" -> q94OracleSql,
+    "q95_dual_channel" -> q95OracleSql)
+}

@@ -102,7 +102,7 @@ object Graph {
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
 
-  private val edgesSql =
+  private[ops] val edgesSql =
     """SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
 
@@ -1292,22 +1292,30 @@ object Graph {
       .orderBy(col("node"), col("side"))
   }
 
+  /** q53's oracle CTE chain with prefixable names — the q94 fused pass
+    * embeds the identical signed-edge derivation under collision-free
+    * names (one definition; the q53 oracle below rebuilds from the
+    * empty prefix byte-identically). `p + "d"` holds one row per
+    * (edge, side) with the edge weight w. */
+  private[ops] def signedDegreeCtes(p: String): String =
+    s"""${p}t AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS peer, event_id,
+       |   CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS w
+       |  FROM events WHERE event_type IN ('purchase', 'error')),
+       | ${p}lastw AS (SELECT user_id, peer, w,
+       |   row_number() OVER (PARTITION BY user_id, peer ORDER BY event_id DESC) AS rn
+       |  FROM ${p}t),
+       | ${p}e AS (SELECT user_id AS src, peer AS dst, w FROM ${p}lastw WHERE rn = 1),
+       | ${p}d AS (SELECT src AS node, 'out' AS side, w FROM ${p}e
+       |   UNION ALL SELECT dst, 'in', w FROM ${p}e)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q53_signed_degrees" ->
-      """WITH t AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS peer, event_id,
-        |   CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS w
-        |  FROM events WHERE event_type IN ('purchase', 'error')),
-        | lastw AS (SELECT user_id, peer, w,
-        |   row_number() OVER (PARTITION BY user_id, peer ORDER BY event_id DESC) AS rn
-        |  FROM t),
-        | e AS (SELECT user_id AS src, peer AS dst, w FROM lastw WHERE rn = 1),
-        | d AS (SELECT src AS node, 'out' AS side, w FROM e
-        |   UNION ALL SELECT dst, 'in', w FROM e)
-        |SELECT node, side,
+      (s"WITH ${signedDegreeCtes("")}\n" +
+        """SELECT node, side,
         | CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         | CAST(sum(CASE WHEN w < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
         | CAST(sum(w) AS BIGINT) AS signed_deg
-        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q20_degrees" ->
       s"""WITH e AS ($edgesSql),
         | d AS (SELECT src AS node, 1 AS dir, dst AS other FROM e
