@@ -152,7 +152,7 @@ object LstmFit {
   }
 
   /** Rank-based ROC AUC with average ranks on ties. */
-  private def auc(scored: Array[(Double, Double)]): Double = {
+  private[graft] def auc(scored: Array[(Double, Double)]): Double = {
     val sorted = scored.sortBy(_._1)
     val n = sorted.length
     var i = 0; var sumPosRank = 0.0; var nPos = 0.0

@@ -55,9 +55,26 @@ object Fused {
     t2B = IndexedSeq(0.0, 0.0625),
   )
 
-  /** The served table — [[graft.DualFit]]'s paste target (trained on
-    * the sf0.1 LCG train fold, 1/2²⁰-quantized). */
-  private[graft] val q94Heads: DualHeads = q94HeadsFixed
+  /** The served table — [[graft.DualFit]]'s paste target: 400-epoch
+    * fit on the sf0.1 LCG train fold, 1/2²⁰-quantized (train loss
+    * 0.659 → 0.299). HONEST finding (the q86 convention): on this
+    * synthetic label the fused features are nearly signal-flat (dual
+    * AUC ~0.51 train / ~0.50 held-out; the loss drop is calibration to
+    * the 0.0885 base rate) — the trained table keeps the composition's
+    * full expressiveness, and a deployment with the reference's real
+    * CDR structure refits via DualFit and only these literals change. */
+  private[graft] val q94Heads: DualHeads = DualHeads(
+    clfW = IndexedSeq(
+      IndexedSeq(-0.29504966735839844, 0.041243553161621094, -0.47589683532714844, 0.1883220672607422, 0.13153743743896484, 0.8018379211425781, -0.4876394271850586, -0.1097707748413086, -0.002079010009765625, -2.193450927734375E-4),
+      IndexedSeq(0.42004966735839844, 0.0837564468383789, 0.8508968353271484, -0.3133220672607422, -0.13153743743896484, -0.5518379211425781, 0.6126394271850586, 0.2347707748413086, 0.002079010009765625, 2.193450927734375E-4)),
+    clfB = IndexedSeq(1.1618051528930664, -1.1618051528930664),
+    t1W = IndexedSeq(
+      IndexedSeq(0.302276611328125, 0.12123680114746094, -0.45652008056640625, -0.008632659912109375, 0.15415573120117188, -0.20382118225097656, 0.2898225784301758, 0.10838890075683594, -0.07005691528320312, -0.04222297668457031),
+      IndexedSeq(-0.12772846221923828, 0.6223888397216797, 0.24724388122558594, -0.0026292800903320312, 0.6218719482421875, 0.37222766876220703, -0.1277923583984375, 0.24734115600585938, -0.06104087829589844, -0.1538686752319336)),
+    t1B = IndexedSeq(0.6491756439208984, -0.14198970794677734),
+    t2W = IndexedSeq(IndexedSeq(0.5935773849487305, -0.04403495788574219), IndexedSeq(-0.34357738494873047, 0.2940349578857422)),
+    t2B = IndexedSeq(0.852046012878418, -0.789546012878418),
+  )
 
   // -------------------------------------------------------------------
   // Shared scalar SQL texts: ONE spelling runs as a Spark expr() AND
