@@ -291,7 +291,33 @@ class PlanSpec extends SparkSpec {
       val lstm2 = shuffles(ops.Features.q90From2(
         ops.Features.q85SliceFeatureTensor(spark, sf)))
       assert(lstm2 == base + 1, s"q85=$base q92=$lstm2")
+      // ...and the H-parametric path (q93) carries the same property:
+      // the hidden size scales the array accumulator's WIDTH, never the
+      // exchange count
+      val lstm4 = shuffles(ops.Features.q93LstmState4(spark, sf))
+      assert(lstm4 == base + 1, s"q85=$base q93=$lstm4")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q90 family: fold state stays calendar-bounded (n_buckets <= span/7s + 1)") {
+    // the 100 TB state story: per (user, scale) the collected sequence
+    // is bounded by the CALENDAR (bucket = day_idx div 7·scale), not by
+    // the user's event count — a hot user with 10⁹ events still folds
+    // at most span/(7·scale)+1 steps, so the aggregate's array state is
+    // O(span) at any corpus size. Re-keying the bucket to anything
+    // event-grain (the mutation that would blow the fold state on a
+    // cluster) breaks this bound long before it breaks a hash.
+    val ev = ops.Features.q85EvBase(spark, sf)
+      .agg(org.apache.spark.sql.functions.min("day_idx"),
+        org.apache.spark.sql.functions.max("day_idx")).head
+    val span = ev.getInt(1) - ev.getInt(0)
+    val got = ops.Features.q93LstmState4(spark, sf)
+      .groupBy("scale")
+      .agg(org.apache.spark.sql.functions.max("n_buckets").as("mx"))
+      .collect().map(r => r.getAs[Number]("scale").intValue ->
+        r.getAs[Number]("mx").longValue).toMap
+    for ((s, mx) <- got)
+      assert(mx <= span / (7L * s) + 1, s"scale $s: $mx buckets > calendar bound")
   }
 
   test("q88: all three relation SpMVs ride one message aggregate") {
