@@ -12,7 +12,7 @@ object PipelineRun {
   def main(args: Array[String]): Unit = {
     val sfDir = Cli.sfDirOf(args, usage,
       boolFlags = Set("extended", "slices", "slices-attn", "residual",
-        "lstm", "lstm2", "lstm-fixed"))
+        "lstm", "lstm2", "lstm-fixed", "fused"))
       .getOrElse(return)
     // `--extended` joins in the beyond-parity feature tier (PageRank,
     // k-core, EWMA burst) — see FraudPipeline.run and the README A/B
@@ -42,6 +42,10 @@ object PipelineRun {
     // whichever LSTM tier is active — the trained-vs-fixed A/B row
     val lstmFixed = args.contains("--lstm-fixed") ||
       sys.env.get("SPARK_GRAFT_LSTM_FIXED").contains("1")
+    // `--fused` joins in q94's fused BD_BGL class scores — the
+    // reference's complete forward pass as three feature columns
+    val fused = args.contains("--fused") ||
+      sys.env.get("SPARK_GRAFT_FUSED").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -50,7 +54,7 @@ object PipelineRun {
       extendedFeatures = extended, sliceFeatures = slices,
       sliceAttention = slicesAttn, residualFeatures = residual,
       lstmFeatures = lstm, lstm2Features = lstm2,
-      lstmFixedWeights = lstmFixed)
+      lstmFixedWeights = lstmFixed, fusedFeatures = fused)
     val m = r.metrics.head()
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.schema.fieldNames
@@ -60,7 +64,7 @@ object PipelineRun {
     println(s"""{"metric":"fraud_pipeline","sf":"$sfDir","sec":$secs,""" +
       s""""extended":$extended,"slices":$slices,"slices_attn":$slicesAttn,""" +
       s""""residual":$residual,"lstm":$lstm,"lstm2":$lstm2,""" +
-      s""""lstm_fixed":$lstmFixed,""" +
+      s""""lstm_fixed":$lstmFixed,"fused":$fused,""" +
       s""""n_users":${r.nUsers},"n_scored":${r.scored.count()},$fields}""")
     spark.stop()
   }
@@ -76,6 +80,7 @@ object PipelineRun {
       |  --lstm         add q90's final LSTM state per time scale
       |  --lstm2        as --lstm, with q92's coupled 2-unit cell (16 cols)
       |  --lstm-fixed   serve the pre-training cell tables (A/B baseline)
+      |  --fused        add q94's fused BD_BGL class scores (3 cols)
       |  --help         print this and exit
       |env: SPARK_GRAFT_CPUS (threads),
       |     SPARK_GRAFT_EXTENDED/SLICES/SLICES_ATTN/RESIDUAL/LSTM/LSTM2=1,

@@ -181,7 +181,14 @@ object Fused {
     * re-executes the whole LSTM DAG (lineage stays flat, the CC/q67
     * discipline). Nothing corpus-sized is ever collected or broadcast
     * unconditionally. */
-  def q94BdbglScore(spark: SparkSession, dir: String): DataFrame = {
+  def q94BdbglScore(spark: SparkSession, dir: String): DataFrame =
+    q94Core(spark, dir).orderBy(col("node"))
+
+  /** q94 without the presentation sort — FraudPipeline's `--fused`
+    * tier joins this straight into the feature matrix (the q85Core
+    * convention: a sort below a re-aggregating consumer is a wasted
+    * exchange). */
+  private[graft] def q94Core(spark: SparkSession, dir: String): DataFrame = {
     val und = q94Und(spark, dir).cache() // degree agg + one message join per round
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     val bound = Graph.nodeBound(spark, dir)
@@ -226,7 +233,6 @@ object Fused {
       .select(col("node"), col("lstm_score"),
         expr(logSoftmaxSql("du0", "du0", "du1")).as("dual_ls0"),
         expr(logSoftmaxSql("du1", "du0", "du1")).as("dual_ls1"))
-      .orderBy(col("node"))
   }
 
   /** The q94 oracle: the q92 fold CTEs verbatim ([[Features

@@ -75,6 +75,12 @@ object FraudPipeline {
     * LSTM outputs (not the raw tensor) to its classifier head; this
     * tier tests whether the recurrent summary adds signal over the
     * attention pool on this data. */
+  /** `fusedFeatures = true` joins in q94's fused BD_BGL outputs — the
+    * MultiLstm softmax readout and the two DualChannel log-softmax
+    * scores — as three per-user columns: the reference's COMPLETE
+    * forward pass (model.py:25-29) compressed to its class scores,
+    * riding as features next to the tiers that feed it. Zero-filled
+    * for users outside the purchase graph. */
   def run(spark: SparkSession, dir: String,
       extendedFeatures: Boolean = false,
       sliceFeatures: Boolean = false,
@@ -84,7 +90,8 @@ object FraudPipeline {
       lstm2Features: Boolean = false,
       // serve the pre-training dyadic cell tables instead of the
       // LstmFit-trained ones — the trained-vs-fixed README A/B switch
-      lstmFixedWeights: Boolean = false): Result = {
+      lstmFixedWeights: Boolean = false,
+      fusedFeatures: Boolean = false): Result = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.functions.vector_to_array
@@ -190,8 +197,18 @@ object FraudPipeline {
         .na.fill(0.0, lstmCols)
     }
 
+    val withFused = if (!fusedFeatures) withLstm else {
+      // q94's node space is the purchase graph's shared-id domain
+      // (same convention as the residual tier)
+      val f = ops.Fused.q94Core(spark, dir).select(
+        col("node").as("user_id"), col("lstm_score").as("fused_lstm_score"),
+        col("dual_ls0").as("fused_dual_ls0"), col("dual_ls1").as("fused_dual_ls1"))
+      withLstm.join(f, Seq("user_id"), "left")
+        .na.fill(0.0, Seq("fused_lstm_score", "fused_dual_ls0", "fused_dual_ls1"))
+    }
+
     // 2. labels from the account table (user_id keys into customer)
-    val labeled = withLstm.join(
+    val labeled = withFused.join(
       Tables.customer(spark, dir).select(
         col("c_custkey").as("user_id"),
         (col("c_acctbal") < 0).cast("double").as("label")),
@@ -204,7 +221,7 @@ object FraudPipeline {
     // 4. assemble + train on the train fold only. `assembled` feeds the
     //    LBFGS iterations AND the held-out scoring pass below, so it
     //    stays cached until `scored` has materialized from it.
-    val featCols = withLstm.columns.filterNot(_ == "user_id")
+    val featCols = withFused.columns.filterNot(_ == "user_id")
     val assembler = new VectorAssembler()
       .setInputCols(featCols).setOutputCol("fvec").setHandleInvalid("keep")
     val assembled = assembler.transform(withSplit).cache()
@@ -238,6 +255,6 @@ object FraudPipeline {
         .avgPrecisionFrom(scored.select(col("user_id"), col("y"), col("score")),
           "user_id")
         .select(col("avg_precision")))
-    Result(withLstm, scored, metrics, nUsers)
+    Result(withFused, scored, metrics, nUsers)
   }
 }

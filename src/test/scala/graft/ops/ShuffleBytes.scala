@@ -73,6 +73,12 @@ object ShuffleBytes {
     def q: DataFrame = which match {
       case "q85" => Features.q85Core(spark, dir)
       case "q87" => Features.q87PoolFrom(Features.q85Core(spark, dir))
+      // the hidden-size cost curve (the reference defaults to H=64,
+      // main.py:19): q93's H-parametric generator at any H — probe
+      // with q93h8 / q93h16 / q93h64 etc.
+      case hN if hN.startsWith("q93h") =>
+        Features.q90FromH(Features.q85Core(spark, dir),
+          Features.lstmInit(hN.stripPrefix("q93h").toInt, 64L))
       case other =>
         val key = graft.SparkEntry.queries.keys
           .find(k => k == other || k.startsWith(other + "_"))
