@@ -667,9 +667,9 @@ object Corpus {
     * 6dp-quantized, margins spec-audited. Scale: ONE map-side-combined
     * aggregation over the pair stream (the only corpus-grain work);
     * unigram masses and the pair total derive from the vocab-sized
-    * count table, semi-joined down to the floored vocabulary before
-    * the (unhinted, AQE-planned) mass joins; global top-k via
-    * TakeOrderedAndProject. */
+    * count table and reach the floored bigrams through UNHINTED joins
+    * (AQE-planned — never a forced vocab-sized broadcast); global
+    * top-k via TakeOrderedAndProject. */
   def q81PmiBigrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // tokenize ONCE per row via the lambda-bound array-wrap (the
@@ -693,20 +693,16 @@ object Corpus {
       .cache()
     val cab = cabAll.filter(col("cab") >= pmiMinCount)
     // Unigram masses sum over ALL bigrams (the PMI denominator is the
-    // corpus-wide marginal), but only the FLOORED vocabulary's rows are
-    // ever read downstream — the raw type inventory of a web-scale
-    // crawl is 10⁸-10⁹ words, so shipping the unfloored table (a forced
-    // broadcast overrides every size gate) is an executor OOM at the
-    // target scale. Semi-join to the floored words first: the masses
-    // stay exact, the shipped rows shrink to floored-vocab size, and
-    // the join hint is dropped so AQE picks broadcast only when the
-    // runtime size justifies it.
-    val flooredWords = cab.select(col("a").as("w"))
-      .unionAll(cab.select(col("b").as("w"))).distinct()
+    // corpus-wide marginal). The raw type inventory of a web-scale
+    // crawl is 10⁸-10⁹ words, so a forced broadcast of this table
+    // (which overrides every size gate) is an executor OOM at the
+    // target scale — the masses flow through UNHINTED joins instead:
+    // the shuffle join streams only the floored vocabulary's rows by
+    // the join keys themselves (no pre-shrink pass needed), and AQE
+    // converts to broadcast only when the runtime size says it's safe.
     val uni = cabAll.select(col("a").as("w"), col("cab"))
       .unionAll(cabAll.select(col("b").as("w"), col("cab")))
       .groupBy(col("w")).agg(sum(col("cab")).as("cw"))
-      .join(flooredWords, Seq("w"), "left_semi")
     val n = cabAll.agg(coalesce(sum(col("cab")), lit(0L)).as("n"))
     val scored = cab
       .join(uni.select(col("w").as("a"), col("cw").as("ca")), "a")
@@ -744,26 +740,30 @@ object Corpus {
     * (q81's overflow rule); ln runs on (source × vocab)-sized rows
     * only (bounded vocabulary artifact, q68's rule), quantizes at 6dp,
     * multiplies by the per-source probability and sums as exact
-    * DECIMAL(28,12) — order-independent. Scale: two map-side-combined
-    * aggregations over one token stream (per-(source,word), then
-    * per-word rolled up FROM that — the corpus scans once); the tiny
-    * per-source totals broadcast, the vocab-sized per-word masses join
-    * unhinted (AQE decides — never a forced vocab-sized broadcast). */
+    * DECIMAL(28,12) — order-independent. Scale: one map-side-combined
+    * aggregation over one token stream (per-(source,word) — the corpus
+    * scans once); the per-word masses are a WINDOW sum partitioned by
+    * w over that frame (≤ |sources| rows per partition key by
+    * construction — skew-immune, and never a vocab-sized table, let
+    * alone a forced broadcast of one); the tiny per-source totals
+    * broadcast. */
   def q82SourceKl(spark: SparkSession, dir: String): DataFrame = {
     val sw = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("csw"))
       .cache() // vocab-sized (|sources|×|vocab|); feeds three rollups
-    val cw = sw.groupBy(col("w")).agg(sum(col("csw")).as("cw"))
     val ts = sw.groupBy(col("source")).agg(sum(col("csw")).as("ts"))
-    val t = cw.agg(sum(col("cw")).as("t"))
-    // cw is |vocab|-sized — a forced broadcast of the full per-word
-    // count table is the q81 OOM hazard again (10⁸-10⁹ raw types on a
-    // web crawl). The left side is already (source, word)-grain, so a
-    // plain shuffle join on w is the scale-safe spelling; AQE still
-    // broadcasts when the runtime size says it's safe. |sources| is
+    val t = sw.agg(sum(col("csw")).as("t"))
+    // The per-word corpus mass c_w = Σ_s c_sw never materializes as a
+    // |vocab|-sized TABLE at all (a forced broadcast of one is the q81
+    // OOM hazard — 10⁸-10⁹ raw types on a web crawl; even a shuffle
+    // join pays an extra aggregate + join stage): it's a window sum
+    // over the (source, word) frame partitioned by w, where each
+    // partition key holds at most |sources| rows BY CONSTRUCTION —
+    // one shuffle, skew-immune at any vocabulary size. |sources| is
     // tiny, so the ts/t broadcasts stay.
-    sw.join(cw, "w").join(broadcast(ts), "source")
+    sw.withColumn("cw", sum(col("csw")).over(Window.partitionBy(col("w"))))
+      .join(broadcast(ts), "source")
       .crossJoin(broadcast(t))
       .select(col("source"), col("ts"),
         ((col("csw") * lit(1.0) / col("ts")) *

@@ -479,23 +479,29 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Generate""".r.findAllIn(p).size == 1, p.take(3000))
   }
 
-  test("q81/q82: no forced vocab-sized broadcast; q81 masses shrink via semi-join") {
+  test("q81/q82: no forced vocab-sized broadcast; q82 masses stay a window") {
     // the 100 TB OOM guard: a forced broadcast hint overrides every
     // size gate, and the per-word mass tables are |vocab|-sized
     // (10⁸-10⁹ raw types on a web crawl). Only the TINY sides may carry
     // hints — q81's 1-row pair total, q82's 1-row grand total and
-    // |sources|-row per-source totals. Re-adding broadcast(uni) or
-    // broadcast(cw) raises the hint count → red. q81 must also shrink
-    // the unigram table to the floored vocabulary BEFORE the mass
-    // joins (the LeftSemi) — lifting it → red.
-    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // |sources|-row per-source totals. Re-adding broadcast(uni) or a
+    // broadcast per-word count table raises the hint count → red. q82's
+    // per-word mass must ALSO never materialize as a joined table: it
+    // is a window sum over the (source, word) frame partitioned by w
+    // (≤ |sources| rows per partition key by construction) — replacing
+    // it with an aggregate + join adds a Join to the analyzed plan → red.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
     def hints(df: DataFrame): Int =
       df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    def joins(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case j: Join => j }.size
     val q81 = ops.Corpus.q81PmiBigrams(spark, sf)
     assert(hints(q81) == 1, s"q81 broadcast hints = ${hints(q81)} (want 1: the 1-row total)")
-    assert(plan(q81).contains("LeftSemi"), plan(q81).take(3000))
     val q82 = ops.Corpus.q82SourceKl(spark, sf)
     assert(hints(q82) == 2, s"q82 broadcast hints = ${hints(q82)} (want 2: ts + t)")
+    assert(joins(q82) == 2, s"q82 joins = ${joins(q82)} (want 2: ts + t only — " +
+      "the per-word mass is a window, not a join)")
+    assert(plan(q82).contains("Window"), plan(q82).take(3000))
   }
 
   test("q23: triangle corners roll up through one explode, not a 3-way union") {
