@@ -49,7 +49,11 @@ class FusedSpec extends SparkSpec {
     // the q67 lineage discipline: round inputs must be materialized
     // node-sized tables (Scan ExistingRDD), exactly two reads each
     // (residual side + message side) — a third means some consumer
-    // re-executes the expensive upstream DAG
+    // re-executes the expensive upstream DAG. Mutation-verified: lifting
+    // r1's localCheckpoint reads 3 scans → red. NOTE the pin cannot see
+    // q94's BASE checkpoint — r1's eager checkpoint truncates it out of
+    // the final plan; its guard is the one-time-materialization cost of
+    // the LSTM DAG (runtime, not plan shape), so it has no plan pin.
     def rddScans(df: org.apache.spark.sql.DataFrame): Int =
       """\(\d+\) Scan ExistingRDD""".r.findAllIn(
         df.queryExecution.explainString(
