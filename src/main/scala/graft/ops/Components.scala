@@ -39,13 +39,12 @@ object Components {
     // edge build — e.g. q47's LSN self-join — once per branch; exchange
     // reuse cannot dedupe the two branches because their projections
     // differ).
-    val sym = edges
+    val sym0 = edges
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
       .distinct()
-      .repartition(col("dst"))
       .cache()
     // Round 0 fused into initialization: with identity starting labels,
     // the first neighbor-min pass is just min(dst) per src (and the
@@ -53,16 +52,35 @@ object Components {
     // falls out of ONE aggregation — no init-distinct shuffle, no
     // round-0 joins. Every node appears as a src in sym (symmetrized),
     // so coverage is complete.
-    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+    var labels = sym0.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("node"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint(true)
+    // Label tables are node-sized and checkpointed, so their stats are
+    // UNKNOWN to the planner — without a hint every round's sym⋈labels
+    // join is a sort-merge that re-sorts the edge cache (measured: the
+    // dominant per-round cost at sf0.1). Gate the broadcast on the
+    // actual label count (one cheap count over the checkpointed RDD,
+    // labels never grow between rounds); past the gate fall back to the
+    // shuffle plan, pre-partitioning the edge cache on the join key so
+    // only the node-sized label table moves per round.
+    val nLabels = labels.count()
+    val small = nLabels <= 50L * 1000 * 1000
+    val gate: DataFrame => DataFrame = df => if (small) broadcast(df) else df
+    val sym =
+      if (small) sym0
+      else {
+        val s = sym0.repartition(col("dst")).cache()
+        s.count() // materialize before dropping the unpartitioned cache
+        sym0.unpersist()
+        s
+      }
     var changed = 1L
     var i = 1 // round 0 ran above; maxIter still counts it
     while (changed > 0 && i < maxIter) {
       // neighbor-min pass: each node adopts min(own, neighbors') label
       val nbrMin = sym
-        .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("comp", "dst_comp"), "dst")
+        .join(gate(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("comp", "dst_comp")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dst_comp")).as("nbr_comp"))
       // prev label rides along so convergence is a filter, not a join
@@ -83,7 +101,7 @@ object Components {
       // up exponentially — OOMs by ~iteration 15 even on tiny graphs)
       // AND materializes the round once for the convergence count +
       // next-round consumers.
-      val next = stepped.join(lookup, col("comp") === col("jnode"), "left")
+      val next = stepped.join(gate(lookup), col("comp") === col("jnode"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"),
           col("prev"))

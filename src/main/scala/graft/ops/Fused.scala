@@ -190,7 +190,11 @@ object Fused {
     * exchange). */
   private[graft] def q94Core(spark: SparkSession, dir: String): DataFrame = {
     val und = q94Und(spark, dir).cache() // degree agg + one message join per round
+    // cached: di/dj/nodes rebuild per checkpointed round execution —
+    // without this the full-edge degree agg reruns ~6× per query (the
+    // gcnRounds/pagerankLoop lesson, OPTIMIZATION_r11.md)
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+      .cache()
     val bound = Graph.nodeBound(spark, dir)
     def gated(df: DataFrame): DataFrame =
       if (bound <= Graph.broadcastNodeLimit) broadcast(df) else df
@@ -324,7 +328,10 @@ object Fused {
   def q95DualChannelPropagate(spark: SparkSession, dir: String): DataFrame = {
     val und = Graph.undFrom(Graph.factBase(spark, dir).select(col("src"), col("dst")))
       .cache() // degree agg + two message joins
+    // cached: di/dj/r1 rebuild per checkpointed round execution (the
+    // gcnRounds/pagerankLoop lesson, OPTIMIZATION_r11.md)
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+      .cache()
     val bound = Graph.nodeBound(spark, dir)
     def gated(df: DataFrame): DataFrame =
       if (bound <= Graph.broadcastNodeLimit) broadcast(df) else df

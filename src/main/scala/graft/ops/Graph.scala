@@ -783,7 +783,13 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val und = undFrom(factBase(spark, dir).select(col("src"), col("dst")))
       .cache() // degree agg + one message join per round
+    // deg is re-executed once PER di/dj broadcast build PER round
+    // execution (broadcast-exchange reuse only holds within one query
+    // execution, and every round's eager checkpoint is its own
+    // execution) — cache the node-sized table so each rebuild scans it
+    // instead of re-aggregating the full edge cache
     val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+      .cache()
     val bound = nodeBound(spark, dir) // memoized footer counts, no per-call jobs
     def gated(df: DataFrame): DataFrame =
       if (bound <= broadcastNodeLimit) broadcast(df) else df
@@ -1100,7 +1106,13 @@ object Graph {
     * join of the edge cache against the node-sized (checkpointed,
     * broadcast-gated) rank table + one exact-decimal aggregation. */
   private def pagerankLoop(adj: DataFrame, gated: DataFrame => DataFrame): DataFrame = {
+    // ws feeds the wsS broadcast of EVERY round execution (each eager
+    // checkpoint is its own execution, so exchange reuse never crosses
+    // rounds), r0, nn and the final join — cache the node-sized table
+    // or the full-edge aggregation reruns ~5× per query (measured:
+    // ~1.2 s per rerun at sf0.1, ProfileQ73)
     val ws = adj.groupBy(col("src").as("n")).agg(sum(col("w")).as("ws"))
+      .cache()
     val nn = ws.agg(count(lit(1)).as("nn"))
     val wsS = gated(ws.select(col("n").as("src"), col("ws")))
     var rs = ws.select(col("n"), lit(1.0).as("rs"))
