@@ -539,7 +539,16 @@ object Features {
     val keys = Seq("scale", "bucket")
     val e0 = q85Edges(ev)
     val dg = Graph.q20DegreesKeyed(e0, keys)
-    val und = Graph.symmetrizedKeyed(e0, keys).distinct().cache()
+    // dedup via repartition(keys, src) + dropDuplicates instead of a
+    // plain distinct: same single exchange (hash(keys, src) colocates
+    // every (keys, src, dst) copy), but the partitioning then SATISFIES
+    // q23's cap window, its degree agg and the e2 side of the triangle
+    // join — three exchanges of the slice edge set gone. No new skew:
+    // the cap window already funnels each (keys, src) adjacency into
+    // one partition; this just establishes that distribution once.
+    val und = Graph.symmetrizedKeyed(e0, keys)
+      .repartition(col("scale"), col("bucket"), col("src"))
+      .dropDuplicates().cache()
     val nad = Graph.q22FromUndKeyed(und, keys)
       .select(col("scale"), col("bucket"), col("node"), col("nbr_avg_deg"))
     val cc = Graph.q23FromUndKeyed(und.filter(col("src") =!= col("dst")), keys)
@@ -696,43 +705,50 @@ object Features {
           ++ hourCols): _*)
   }
 
-  /** Slice-grain distinct (user, type) sets, CACHED — both sides of the
-    * intersection join + the counts read it. Dedup-first (undFrom's
+  /** Slice-grain distinct (user, type) sets. Dedup-first (undFrom's
     * lesson at the slice grain): reduce to DAY-grain uniques,
     * re-explode the four scales over the deduped set, then the final
     * slice-grain distinct — shuffles E + 4D rows instead of a 4E-row
-    * distinct (bucket = f(day_idx, scale) exactly). */
+    * distinct (bucket = f(day_idx, scale) exactly). No cache: since
+    * the lag-window respelling of [[q85Repeat]] it has exactly ONE
+    * consumer reading it once. */
   private[graft] def q85Uw(ev: DataFrame): DataFrame =
     q85WithScaleBucket(
         ev.select(col("user_id"), col("day_idx"), col("event_type")).distinct())
       .select(col("user_id"), col("scale"), col("bucket"), col("event_type"))
-      .distinct().cache()
+      .distinct()
 
   /** repeat_rate per slice: slice-local contact repeat — Jaccard of the
     * slice's type set vs the PREVIOUS bucket at the same scale (q14
-    * re-grained), over a (cached) [[q85Uw]]. */
+    * re-grained), over a (cached) [[q85Uw]].
+    *
+    * Spelled as LAG WINDOWS, not the uw⋈uw self-join + cnt⋈cnt⋈inter
+    * assembly it replaced: uw is DISTINCT per (user, scale, bucket,
+    * type), so "type present in bucket AND bucket−1" is exactly
+    * `lag(bucket) OVER (user, scale, type ORDER BY bucket) = bucket−1`,
+    * and the intersection count folds into the SAME aggregation that
+    * counts the slice's types; the previous bucket's size is one more
+    * lag over the aggregated frame. 3 exchanges, 0 broadcast builds,
+    * where the join spelling paid 4 exchanges + 2 broadcast builds +
+    * a full re-pass of the uw cache per side — measured exact-equal
+    * and ~2× faster at sf0.1 (ProfileQ85c; a-only=b-only=0). Window
+    * partitions are (user, scale[, type]) — bounded by the calendar
+    * times |types|, never a skew hazard. */
   private[graft] def q85Repeat(uw: DataFrame): DataFrame = {
-    val cnt = uw.groupBy(col("user_id"), col("scale"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
-    val inter = uw.as("a").join(uw.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a.scale") === col("b.scale") &&
-        col("b.bucket") === col("a.bucket") - 1 &&
-        col("a.event_type") === col("b.event_type"))
-      .groupBy(col("a.user_id").as("user_id"), col("a.scale").as("scale"),
-        col("a.bucket").as("bucket"))
-      .agg(count(lit(1)).as("i"))
-    cnt.as("c")
-      .join(cnt.as("p"),
-        col("p.user_id") === col("c.user_id") && col("p.scale") === col("c.scale") &&
-        col("p.bucket") === col("c.bucket") - 1, "left")
-      .join(inter.as("x"),
-        col("x.user_id") === col("c.user_id") && col("x.scale") === col("c.scale") &&
-        col("x.bucket") === col("c.bucket"), "left")
-      .select(col("c.user_id").as("user_id"), col("c.scale").as("scale"),
-        col("c.bucket").as("bucket"),
-        Exact.r(coalesce(col("x.i"), lit(0L)) /
-          (col("c.n") + coalesce(col("p.n"), lit(0L)) - coalesce(col("x.i"), lit(0L))),
-          6).as("repeat_rate"))
+    val wEt = Window.partitionBy(col("user_id"), col("scale"), col("event_type"))
+      .orderBy(col("bucket"))
+    val wUs = Window.partitionBy(col("user_id"), col("scale"))
+      .orderBy(col("bucket"))
+    uw.withColumn("pb", lag(col("bucket"), 1).over(wEt))
+      .groupBy(col("user_id"), col("scale"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pb") === col("bucket") - 1, 1L).otherwise(0L)).as("i"))
+      .withColumn("pn",
+        when(lag(col("bucket"), 1).over(wUs) === col("bucket") - 1,
+          lag(col("n"), 1).over(wUs)))
+      .select(col("user_id"), col("scale"), col("bucket"),
+        Exact.r(col("i") /
+          (col("n") + coalesce(col("pn"), lit(0L)) - col("i")), 6).as("repeat_rate"))
   }
 
   /** Per-slice distinct directed (user → peer) edges, CACHED — the

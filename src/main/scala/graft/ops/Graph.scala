@@ -92,6 +92,12 @@ object Graph {
         struct(col("src"), col("dst"), col("hot")),
         struct(col("dst").as("src"), col("src").as("dst"), col("hot")))).as("e"))
       .select(col("e.src"), col("e.dst"), col("e.hot"))
+      // re-reduce under hash(src) instead of hash(src, dst): same one
+      // exchange, and the output partitioning then satisfies q23's cap
+      // window / degree agg and q22's final per-src aggregation (the
+      // undFromBySrc rationale — its consumers funnel per-src
+      // adjacency into one partition anyway)
+      .repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(max(col("hot")).as("hot"))
   }
 
@@ -143,6 +149,21 @@ object Graph {
     * its edge weights and q85's keyed build already dedups first. */
   private[graft] def undFrom(e: DataFrame): DataFrame =
     symmetrized(e.distinct(), "src", "dst").distinct()
+
+  /** [[undFrom]] with the final dedup spelled repartition(src) +
+    * dropDuplicates — the SAME single exchange (hash(src) colocates
+    * every (src, dst) copy), but the resulting partitioning satisfies
+    * any downstream (src)-clustered requirement: q23's adjacency-cap
+    * window, its true-degree aggregate and the e2 side of the triangle
+    * join all run exchange-free on top of it. Only for consumers that
+    * ALREADY funnel per-src adjacency through one partition (the cap
+    * window's required distribution) — it adds no skew those plans
+    * didn't have; aggregate-only consumers (q22/q66/q73…) keep
+    * [[undFrom]], whose spread (src,dst) layout plus map-side partial
+    * aggregation is the more skew-robust shape. */
+  private[graft] def undFromBySrc(e: DataFrame): DataFrame =
+    symmetrized(e.distinct(), "src", "dst")
+      .repartition(col("src")).dropDuplicates()
 
   private val hotEdgesSql =
     """SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
@@ -397,7 +418,7 @@ object Graph {
 
   private[ops] def q23On(spark: SparkSession, dir: String,
       e: DataFrame): DataFrame =
-    q23FromUnd(undFrom(e)
+    q23FromUnd(undFromBySrc(e)
       .filter(col("src") =!= col("dst")).cache())
 
   /** q23 core over an ALREADY symmetrized+deduped, self-loop-free
