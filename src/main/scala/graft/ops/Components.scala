@@ -83,8 +83,10 @@ object Components {
           .withColumnRenamed("comp", "dst_comp")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dst_comp")).as("nbr_comp"))
-      // prev label rides along so convergence is a filter, not a join
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
+      // prev label rides along so convergence is a filter, not a join;
+      // nbrMin is node-sized and stats-less against the checkpointed
+      // labels RDD, so it rides the same gate
+      val stepped = labels.join(gate(nbrMin), Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           col("comp").as("prev"))

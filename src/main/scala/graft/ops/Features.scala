@@ -112,37 +112,37 @@ object Features {
     * counterpart set between consecutive weeks (utils.py:119-128
     * connector_duplicate2). Set intersection as a self-join on
     * (user, type, week-7), never a driver-side set. */
-  def q14RepeatRate(spark: SparkSession, dir: String): DataFrame = {
-    // uw feeds 4 plan references (both sides of the intersection join and
-    // both week-offset count branches); each branch acquires DIFFERENT
-    // join-derived isnotnull pushdowns, so ReuseExchange cannot dedupe
-    // them — without the cache the fact table is scanned+distinct'd 3×.
+  def q14RepeatRate(spark: SparkSession, dir: String): DataFrame =
+    q14Core(spark, dir).orderBy(col("user_id"), col("wk"))
+
+  /** q14 without the presentation sort — q19 re-aggregates immediately,
+    * so the sort below it was a wasted exchange (the q85Core
+    * convention). Spelled as LAG WINDOWS over the distinct
+    * (user, week, type) frame — the q85Repeat respelling at the weekly
+    * grain: a type is in consecutive weeks' intersection iff
+    * `lag(wk) OVER (user, type ORDER BY wk) = wk − 7`, folded into the
+    * week-size aggregation; the previous week's size is one more lag.
+    * 3 exchanges, no self-joins, no cache (single pass), vs the
+    * 4-plan-reference uw cache + two self-joins it replaces. Values
+    * exact-equal (same counts, same arithmetic; the q85Repeat
+    * ProfileQ85c proof covers the identical algebra). */
+  private[graft] def q14Core(spark: SparkSession, dir: String): DataFrame = {
     val uw = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"),
         col("event_type"))
       .distinct()
-      .cache()
-    val cnt = uw.groupBy(col("user_id"), col("wk")).agg(count(lit(1)).as("n"))
-    val inter = uw.as("a")
-      .join(uw.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-        col("a.event_type") === col("b.event_type") &&
-        col("b.wk") === date_sub(col("a.wk"), 7))
-      .groupBy(col("a.user_id").as("user_id"), col("a.wk").as("wk"))
-      .agg(count(lit(1)).as("i"))
-    cnt.as("c")
-      .join(cnt.as("p"),
-        col("p.user_id") === col("c.user_id") &&
-        col("p.wk") === date_sub(col("c.wk"), 7), "left")
-      .join(inter.as("x"),
-        col("x.user_id") === col("c.user_id") && col("x.wk") === col("c.wk"), "left")
-      .select(
-        col("c.user_id").as("user_id"), col("c.wk").as("wk"),
-        Exact.r(
-          coalesce(col("x.i"), lit(0L)) /
-          (col("c.n") + coalesce(col("p.n"), lit(0L)) - coalesce(col("x.i"), lit(0L))),
-          6).as("jaccard"))
-      .orderBy(col("user_id"), col("wk"))
+    val wEt = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("wk"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    uw.withColumn("pw", lag(col("wk"), 1).over(wEt))
+      .groupBy(col("user_id"), col("wk"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pw") === date_sub(col("wk"), 7), 1L).otherwise(0L)).as("i"))
+      .withColumn("pn",
+        when(lag(col("wk"), 1).over(wU) === date_sub(col("wk"), 7),
+          lag(col("n"), 1).over(wU)))
+      .select(col("user_id"), col("wk"),
+        Exact.r(col("i") /
+          (col("n") + coalesce(col("pn"), lit(0L)) - col("i")), 6).as("jaccard"))
   }
 
   /** q15: recall/conversion rate — fraction of a user's 'view' events
@@ -261,7 +261,7 @@ object Features {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), aggCols: _*)
     // mean weekly contact-repeat Jaccard (6-dp values: exact decimal sum)
-    val rep = q14RepeatRate(spark, dir)
+    val rep = q14Core(spark, dir)
       .groupBy(col("user_id"))
       .agg(Exact.r(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
         count(lit(1)), 6).as("repeat_rate"))

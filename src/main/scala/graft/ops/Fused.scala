@@ -223,12 +223,17 @@ object Fused {
         .groupBy(col("src").as("node"))
         .agg(sum(col("m1")).as("z1"), sum(col("m2")).as("z2"))
     }
-    val r1 = base.join(msg(base, "raw1", "raw2"), Seq("node"), "left")
+    // msg() output is node-sized but sits above a fresh aggregation, so
+    // the planner has no usable stats against the checkpointed (equally
+    // stats-less) base/r1 RDDs — ungated, each round's residual join
+    // plans as a sort-merge with two exchanges. Gate the message side
+    // like every other node-sized table here.
+    val r1 = base.join(gated(msg(base, "raw1", "raw2")), Seq("node"), "left")
       .select(col("node"), col("lstm_score"), col("raw1"), col("raw2"),
         expr(epsResidualSql("raw1", "z1")).as("h11"),
         expr(epsResidualSql("raw2", "z2")).as("h12"))
       .localCheckpoint(true)
-    val r2 = r1.join(msg(r1, "h11", "h12"), Seq("node"), "left")
+    val r2 = r1.join(gated(msg(r1, "h11", "h12")), Seq("node"), "left")
       .select(col("node"), col("lstm_score"),
         expr(epsResidualSql("raw1", "z1")).as("h21"),
         expr(epsResidualSql("raw2", "z2")).as("h22"))
@@ -347,7 +352,7 @@ object Fused {
       .groupBy(col("src").as("node"))
       .agg(sum(col("m_deg")).as("z_deg"), sum(col("m_one")).as("z_cnt"))
     val r1 = deg.select(col("n").as("node"), col("d"))
-      .join(z1, Seq("node"), "left")
+      .join(gated(z1), Seq("node"), "left") // node-sized agg, stats-less vs the cache
       .select(col("node"), col("d"),
         expr(epsResidualSql("d", "z_deg")).as("hi_deg"),
         expr(epsResidualSql("1.0", "z_cnt")).as("hi_cnt"),
@@ -368,7 +373,7 @@ object Fused {
       .groupBy(col("src").as("node"))
       .agg(sum(col("mhd")).as("zhd"), sum(col("mhc")).as("zhc"),
         sum(col("mld")).as("zld"), sum(col("mlc")).as("zlc"))
-    r1.join(z2, Seq("node"), "left")
+    r1.join(gated(z2), Seq("node"), "left")
       .select(col("node"),
         expr(epsResidualSql("d", "zhd")).as("hi_deg"),
         expr(epsResidualSql("1.0", "zhc")).as("hi_cnt"),

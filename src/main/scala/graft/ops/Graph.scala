@@ -925,7 +925,7 @@ object Graph {
     def hr(zc: Column): Column =
       Exact.r(lit(residualEps) * col("h0") +
         coalesce(zc.cast("double"), lit(0.0)), 6)
-    h0.join(z, Seq("node"), "left")
+    h0.join(gated(z, bound), Seq("node"), "left") // node-sized message agg
       .select(col("node"),
         hr(col("z1")).as("h_r1"),
         hr(col("z2")).as("h_r2"),

@@ -349,8 +349,14 @@ class PlanSpec extends SparkSpec {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      // match the SPECIFIC shared ordering (user_id, ts, event_id): the
+      // q14 lag respelling added its own, differently-keyed 3-column
+      // sort (user_id, event_type, wk), which this pin must not count
       val sorts = ops.Features.q19FeatureMatrix(spark, sf).queryExecution.executedPlan
-        .collect { case s: SortExec if s.sortOrder.size == 3 => s }
+        .collect {
+          case s: SortExec if s.sortOrder.size == 3 &&
+            s.sortOrder(1).child.toString.contains("ts") => s
+        }
       assert(sorts.size == 1, sorts.map(_.simpleString(80)))
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
